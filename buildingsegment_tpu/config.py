@@ -1,0 +1,88 @@
+"""Pipeline configuration.
+
+Every hard-coded constant of the reference binary becomes a field here,
+with the reference's value as the default so the default-configured
+pipeline matches reference behavior.  Citations point at the reference
+source (mounted at /root/reference) that defines each constant:
+
+- position_scale = 1000        (tmc3/TMC3.cpp:207 — "to millimeters")
+- knn_k = 15                   (tmc3/TMC3.cpp:215 — template arg K)
+- normal_radius = 100          (tmc3/my_function.h:63 — Hybrid radius, 0.1 m)
+- normal_max_nn = 50           (tmc3/my_function.h:63 — Hybrid max_nn)
+- th_thickness = 300           (tmc3/my_function.h:117 — point-to-plane mm)
+- th_point_count = 400         (tmc3/my_function.h:118 — min plane size, strict >)
+- th_normal_cos = 0.88         (tmc3/my_function.cpp:230 — normal agreement)
+- raster_bin = 100             (tmc3/TMC3.cpp:177 — 0.1 m ortho cell)
+- raster_bin_height = 1000     (tmc3/TMC3.cpp:177 — 1 m ground histogram bin)
+- raster_channels = 3          (tmc3/TMC3.cpp:178)
+- contour_threshold = 10       (tmc3/my_function.cpp:20)
+- contour_min_area = 500       (tmc3/my_function.cpp:42)
+- contour_min_perimeter = 100  (tmc3/my_function.cpp:42)
+- color_low/range 55/200       (tmc3/my_function.cpp:269 — 55 + rand() % 200)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Configuration for the end-to-end segmentation pipeline.
+
+    Defaults reproduce the reference binary's hard-coded constants.
+    """
+
+    # --- I/O / quantization ---
+    position_scale: float = 1000.0  # input units → integer mm
+    output_scale: float = 1.0       # written positions = int mm × this
+    output_binary: bool = True      # reference writes binary_little_endian
+
+    # --- kNN graph ---
+    knn_k: int = 15                 # includes self at slot 0
+    # Padded k for TPU-friendly shapes (lane-sized multiples); slots
+    # beyond knn_k are masked out.
+    knn_k_pad: int = 16
+
+    # --- normal estimation ---
+    normal_radius: float = 100.0    # hybrid neighborhood radius (mm)
+    normal_max_nn: int = 50         # hybrid neighborhood max neighbors
+    normal_orient_z: bool = True    # flip normals so n·(0,0,1) ≥ 0
+
+    # --- region growing ---
+    th_thickness: float = 300.0     # max |point-to-plane| distance (mm)
+    th_point_count: int = 400       # plane accepted iff size > this
+    th_normal_cos: float = 0.88     # min cos(normal angle) for membership
+    max_sweeps: int = 64            # fixed-point propagation sweep budget
+    max_planes: int = 4096          # fixed-capacity plane table
+
+    # --- colorize ---
+    color_low: int = 55             # 55 + rand() % 200 per channel
+    color_range: int = 200
+    color_rng: str = "msvc"         # "msvc" reproduces unseeded MSVC rand()
+
+    # --- ortho raster ---
+    raster_bin: int = 100           # ortho cell edge (mm)
+    raster_bin_height: int = 1000   # ground z-histogram bin (mm)
+    raster_channels: int = 3
+    raster_density_offset: float = 20.0  # added to nonzero log-density
+
+    # --- contour extraction ---
+    contour_threshold: float = 10.0
+    contour_min_area: float = 500.0
+    contour_min_perimeter: float = 100.0
+    contour_close_iters: int = 2
+    contour_kernel_size: int = 5    # ellipse structuring element
+
+    # --- capacity / sharding ---
+    pad_to_multiple: int = 1024     # point capacity rounded up to this
+    num_shards: Optional[int] = None  # None → use all local devices
+
+    def padded_count(self, n: int) -> int:
+        """Round ``n`` up to the configured capacity multiple (min 1 tile)."""
+        m = self.pad_to_multiple
+        return max(m, ((n + m - 1) // m) * m)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,16 @@
+from buildingsegment_tpu.core.pointset import PointBatch
+from buildingsegment_tpu.core.morton import morton_encode, morton_argsort
+from buildingsegment_tpu.core.quantize import (
+    compute_bbox,
+    shift_to_origin,
+    quantize_positions,
+)
+
+__all__ = [
+    "PointBatch",
+    "morton_encode",
+    "morton_argsort",
+    "compute_bbox",
+    "shift_to_origin",
+    "quantize_positions",
+]

@@ -1,0 +1,134 @@
+"""PointBatch — the device-resident point-cloud container.
+
+TPU-native re-expression of the reference's ``PCCPointSet3`` SoA container
+(reference: tmc3/PCCPointSet.h:64-614): positions ``int32[N,3]``, colors
+``uint16[N,3]`` (internal channel order (g, b, r), matching the
+reference's storage convention at tmc3/ply.cpp:412-414), a per-point
+plane label ``int32[N]`` (the reference's author-added ``planeIdx``
+vector, tmc3/PCCPointSet.h:67), plus a validity mask because TPU arrays
+are padded to a fixed capacity.
+
+Unlike the C++ container (dynamic vectors, per-point accessors), this is
+an immutable JAX pytree with static shapes: every transform returns a new
+batch; XLA fuses the functional updates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference initializes planeIdx to -1 (tmc3/my_function.h:103).  Plain int
+# so importing the package never touches a device backend.
+UNLABELED = -1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PointBatch:
+    """A padded, fixed-capacity struct-of-arrays point cloud.
+
+    Attributes:
+        positions: int32[N, 3] — quantized positions (typically integer mm).
+        mask: bool[N] — True for real points, False for padding.
+        colors: optional uint16[N, 3] in internal (g, b, r) order.
+        plane_idx: int32[N] — segmentation label; -1 = unlabeled; padding
+            rows hold -1 and are excluded by ``mask``.
+    """
+
+    positions: jax.Array
+    mask: jax.Array
+    colors: Optional[jax.Array] = None
+    plane_idx: Optional[jax.Array] = None
+
+    @property
+    def capacity(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def count(self) -> jax.Array:
+        """Number of real points (traced scalar)."""
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+    def has_colors(self) -> bool:
+        return self.colors is not None
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def from_numpy(
+        positions: np.ndarray,
+        colors: Optional[np.ndarray] = None,
+        capacity: Optional[int] = None,
+    ) -> "PointBatch":
+        """Build a padded batch from host arrays.
+
+        Padding positions are filled with a large sentinel so padded rows
+        never appear as nearest neighbors of real points.
+        """
+        n = positions.shape[0]
+        cap = capacity if capacity is not None else n
+        if cap < n:
+            raise ValueError(f"capacity {cap} < point count {n}")
+        pos = np.full((cap, 3), _PAD_COORD, dtype=np.int32)
+        pos[:n] = positions.astype(np.int32)
+        mask = np.zeros((cap,), dtype=bool)
+        mask[:n] = True
+        col = None
+        if colors is not None:
+            col = np.zeros((cap, 3), dtype=np.uint16)
+            col[:n] = colors.astype(np.uint16)
+        plane_idx = np.full((cap,), -1, dtype=np.int32)
+        return PointBatch(
+            positions=jnp.asarray(pos),
+            mask=jnp.asarray(mask),
+            colors=None if col is None else jnp.asarray(col),
+            plane_idx=jnp.asarray(plane_idx),
+        )
+
+    # ------------------------------------------------------------------
+    # transforms
+    # ------------------------------------------------------------------
+
+    def with_positions(self, positions: jax.Array) -> "PointBatch":
+        return dataclasses.replace(self, positions=positions)
+
+    def with_colors(self, colors: jax.Array) -> "PointBatch":
+        return dataclasses.replace(self, colors=colors)
+
+    def with_plane_idx(self, plane_idx: jax.Array) -> "PointBatch":
+        return dataclasses.replace(self, plane_idx=plane_idx)
+
+    def gather(self, order: jax.Array) -> "PointBatch":
+        """Reorder all per-point arrays by ``order`` (e.g. a Morton sort)."""
+        return PointBatch(
+            positions=self.positions[order],
+            mask=self.mask[order],
+            colors=None if self.colors is None else self.colors[order],
+            plane_idx=None if self.plane_idx is None else self.plane_idx[order],
+        )
+
+    # ------------------------------------------------------------------
+    # host export
+    # ------------------------------------------------------------------
+
+    def to_numpy(self) -> dict:
+        """Copy the valid prefix back to host numpy arrays."""
+        mask = np.asarray(self.mask)
+        out = {"positions": np.asarray(self.positions)[mask]}
+        if self.colors is not None:
+            out["colors"] = np.asarray(self.colors)[mask]
+        if self.plane_idx is not None:
+            out["plane_idx"] = np.asarray(self.plane_idx)[mask]
+        return out
+
+
+# Sentinel coordinate for padding rows: far away from any real point but
+# small enough that squared distances stay well inside float32/int64 range.
+_PAD_COORD = np.int32(2**24)

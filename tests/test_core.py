@@ -1,0 +1,106 @@
+"""Core container / quantize / Morton tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from buildingsegment_tpu.core.morton import morton_argsort, morton_encode
+from buildingsegment_tpu.core.pointset import PointBatch
+from buildingsegment_tpu.core.quantize import (
+    compute_bbox,
+    quantize_positions,
+    shift_to_origin,
+)
+
+
+class TestPointBatch:
+    def test_padding_and_mask(self):
+        pos = np.array([[1, 2, 3], [4, 5, 6]], np.int32)
+        b = PointBatch.from_numpy(pos, capacity=8)
+        assert b.capacity == 8
+        assert int(b.count) == 2
+        np.testing.assert_array_equal(np.asarray(b.positions)[:2], pos)
+        assert np.asarray(b.mask).sum() == 2
+
+    def test_roundtrip_numpy(self):
+        pos = np.arange(12, dtype=np.int32).reshape(4, 3)
+        col = np.arange(12, dtype=np.uint16).reshape(4, 3)
+        b = PointBatch.from_numpy(pos, col, capacity=16)
+        out = b.to_numpy()
+        np.testing.assert_array_equal(out["positions"], pos)
+        np.testing.assert_array_equal(out["colors"], col)
+        np.testing.assert_array_equal(out["plane_idx"], [-1] * 4)
+
+    def test_gather_reorders_all_fields(self):
+        pos = np.array([[0, 0, 0], [1, 1, 1], [2, 2, 2]], np.int32)
+        b = PointBatch.from_numpy(pos, capacity=4)
+        order = jnp.array([2, 1, 0, 3])
+        g = b.gather(order)
+        np.testing.assert_array_equal(
+            np.asarray(g.positions)[:3], pos[::-1]
+        )
+        np.testing.assert_array_equal(np.asarray(g.mask), [True, True, True, False])
+
+
+class TestQuantize:
+    def test_truncation_toward_zero(self):
+        raw = jnp.array([[1.9, -1.9, 0.4]])
+        q = quantize_positions(raw, 1.0)
+        np.testing.assert_array_equal(np.asarray(q), [[1, -1, 0]])
+
+    def test_scale(self):
+        raw = jnp.array([[1.2345, 0.0015, -0.5]])
+        q = quantize_positions(raw, 1000.0)
+        # float32 1.2345*1000 = 1234.5 → 1234
+        np.testing.assert_array_equal(np.asarray(q), [[1234, 1, -500]])
+
+    def test_bbox_masked(self):
+        pos = jnp.array([[1, 2, 3], [7, -4, 5], [100, 100, 100]], jnp.int32)
+        mask = jnp.array([True, True, False])
+        lo, hi = compute_bbox(pos, mask)
+        np.testing.assert_array_equal(np.asarray(lo), [1, -4, 3])
+        np.testing.assert_array_equal(np.asarray(hi), [7, 2, 5])
+
+    def test_shift_to_origin(self):
+        pos = jnp.array([[10, 20, 30], [13, 25, 31]], jnp.int32)
+        mask = jnp.array([True, True])
+        shifted, lo, hi = shift_to_origin(pos, mask)
+        np.testing.assert_array_equal(np.asarray(shifted), [[0, 0, 0], [3, 5, 1]])
+        np.testing.assert_array_equal(np.asarray(lo), [10, 20, 30])
+        np.testing.assert_array_equal(np.asarray(hi), [13, 25, 31])
+
+
+class TestMorton:
+    def test_known_codes(self):
+        pos = jnp.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]], jnp.int32)
+        codes = np.asarray(morton_encode(pos))
+        np.testing.assert_array_equal(codes, [0, 1, 2, 4, 7])
+
+    def test_word_shift(self):
+        pos = jnp.array([[1 << 10, 0, 0]], jnp.int32)
+        assert int(morton_encode(pos, shift=10)[0]) == 1
+        assert int(morton_encode(pos, shift=0)[0]) == 0
+
+    def test_sort_matches_int64_oracle(self, rng):
+        pts = rng.integers(0, 2**20, size=(512, 3)).astype(np.int32)
+        mask = np.ones(512, bool)
+        order = np.asarray(morton_argsort(jnp.asarray(pts), jnp.asarray(mask)))
+
+        def spread64(v):
+            v = v.astype(np.int64) & 0xFFFFF
+            out = np.zeros_like(v)
+            for b in range(20):
+                out |= ((v >> b) & 1) << (3 * b)
+            return out
+
+        codes = (
+            spread64(pts[:, 0])
+            | (spread64(pts[:, 1]) << 1)
+            | (spread64(pts[:, 2]) << 2)
+        )
+        assert (np.diff(codes[order]) >= 0).all()
+
+    def test_padding_sorts_last(self):
+        pos = jnp.array([[5, 5, 5], [0, 0, 0], [1, 1, 1]], jnp.int32)
+        mask = jnp.array([True, False, True])
+        order = np.asarray(morton_argsort(pos, mask))
+        assert order[-1] == 1
