@@ -1,0 +1,162 @@
+"""Command-line interface.
+
+Drop-in compatible with the reference's argv contract
+(``tmc3 -a=<in.ply> -s=<out.ply>``; readme.txt example, parsed by
+``analyse_path`` at tmc3/my_function.cpp:163-178, which splits each
+argument on '=' and ignores the flag letter).  Extended ``--flag``
+options expose the constants that the reference hard-codes (SURVEY.md
+§5 config/flag system).
+
+Usage:
+    python -m buildingsegment_tpu.cli -a=scan.ply -s=labeled.ply
+    python -m buildingsegment_tpu.cli -a=scan.ply -s=out.ply \
+        --th-thickness 300 --th-point-count 400 --render-dir ./renders \
+        --profile --json-summary
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from buildingsegment_tpu.config import PipelineConfig
+
+__all__ = ["main", "parse_args"]
+
+
+def parse_args(argv):
+    """Split reference-style ``-x=path`` args from ``--flag`` extensions."""
+    ref_style = {}
+    rest = []
+    for a in argv:
+        if (
+            len(a) >= 2
+            and a[0] == "-"
+            and a[1] != "-"
+            and "=" in a
+        ):
+            # reference semantics: split on '=', value is field [1]
+            key = a.split("=")[0].lstrip("-")
+            ref_style[key] = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+
+    p = argparse.ArgumentParser(
+        prog="buildingsegment_tpu",
+        description="TPU-native building point-cloud plane segmentation",
+    )
+    p.add_argument("--input", help="input PLY (alias of -a=)")
+    p.add_argument("--output", help="output labeled PLY (alias of -s=)")
+    p.add_argument("--position-scale", type=float, default=1000.0)
+    p.add_argument("--knn-k", type=int, default=15)
+    p.add_argument("--normal-radius", type=float, default=100.0)
+    p.add_argument("--normal-max-nn", type=int, default=50)
+    p.add_argument("--th-thickness", type=float, default=300.0)
+    p.add_argument("--th-point-count", type=int, default=400)
+    p.add_argument("--th-normal-cos", type=float, default=0.88)
+    p.add_argument(
+        "--signed-normals",
+        action="store_true",
+        help="strict reference semantics (unstable on vertical walls)",
+    )
+    p.add_argument("--ascii", action="store_true", help="write ascii PLY")
+    p.add_argument(
+        "--render-dir",
+        help="also render ortho height/density PNGs + contours into DIR "
+        "(the reference's disabled raster path, TMC3.cpp:223-226)",
+    )
+    p.add_argument("--profile", action="store_true", help="print stage timings")
+    p.add_argument(
+        "--json-summary", action="store_true", help="print a JSON run summary"
+    )
+    args = p.parse_args(rest)
+
+    input_path = ref_style.get("a") or args.input
+    output_path = ref_style.get("s") or args.output
+    return args, input_path, output_path
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: first run on a new shape pays the
+    (minutes-long on a remote-compile TPU) compilation once; repeat CLI
+    invocations hit the disk cache."""
+    import os
+
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "BST_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/buildingsegment_tpu/jax"),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # cache is an optimization, never a hard requirement
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    _enable_compile_cache()
+    args, input_path, output_path = parse_args(argv)
+    if not input_path or not output_path:
+        print(
+            "usage: buildingsegment_tpu -a=<in.ply> -s=<out.ply> [--flags]",
+            file=sys.stderr,
+        )
+        return 2
+
+    config = PipelineConfig(
+        position_scale=args.position_scale,
+        knn_k=args.knn_k,
+        normal_radius=args.normal_radius,
+        normal_max_nn=args.normal_max_nn,
+        th_thickness=args.th_thickness,
+        th_point_count=args.th_point_count,
+        th_normal_cos=args.th_normal_cos,
+        output_binary=not args.ascii,
+    )
+
+    from buildingsegment_tpu.pipeline import segment_file
+
+    try:
+        out = segment_file(
+            input_path,
+            output_path,
+            config,
+            signed_normals=args.signed_normals,
+        )
+    except FileNotFoundError:
+        print(f"error: cannot open {input_path}", file=sys.stderr)
+        return 1
+
+    if args.render_dir:
+        from buildingsegment_tpu.raster.ortho import render_ortho_views
+
+        render_ortho_views(out, args.render_dir, config)
+
+    print(
+        f"{out.cloud.count} points → {out.num_planes} planes → {output_path}"
+    )
+    if args.profile:
+        for stage, secs in out.timings.items():
+            print(f"  {stage:>20}: {secs:.4f}")
+    if args.json_summary:
+        print(
+            json.dumps(
+                {
+                    "points": out.cloud.count,
+                    "planes": out.num_planes,
+                    "plane_counts": out.plane_counts.tolist(),
+                    "timings": out.timings,
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,11 @@ class PipelineConfig:
     # Padded k for TPU-friendly shapes (lane-sized multiples); slots
     # beyond knn_k are masked out.
     knn_k_pad: int = 16
+    # "auto": Morton-window search above knn_auto_threshold points,
+    # exact brute force below; "brute" / "window" force a method.
+    knn_method: str = "auto"
+    knn_window: int = 64            # ± half-window in Morton order
+    knn_auto_threshold: int = 65536
 
     # --- normal estimation ---
     normal_radius: float = 100.0    # hybrid neighborhood radius (mm)

@@ -1,0 +1,44 @@
+"""Device-mesh construction and sharding specs.
+
+The reference is a single-process, single-thread CPU binary with no
+parallelism of any kind (SURVEY.md §2.5).  The rebuild's scaling axis is
+*points*: the padded point tensor shards across a 1-D ``points`` mesh
+axis (the data/sequence-parallel analog for a geometry pipeline), and
+XLA's SPMD partitioner inserts the collectives (all-gathers for
+neighbor lookups across shard boundaries, reductions for segment
+statistics) — the TPU-native equivalent of a hand-written NCCL/MPI
+backend.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "point_sharding", "replicated", "POINTS_AXIS"]
+
+POINTS_AXIS = "points"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """1-D mesh over the ``points`` axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=(POINTS_AXIS,))
+
+
+def point_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (points) dimension; replicate the rest."""
+    return NamedSharding(mesh, P(POINTS_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

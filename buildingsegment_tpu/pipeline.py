@@ -1,0 +1,269 @@
+"""End-to-end segmentation pipeline.
+
+The TPU-native equivalent of the reference's ``main()``
+(tmc3/TMC3.cpp:202-229):
+
+    read PLY (×1000 → integer mm)          ply::read, TMC3.cpp:208
+    → bbox shift to origin                 buildingSeg ctor, TMC3.cpp:55-79
+    → kNN graph + normals                  get_Normal_and_K_neighbor, TMC3.cpp:215
+    → region-growing plane segmentation    seg_plane::get_planes, TMC3.cpp:217
+    → per-plane random colors              set_plane_color, TMC3.cpp:218
+    → write labeled binary PLY             ply::write, TMC3.cpp:221
+
+Host I/O at the edges; one jitted device program in the middle (kNN →
+normals → segmentation fuse under a single jit).  The written cloud is
+the *shifted* one — the reference's ``buildingSeg`` constructor mutates
+the caller's cloud in place (TMC3.cpp:70-72), so the output PLY contains
+origin-shifted coordinates; we reproduce that contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from buildingsegment_tpu.config import DEFAULT_CONFIG, PipelineConfig
+from buildingsegment_tpu.core.pointset import PointBatch
+from buildingsegment_tpu.core.morton import morton_argsort
+from buildingsegment_tpu.core.quantize import shift_to_origin
+from buildingsegment_tpu.io.ply import HostPointCloud, read_ply, write_ply
+from buildingsegment_tpu.ops.knn import knn, knn_window
+from buildingsegment_tpu.ops.normals import estimate_normals, estimate_normals_window
+from buildingsegment_tpu.seg.colorize import colorize_planes
+from buildingsegment_tpu.seg.region_grow import SegmentationResult, segment_planes
+
+__all__ = [
+    "PipelineOutput",
+    "run_device_pipeline",
+    "resolve_knn_method",
+    "segment_cloud",
+    "segment_file",
+]
+
+
+def resolve_knn_method(config: PipelineConfig, capacity: int) -> str:
+    """'auto' → window above the threshold, exact brute force below."""
+    if config.knn_method == "auto":
+        return "window" if capacity > config.knn_auto_threshold else "brute"
+    return config.knn_method
+
+
+@dataclasses.dataclass
+class PipelineOutput:
+    """Host-side results of one pipeline run."""
+
+    cloud: HostPointCloud          # shifted positions + label colors
+    plane_idx: np.ndarray          # int32[N] (1..P or -1), input order
+    num_planes: int
+    plane_normals: np.ndarray      # float32[P, 3]
+    plane_centers: np.ndarray      # float32[P, 3]
+    plane_counts: np.ndarray       # int32[P]
+    bbox_min: np.ndarray           # int32[3] original-cloud bbox min
+    timings: dict                  # stage → seconds
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_search",
+        "knn_k",
+        "normal_max_nn",
+        "th_point_count",
+        "max_planes",
+        "max_sweeps",
+        "signed_normals",
+        "knn_method",
+        "knn_window_size",
+    ),
+)
+def run_device_pipeline(
+    positions: jax.Array,
+    mask: jax.Array,
+    *,
+    k_search: int,
+    knn_k: int,
+    normal_radius: float,
+    normal_max_nn: int,
+    th_thickness: float,
+    th_normal_cos: float,
+    th_point_count: int,
+    max_planes: int,
+    max_sweeps: int,
+    signed_normals: bool = False,
+    knn_method: str = "brute",
+    knn_window_size: int = 64,
+):
+    """The fused on-device portion: shift → kNN → normals → segmentation.
+
+    One traced program: XLA fuses the stages and keeps every
+    intermediate (distance blocks, covariances, labels) on device.
+
+    Returns (shifted_positions, bbox_min, seg: SegmentationResult).
+    """
+    shifted, lo, _hi = shift_to_origin(positions, mask)
+    if knn_method == "window":
+        # fast path: Morton-sort once, stay in the sorted frame for
+        # every stage (window kNN, window-moment normals, windowized
+        # label propagation), un-sort only the final labels — the
+        # sorted frame is what makes every neighbor access a contiguous
+        # slice instead of a (slow) XLA gather.
+        order = morton_argsort(shifted, mask)
+        spos = shifted[order]
+        smask = mask[order]
+        sposf = spos.astype(jnp.float32)
+        neigh_idx, neigh_d = knn_window(
+            sposf, smask, k=max(knn_k, 16), window=knn_window_size,
+            presorted=True,
+        )
+        normals, _curv = estimate_normals_window(
+            sposf, smask, radius=normal_radius, window=2 * knn_window_size
+        )
+        seg = segment_planes(
+            spos,
+            normals,
+            neigh_idx[:, :knn_k],
+            smask,
+            neigh_sq_dist=neigh_d[:, :knn_k],
+            max_edge_dist=2.0 * th_thickness,
+            th_thickness=th_thickness,
+            th_normal_cos=th_normal_cos,
+            th_point_count=th_point_count,
+            max_planes=max_planes,
+            max_sweeps=max_sweeps,
+            signed_normals=signed_normals,
+            propagation="window",
+        )
+        n = positions.shape[0]
+        plane_idx = (
+            jnp.zeros((n,), jnp.int32).at[order].set(seg.plane_idx)
+        )
+        seg = dataclasses.replace(seg, plane_idx=plane_idx)
+        return shifted, lo, seg
+
+    neigh_idx, neigh_d = knn(shifted, mask, k=k_search)
+    normals, _curv = estimate_normals(
+        shifted,
+        mask,
+        neigh_idx,
+        neigh_d,
+        radius=normal_radius,
+        max_nn=normal_max_nn,
+    )
+    seg = segment_planes(
+        shifted,
+        normals,
+        neigh_idx[:, :knn_k],
+        mask,
+        th_thickness=th_thickness,
+        th_normal_cos=th_normal_cos,
+        th_point_count=th_point_count,
+        max_planes=max_planes,
+        max_sweeps=max_sweeps,
+        signed_normals=signed_normals,
+    )
+    return shifted, lo, seg
+
+
+def segment_cloud(
+    cloud: HostPointCloud,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    signed_normals: bool = False,
+) -> PipelineOutput:
+    """Segment an in-memory cloud; returns labeled output + plane table."""
+    timings = {}
+    t0 = time.perf_counter()
+
+    n = cloud.count
+    capacity = config.padded_count(n)
+    batch = PointBatch.from_numpy(cloud.positions, capacity=capacity)
+    k_search = max(config.knn_k_pad, config.normal_max_nn)
+
+    t1 = time.perf_counter()
+    timings["host_to_device"] = t1 - t0
+
+    shifted, lo, seg = run_device_pipeline(
+        batch.positions,
+        batch.mask,
+        k_search=k_search,
+        knn_k=config.knn_k,
+        normal_radius=config.normal_radius,
+        normal_max_nn=config.normal_max_nn,
+        th_thickness=config.th_thickness,
+        th_normal_cos=config.th_normal_cos,
+        th_point_count=config.th_point_count,
+        max_planes=config.max_planes,
+        max_sweeps=config.max_sweeps,
+        signed_normals=signed_normals,
+        knn_method=resolve_knn_method(config, capacity),
+        knn_window_size=config.knn_window,
+    )
+    jax.block_until_ready(seg.plane_idx)
+    t2 = time.perf_counter()
+    timings["device_pipeline"] = t2 - t1
+
+    plane_idx = np.asarray(seg.plane_idx)[:n]
+    num_planes = int(seg.num_planes)
+    colors = colorize_planes(
+        plane_idx,
+        num_planes,
+        low=config.color_low,
+        rng_range=config.color_range,
+    )
+    out_cloud = HostPointCloud(
+        positions=np.asarray(shifted)[:n],
+        colors=colors,
+    )
+    t3 = time.perf_counter()
+    timings["colorize_host"] = t3 - t2
+    timings["total"] = t3 - t0
+    timings["mpoints_per_sec"] = n / max(timings["total"], 1e-9) / 1e6
+
+    return PipelineOutput(
+        cloud=out_cloud,
+        plane_idx=plane_idx,
+        num_planes=num_planes,
+        plane_normals=np.asarray(seg.plane_normal)[:num_planes],
+        plane_centers=np.asarray(seg.plane_center)[:num_planes],
+        plane_counts=np.asarray(seg.plane_count)[:num_planes],
+        bbox_min=np.asarray(lo),
+        timings=timings,
+    )
+
+
+def segment_file(
+    input_path: str,
+    output_path: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    signed_normals: bool = False,
+) -> PipelineOutput:
+    """File-to-file pipeline with the reference's I/O contract.
+
+    Input positions × ``position_scale`` (1000 → mm, TMC3.cpp:207),
+    output written at scale 1.0 / offset 0 as binary (TMC3.cpp:221).
+    """
+    t0 = time.perf_counter()
+    cloud = read_ply(input_path, position_scale=config.position_scale)
+    t_read = time.perf_counter() - t0
+
+    out = segment_cloud(cloud, config, signed_normals=signed_normals)
+
+    t1 = time.perf_counter()
+    write_ply(
+        out.cloud,
+        output_path,
+        position_scale=config.output_scale,
+        position_offset=(0.0, 0.0, 0.0),
+        ascii=not config.output_binary,
+    )
+    out.timings["read_ply"] = t_read
+    out.timings["write_ply"] = time.perf_counter() - t1
+    out.timings["total_with_io"] = time.perf_counter() - t0
+    return out

@@ -1,0 +1,161 @@
+"""Ortho rasterization: ground threshold, height/density images, PNGs.
+
+TPU-native re-expression of the reference's disabled-but-compiled raster
+path (``buildingSeg::{groundTH, compute_gird_picture, save_image}``,
+tmc3/TMC3.cpp:81-198; call sites commented at TMC3.cpp:223-226 — they
+are scored capabilities per BASELINE config 5):
+
+  * ground threshold: z-histogram in 1 m bins; the returned height is
+    the bin floor where the cumulative count first exceeds half the
+    points (≈ quantized median z, TMC3.cpp:181-198);
+  * ortho images: bilinear splat of every point with z ≥ threshold into
+    0.1 m cells — density in channel 1, mean height in channel 0
+    (height_sum/density), then density ← log(density+1) (+20 where
+    nonzero) (TMC3.cpp:127-172); channel 2 stays zero (its computation
+    is commented out in the reference, TMC3.cpp:167-170);
+  * PNG dump: per-channel max normalization to 0..255, three RGB PNGs
+    whose (Chinese) filenames the reference hard-codes:
+    平均高度.png (mean height → R), 像素数量.png (log density → G),
+    像素数量+高度.png (channel 2 → G; effectively blank)
+    (TMC3.cpp:81-121).
+
+The histogram and splat run on device (bincount / scatter-add); PNG
+encoding is host-side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from buildingsegment_tpu.config import DEFAULT_CONFIG, PipelineConfig
+from buildingsegment_tpu.io.png import write_png
+from buildingsegment_tpu.ops.scatter import bilinear_splat
+
+__all__ = [
+    "ground_threshold",
+    "compute_ortho_images",
+    "normalize_to_png",
+    "render_ortho_views",
+    "MEAN_HEIGHT_PNG",
+    "DENSITY_PNG",
+    "DENSITY_HEIGHT_PNG",
+]
+
+# the reference's hard-coded output names (TMC3.cpp:98,108,119)
+MEAN_HEIGHT_PNG = "平均高度.png"
+DENSITY_PNG = "像素数量.png"
+DENSITY_HEIGHT_PNG = "像素数量+高度.png"
+
+
+def ground_threshold(
+    positions: jax.Array,
+    mask: jax.Array,
+    z_extent: int,
+    *,
+    bin_height: int = 1000,
+) -> jax.Array:
+    """Quantized-median ground height (TMC3.cpp:181-198).
+
+    Args:
+        positions: int32[N, 3] shifted coords (z ≥ 0).
+        z_extent: static upper bound for z (bbox_max.z − bbox_min.z).
+
+    Returns:
+        int32 scalar: ``i × bin_height`` where i is the first histogram
+        bin at which the cumulative count exceeds half the points.
+    """
+    num_bins = z_extent // bin_height + 1
+    z_bin = jnp.where(mask, positions[:, 2] // bin_height, num_bins)
+    hist = jnp.zeros((num_bins + 1,), jnp.int32).at[z_bin].add(1)[:num_bins]
+    half = jnp.sum(mask.astype(jnp.int32)) // 2
+    cum = jnp.cumsum(hist)
+    # reference loop breaks at the first bin with cumulative > half;
+    # if none exceeds (empty cloud), it falls off the end (i = size)
+    i = jnp.argmax(cum > half)
+    i = jnp.where(jnp.any(cum > half), i, num_bins)
+    return (i * bin_height).astype(jnp.int32)
+
+
+def compute_ortho_images(
+    positions: jax.Array,
+    mask: jax.Array,
+    extent: Tuple[int, int, int],
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Mean-height / log-density / (zero) rasters.
+
+    Args:
+        positions: int32[N, 3] shifted coords.
+        extent: static (x, y, z) bbox extents of the original cloud.
+
+    Returns:
+        (mean_height f32[H, W], log_density f32[H, W], zeros f32[H, W]),
+        W = extent_x // bin + 2, H likewise (TMC3.cpp:75-77).
+    """
+    width = extent[0] // config.raster_bin + 2
+    height = extent[1] // config.raster_bin + 2
+    th = ground_threshold(
+        positions, mask, extent[2], bin_height=config.raster_bin_height
+    )
+    density, height_sum = bilinear_splat(
+        positions,
+        mask,
+        th,
+        width=width,
+        height=height,
+        bin_size=config.raster_bin,
+    )
+    # mean height where density nonzero (TMC3.cpp:152-157)
+    mean_height = jnp.where(density != 0, height_sum / jnp.where(density != 0, density, 1.0), height_sum)
+    # log density, +offset where nonzero (TMC3.cpp:159-164)
+    logd = jnp.log(density + 1.0)
+    logd = jnp.where(logd != 0, logd + config.raster_density_offset, logd)
+    ch2 = jnp.zeros_like(density)  # commented out in the reference
+    return mean_height, logd, ch2
+
+
+def normalize_to_png(channel: np.ndarray, target_channel: int) -> np.ndarray:
+    """Max-normalize one raster into a uint8 RGB image (TMC3.cpp:85-119).
+
+    The value lands in ``target_channel`` of an otherwise-black RGB
+    image; an all-zero raster stays black (max==0 guard).
+    """
+    ch = np.asarray(channel, np.float64)
+    h, w = ch.shape
+    img = np.zeros((h, w, 3), np.uint8)
+    m = ch.max()
+    if m != 0:
+        img[:, :, target_channel] = (255.0 * ch / m).astype(np.uint8)
+    return img
+
+
+def render_ortho_views(pipeline_output, out_dir: str, config: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Render and write the three reference PNGs; returns their paths.
+
+    ``pipeline_output`` is a :class:`~buildingsegment_tpu.pipeline
+    .PipelineOutput` (shifted cloud + bbox info).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    pos = pipeline_output.cloud.positions
+    n = pos.shape[0]
+    extent = tuple(int(e) for e in pos.max(axis=0)) if n else (0, 0, 0)
+    mean_h, logd, ch2 = compute_ortho_images(
+        jnp.asarray(pos), jnp.ones((n,), bool), extent, config
+    )
+    paths = {}
+    for name, raster, chan in (
+        (MEAN_HEIGHT_PNG, mean_h, 0),     # mean height → R (TMC3.cpp:93-98)
+        (DENSITY_PNG, logd, 1),           # log density → G (TMC3.cpp:103-108)
+        (DENSITY_HEIGHT_PNG, ch2, 1),     # blank ch2 → G (TMC3.cpp:112-119)
+    ):
+        img = normalize_to_png(np.asarray(raster), chan)
+        path = os.path.join(out_dir, name)
+        write_png(path, img)
+        paths[name] = path
+    return paths

@@ -1,0 +1,540 @@
+"""Planar region growing — parallel fixed-point label propagation.
+
+TPU-native re-expression of the reference's sequential recursive region
+growing (``seg_plane::{get_planes, Broad}``, tmc3/my_function.cpp:
+180-258).  The reference scans points in index order and grows one plane
+at a time by DFS with an evolving mean plane model — O(n²), unbounded
+recursion, order-dependent.  Here the same decomposition is computed as
+a data-parallel fixed point:
+
+1. **Seed gating** (the depth-0 strictness rule, my_function.cpp:238):
+   point i is a seed iff ALL K−1 of its neighbors pass the membership
+   test against i's own tangent plane (|(p_j−p_i)·n_i| ≤ th_thickness
+   and n_i·n_j ≥ th_normal_cos).
+2. **Model-anchored label propagation**: labels are seed point
+   indices; each label carries a plane model — the mean normal and
+   mean position of its current members, refreshed every round by
+   segment reductions.  This is the reference's running-mean model
+   (my_function.cpp:241-250) made parallel.  An unlabeled point adopts
+   the minimum label among neighbors whose model accepts it
+   (|(p−c̄_L)·n̄_L| ≤ th_thickness and n̄_L·n ≥ th_normal_cos).  Two
+   properties matter: (a) anchoring to a region model — not a local
+   pair test — stops labels chaining across gradually-curving corner
+   blends, which would merge walls meeting at 90°; (b) the *mean*
+   model — not the seed's single-point tangent plane — averages normal
+   noise so a long wall stays inside its own thickness band.
+   Propagation runs along forward edges (i pushes to neigh[i, 1:], the
+   reference's growth direction, via scatter-min) and reverse edges
+   (gather-min from the point's own list) until a fixed point.
+3. **Seed claiming order**: minimum seed index wins a region — the
+   parallel analog of the reference's first-in-scan-order seeding.
+4. **Size culling**: planes keep their points only when the member
+   count exceeds ``th_point_count`` (strict >, my_function.cpp:199).
+5. **Dense renumbering**: surviving planes get ids 1..P in ascending
+   seed order, matching the reference's dense id assignment in scan
+   order (my_function.cpp:200-201).
+
+Exact per-point parity with the sequential algorithm is impossible in
+general (its output depends on scan order, DFS order and model drift —
+SURVEY.md §2.1.1); on well-separated building planes the two agree, and
+tests/test_region_grow.py measures that agreement against the golden
+oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from buildingsegment_tpu.ops.normals import canonicalize_normals
+
+__all__ = ["segment_planes", "SegmentationResult"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SegmentationResult:
+    """Output of :func:`segment_planes`.
+
+    Attributes:
+        plane_idx: int32[N] — plane id per point, 1..num_planes, or −1.
+        num_planes: int32 scalar — number of accepted planes P.
+        plane_normal: float32[max_planes, 3] — mean unit normal per
+            plane (row p−1 for plane id p); zero rows beyond P.
+        plane_center: float32[max_planes, 3] — mean position per plane.
+        plane_count: int32[max_planes] — member count per plane.
+    """
+
+    plane_idx: jax.Array
+    num_planes: jax.Array
+    plane_normal: jax.Array
+    plane_center: jax.Array
+    plane_count: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "th_point_count", "max_planes", "max_sweeps", "signed_normals",
+        "propagation", "window",
+    ),
+)
+def segment_planes(
+    positions: jax.Array,
+    normals: jax.Array,
+    neigh_idx: jax.Array,
+    mask: jax.Array,
+    *,
+    neigh_sq_dist: Optional[jax.Array] = None,
+    max_edge_dist: Optional[float] = None,
+    th_thickness: float = 300.0,
+    th_normal_cos: float = 0.88,
+    th_point_count: int = 400,
+    max_planes: int = 4096,
+    max_sweeps: int = 64,
+    signed_normals: bool = False,
+    propagation: str = "graph",
+    window: int = 16,
+) -> SegmentationResult:
+    """Segment a point cloud into planar regions.
+
+    Args:
+        positions: int32[N, 3] bbox-shifted quantized coords.
+        normals: float32[N, 3] unit normals (oriented).
+        neigh_idx: int32[N, K] kNN graph, self at slot 0.
+        mask: bool[N] validity.
+
+    Returns:
+        :class:`SegmentationResult`.
+    """
+    n, k = neigh_idx.shape
+    pos = positions.astype(jnp.float32)
+    nrm = normals.astype(jnp.float32)
+    inf_label = jnp.int32(n)
+    # Orientation handling: the reference's signed cos test inherits the
+    # ±Z orientation pathology on vertical walls (n_z ≈ ±noise flips
+    # signs at random, splitting every wall into two anti-parallel
+    # populations).  By default we treat normals as unsigned lines:
+    # |cos| in every test, hemisphere-canonicalized normals in model
+    # means.  ``signed_normals=True`` restores strict reference
+    # semantics (useful for parity runs against the golden oracle).
+    if signed_normals:
+        cmag = lambda x: x
+        sum_nrm_src = nrm
+    else:
+        cmag = jnp.abs
+        sum_nrm_src = canonicalize_normals(nrm)
+
+    nb = neigh_idx[:, 1:]  # [N, K-1] real neighbor slots
+    nb_pos = pos[nb]  # [N, K-1, 3]
+    nb_nrm = nrm[nb]
+    nb_valid = mask[nb] & mask[:, None] & (nb != jnp.arange(n)[:, None])
+    # Approximate (Morton-window) graphs can contain long edges across
+    # Z-order discontinuities; a long edge between two coplanar-but-
+    # distant patches would bridge regions the reference's true-kNN
+    # edges never connect.  Gate edges by Euclidean length when the
+    # caller provides distances (true kNN edges are implicitly short).
+    if neigh_sq_dist is not None and max_edge_dist is not None:
+        nb_valid = nb_valid & (
+            neigh_sq_dist[:, 1:] <= jnp.float32(max_edge_dist) ** 2
+        )
+
+    # membership test of neighbor j against i's tangent plane
+    dist = jnp.abs(jnp.einsum("nkd,nd->nk", nb_pos - pos[:, None, :], nrm))
+    cos = cmag(jnp.einsum("nkd,nd->nk", nb_nrm, nrm))
+    fwd_ok = (dist <= th_thickness) & (cos >= th_normal_cos) & nb_valid
+
+    # 1. seed gating: ALL K-1 neighbors pass (depth-0 rule)
+    seed = jnp.all(fwd_ok, axis=1) & mask
+
+    # 2. seed-anchored label propagation to a fixed point.
+    # label[i] ∈ {seed indices} ∪ {inf}; acceptance of point t into
+    # region L tests t against the seed plane (pos[L], nrm[L]).
+    idx_arange = jnp.arange(n, dtype=jnp.int32)
+    label0 = jnp.where(seed, idx_arange, inf_label)
+
+    def label_models(label):
+        """Per-label mean plane model via segment reductions.
+
+        Returns (model_normal f32[n,3] unit, model_center f32[n,3]),
+        indexed by label value (= seed index); rows of unused labels
+        are never gathered.
+        """
+        valid = label < inf_label
+        tgt = jnp.where(valid, label, n)
+        cnt = jnp.zeros((n + 1,), jnp.float32).at[tgt].add(1.0)[:n]
+        sum_n = jnp.zeros((n + 1, 3), jnp.float32).at[tgt].add(
+            jnp.where(valid[:, None], sum_nrm_src, 0.0)
+        )[:n]
+        sum_p = jnp.zeros((n + 1, 3), jnp.float32).at[tgt].add(
+            jnp.where(valid[:, None], pos, 0.0)
+        )[:n]
+        safe_cnt = jnp.maximum(cnt, 1.0)[:, None]
+        mn = sum_n / safe_cnt
+        ln = jnp.sqrt(jnp.maximum(jnp.sum(mn * mn, axis=-1, keepdims=True), 1e-20))
+        return mn / ln, sum_p / safe_cnt
+
+    def make_accepts(model_n, model_c):
+        def accepts(target_pos, target_nrm, lbl):
+            """Does the model of label `lbl` accept a point?"""
+            safe = jnp.clip(lbl, 0, n - 1)
+            sp = model_c[safe]
+            sn = model_n[safe]
+            d = jnp.abs(jnp.sum((target_pos - sp) * sn, axis=-1))
+            c = cmag(jnp.sum(target_nrm * sn, axis=-1))
+            return (lbl < inf_label) & (d <= th_thickness) & (c >= th_normal_cos)
+
+        return accepts
+
+    def one_hop(label, accepts):
+        # reverse edges (gather): t adopts labels of its own neighbors
+        nb_label = label[nb]  # [N, K-1]
+        ok = accepts(pos[:, None, :], nrm[:, None, :], nb_label) & nb_valid
+        cand = jnp.where(ok, nb_label, inf_label)
+        new = jnp.minimum(label, jnp.min(cand, axis=1))
+        # forward edges (scatter): i pushes its label to neigh[i, 1:]
+        # — the reference's growth direction (my_function.cpp:224-236)
+        push_ok = accepts(
+            nb_pos, nb_nrm, jnp.broadcast_to(label[:, None], nb.shape)
+        ) & nb_valid
+        push = jnp.where(push_ok, jnp.broadcast_to(label[:, None], nb.shape), inf_label)
+        scat = (
+            jnp.full((n + 1,), inf_label, jnp.int32)
+            .at[jnp.where(push_ok, nb, n)]
+            .min(push)
+        )[:n]
+        return jnp.minimum(new, scat)
+
+    def global_merge(label):
+        """Union coplanar overlapping regions via a compact pair table.
+
+        Approximate (Morton-window) graphs lose edges at Z-order tile
+        boundaries, so one physical plane can fragment into many
+        regions that are never graph-adjacent.  This pass is
+        graph-free: compact the top ``max_planes`` labels by size into
+        a table of (count, centroid, mean normal, RMS radius), test
+        every pair for mutual coplanarity (both centroids inside the
+        other's thickness band, normals within the cos threshold) AND
+        in-plane overlap (in-plane centroid separation ≤ slack ×
+        (r_a + r_b)), and hook each region to its minimum coplanar
+        partner.  Pointer jumping collapses chains; the outer loop
+        iterates, so transitive merges across a long wall of tiles
+        converge geometrically.  The in-plane overlap bound keeps
+        coplanar-but-distant patches (separate buildings) apart —
+        the true-kNN reference graph would not connect those either.
+        """
+        L = min(max_planes, n)
+        valid = label < inf_label
+        tgt = jnp.where(valid, label, n)
+        cnt = jnp.zeros((n + 1,), jnp.float32).at[tgt].add(1.0)[:n]
+        sum_n = jnp.zeros((n + 1, 3), jnp.float32).at[tgt].add(
+            jnp.where(valid[:, None], sum_nrm_src, 0.0)
+        )[:n]
+        sum_p = jnp.zeros((n + 1, 3), jnp.float32).at[tgt].add(
+            jnp.where(valid[:, None], pos, 0.0)
+        )[:n]
+        sum_sq = jnp.zeros((n + 1,), jnp.float32).at[tgt].add(
+            jnp.where(valid, jnp.sum(pos * pos, axis=-1), 0.0)
+        )[:n]
+
+        # Compact live labels into [L] slots by cumsum rank — TPU top_k
+        # with large k lowers to a pathological full sort (~100 s at
+        # 1M), so compaction must stay sort-free.  Labels beyond L
+        # (massive over-fragmentation) fall off; the outer loop's next
+        # iteration retries after earlier merges shrink the count.
+        flag = cnt > 0
+        rank = jnp.cumsum(flag.astype(jnp.int32))  # inclusive
+        slot = jnp.where(flag & (rank <= L), rank - 1, L)
+        top_lab = (
+            jnp.full((L + 1,), 0, jnp.int32).at[slot].set(idx_arange)
+        )[:L]
+        live = (
+            jnp.zeros((L + 1,), jnp.bool_).at[slot].set(flag)
+        )[:L]
+        top_cnt = jnp.where(live, cnt[top_lab], 0.0)
+        safe_cnt = jnp.maximum(top_cnt, 1.0)
+        c = sum_p[top_lab] / safe_cnt[:, None]
+        mn = sum_n[top_lab] / safe_cnt[:, None]
+        ln = jnp.sqrt(jnp.maximum(jnp.sum(mn * mn, -1, keepdims=True), 1e-20))
+        mn = mn / ln
+        # RMS radius about the centroid
+        r = jnp.sqrt(
+            jnp.maximum(sum_sq[top_lab] / safe_cnt - jnp.sum(c * c, -1), 0.0)
+        )
+
+        # pair tests as [L,3]×[3,L] matmuls — never materialize [L,L,3]
+        nc = jnp.sum(mn * c, -1)  # n_a · c_a
+        ncT = jnp.dot(mn, c.T, preferred_element_type=jnp.float32)
+        # (c_b - c_a) · n_a  and  (c_b - c_a) · n_b
+        nrm_sep = ncT - nc[:, None]          # [L, L] rows a, cols b
+        nrm_sep_b = nc[None, :] - ncT.T      # (c_b - c_a)·n_b
+        band_a = jnp.abs(nrm_sep) <= th_thickness
+        band_b = jnp.abs(nrm_sep_b) <= th_thickness
+        cos_ab = (
+            cmag(jnp.dot(mn, mn.T, preferred_element_type=jnp.float32))
+            >= th_normal_cos
+        )
+        cc = jnp.sum(c * c, -1)
+        d2 = cc[:, None] + cc[None, :] - 2.0 * jnp.dot(
+            c, c.T, preferred_element_type=jnp.float32
+        )
+        inplane2 = jnp.maximum(d2 - nrm_sep * nrm_sep, 0.0)
+        # absolute term: regions within one edge-gate length merge even
+        # when small (singleton seed regions have r = 0)
+        slack = jnp.float32(2.0)
+        reach = slack * (r[:, None] + r[None, :]) + jnp.sqrt(edge_gate2)
+        overlap = inplane2 <= reach * reach
+        ok = (
+            band_a
+            & band_b
+            & cos_ab
+            & overlap
+            & live[:, None]
+            & live[None, :]
+        )
+
+        la = jnp.broadcast_to(top_lab[:, None], (L, L))
+        lb = jnp.broadcast_to(top_lab[None, :], (L, L))
+        pair_lo = jnp.where(ok & (la != lb), jnp.minimum(la, lb), inf_label)
+        # hook each region to its min coplanar partner (row reduction)
+        row_min = jnp.min(pair_lo, axis=1)  # [L]
+        parent = (
+            jnp.concatenate([idx_arange, jnp.array([inf_label])])
+            .at[jnp.where(row_min < inf_label, top_lab, n)]
+            .min(jnp.where(row_min < inf_label, row_min, inf_label))
+        )[:n]
+
+        def jump(_, p):
+            return jnp.minimum(p, p[jnp.clip(p, 0, n - 1)])
+
+        parent = lax.fori_loop(0, 12, jump, parent)
+        return jnp.where(
+            label < inf_label, parent[jnp.clip(label, 0, n - 1)], label
+        )
+
+    def merge_labels(label, accepts, model_n, model_c):
+        """Union adjacent territories whose seed planes mutually accept.
+
+        One-hop flooding needs O(plane diameter) sweeps; because
+        acceptance is path-independent, two territories of the same
+        physical plane can instead be merged wholesale: for every graph
+        edge whose endpoints carry different labels, if each seed point
+        is accepted by the other seed's plane, the larger label is
+        re-pointed at the smaller.  Pointer jumping collapses merge
+        chains in O(log) steps — this is the Shiloach-Vishkin-style
+        shortcut that makes convergence diameter-independent
+        (SURVEY.md §7 hard part 5).  Seed mutual acceptance is safe
+        against corner chaining: corner-blend points can never be
+        strict seeds.
+        """
+        la = jnp.broadcast_to(label[:, None], nb.shape)
+        lb = label[nb]
+        pair = (la < inf_label) & (lb < inf_label) & (la != lb) & nb_valid
+        sa = jnp.clip(la, 0, n - 1)
+        sb = jnp.clip(lb, 0, n - 1)
+        ok = (
+            pair
+            & accepts(model_c[sb], model_n[sb], la)
+            & accepts(model_c[sa], model_n[sa], lb)
+        )
+        lo = jnp.minimum(la, lb)
+        hi = jnp.maximum(la, lb)
+        parent = (
+            jnp.concatenate([idx_arange, jnp.array([inf_label])])
+            .at[jnp.where(ok, hi, n)]
+            .min(jnp.where(ok, lo, inf_label))
+        )[:n]
+
+        def jump(_, p):
+            return jnp.minimum(p, p[jnp.clip(p, 0, n - 1)])
+
+        parent = lax.fori_loop(0, 12, jump, parent)
+        return jnp.where(
+            label < inf_label, parent[jnp.clip(label, 0, n - 1)], label
+        )
+
+    # ------------------------------------------------------------------
+    # windowized propagation (requires Morton-sorted input): edges are
+    # "within ±window in sorted order AND within max_edge_dist" — every
+    # neighbor access is a contiguous shifted slice, no [N, K] gathers
+    # (XLA gathers run ~2 GB/s on TPU; slices stream at HBM speed).
+    # ------------------------------------------------------------------
+    ws = window
+    edge_gate2 = jnp.float32(
+        (max_edge_dist if max_edge_dist is not None else 2 * th_thickness) ** 2
+    )
+
+    def _pad_rows(a, fill):
+        padshape = (ws,) + a.shape[1:]
+        f = jnp.full(padshape, fill, a.dtype)
+        return jnp.concatenate([f, a, f])
+
+    ppos_w = _pad_rows(pos, -3e7)
+    pnrm_w = _pad_rows(nrm, 0.0)
+    pmask_w = jnp.concatenate(
+        [jnp.zeros(ws, bool), mask, jnp.zeros(ws, bool)]
+    )
+
+    def window_hop(label, model_n, model_c):
+        # per-point model params (one [N,3] gather each — cheap)
+        safe = jnp.clip(label, 0, n - 1)
+        has = label < inf_label
+        mpn = jnp.where(has[:, None], model_n[safe], 0.0)
+        mpc = jnp.where(has[:, None], model_c[safe], 0.0)
+        plab = jnp.concatenate(
+            [jnp.full(ws, inf_label, jnp.int32), label,
+             jnp.full(ws, inf_label, jnp.int32)]
+        )
+        pmpn = _pad_rows(mpn, 0.0)
+        pmpc = _pad_rows(mpc, 0.0)
+
+        def one_offset(slot, new):
+            start = jnp.where(slot < ws, slot, slot + 1)  # skip offset 0
+            cpos = lax.dynamic_slice(ppos_w, (start, 0), (n, 3))
+            cmask = lax.dynamic_slice(pmask_w, (start,), (n,))
+            clab = lax.dynamic_slice(plab, (start,), (n,))
+            cmpn = lax.dynamic_slice(pmpn, (start, 0), (n, 3))
+            cmpc = lax.dynamic_slice(pmpc, (start, 0), (n, 3))
+            diff = pos - cpos
+            near = jnp.sum(diff * diff, -1) <= edge_gate2
+            d = jnp.abs(jnp.sum((pos - cmpc) * cmpn, -1))
+            c = cmag(jnp.sum(nrm * cmpn, -1))
+            ok = (
+                (clab < inf_label)
+                & near
+                & cmask
+                & mask
+                & (d <= th_thickness)
+                & (c >= th_normal_cos)
+            )
+            return jnp.minimum(new, jnp.where(ok, clab, inf_label))
+
+        return lax.fori_loop(0, 2 * ws, one_offset, label)
+
+    def window_merge(label, model_n, model_c):
+        """Shiloach-Vishkin-style label union over window edges.
+
+        For every point, find the minimum smaller label among window
+        neighbors whose region models mutually accept each other
+        (near + coplanar); hook the point's own label to it with one
+        [N] scatter-min, then pointer-jump.  With dense seeds this
+        collapses the ~N singleton regions in O(log N) rounds — pure
+        one-hop flooding would need O(diameter).
+        """
+        safe = jnp.clip(label, 0, n - 1)
+        has = label < inf_label
+        mpn = jnp.where(has[:, None], model_n[safe], 0.0)
+        mpc = jnp.where(has[:, None], model_c[safe], 0.0)
+        plab = jnp.concatenate(
+            [jnp.full(ws, inf_label, jnp.int32), label,
+             jnp.full(ws, inf_label, jnp.int32)]
+        )
+        pmpn = _pad_rows(mpn, 0.0)
+        pmpc = _pad_rows(mpc, 0.0)
+
+        def one_offset(slot, best):
+            start = jnp.where(slot < ws, slot, slot + 1)
+            cpos = lax.dynamic_slice(ppos_w, (start, 0), (n, 3))
+            cmask = lax.dynamic_slice(pmask_w, (start,), (n,))
+            clab = lax.dynamic_slice(plab, (start,), (n,))
+            cmpn = lax.dynamic_slice(pmpn, (start, 0), (n, 3))
+            cmpc = lax.dynamic_slice(pmpc, (start, 0), (n, 3))
+            diff = pos - cpos
+            near = jnp.sum(diff * diff, -1) <= edge_gate2
+            dc = cmpc - mpc
+            mutual = (
+                (jnp.abs(jnp.sum(dc * mpn, -1)) <= th_thickness)
+                & (jnp.abs(jnp.sum(dc * cmpn, -1)) <= th_thickness)
+                & (cmag(jnp.sum(mpn * cmpn, -1)) >= th_normal_cos)
+            )
+            ok = has & (clab < label) & near & cmask & mask & mutual
+            return jnp.minimum(best, jnp.where(ok, clab, inf_label))
+
+        best = lax.fori_loop(
+            0, 2 * ws, one_offset, jnp.full((n,), inf_label, jnp.int32)
+        )
+        parent = (
+            jnp.concatenate([idx_arange, jnp.array([inf_label])])
+            .at[jnp.where(best < inf_label, label, n)]
+            .min(best)
+        )[:n]
+
+        def jump(_, p):
+            return jnp.minimum(p, p[jnp.clip(p, 0, n - 1)])
+
+        parent = lax.fori_loop(0, 12, jump, parent)
+        return jnp.where(has, parent[safe], label)
+
+    def body(state):
+        label, _, it = state
+        model_n, model_c = label_models(label)
+        if propagation == "window":
+            new = window_hop(label, model_n, model_c)
+            new = window_merge(new, model_n, model_c)
+        else:
+            accepts = make_accepts(model_n, model_c)
+            new = label
+            for _ in range(4):
+                new = one_hop(new, accepts)
+            new = merge_labels(new, accepts, model_n, model_c)
+        new = global_merge(new)
+        changed = jnp.any(new != label)
+        return new, changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_sweeps)
+
+    label, _, _ = lax.while_loop(
+        cond, body, (label0, jnp.bool_(True), jnp.int32(0))
+    )
+    label = jnp.where(mask, label, inf_label)
+
+    # 5. cull small planes (strict >, my_function.cpp:199)
+    ones = (label < inf_label).astype(jnp.int32)
+    counts = jnp.zeros((n + 1,), jnp.int32).at[jnp.minimum(label, n)].add(ones)
+    surviving = counts[:n] > th_point_count  # indexed by seed label
+    keep = (label < inf_label) & surviving[jnp.clip(label, 0, n - 1)]
+    label = jnp.where(keep, label, inf_label)
+
+    # 6. dense renumber in ascending seed order → ids 1..P
+    # (counts[s] > th implies s was used as a label, so `surviving`
+    # already identifies exactly the surviving seed labels)
+    is_plane_seed = surviving
+    rank = jnp.cumsum(is_plane_seed.astype(jnp.int32))  # inclusive
+    plane_id = jnp.where(
+        label < inf_label, rank[jnp.clip(label, 0, n - 1)], 0
+    ).astype(jnp.int32)
+    plane_idx = jnp.where(plane_id > 0, plane_id, -1)
+    num_planes = jnp.sum(is_plane_seed.astype(jnp.int32))
+
+    # plane table (segment means) — fixed capacity max_planes
+    seg = jnp.where(plane_id > 0, plane_id - 1, max_planes)  # [N]
+    def seg_sum(values):
+        z = jnp.zeros((max_planes + 1,) + values.shape[1:], values.dtype)
+        return z.at[seg].add(values)[:max_planes]
+
+    cnt = seg_sum((plane_id > 0).astype(jnp.int32))
+    sum_n = seg_sum(jnp.where((plane_id > 0)[:, None], sum_nrm_src, 0.0))
+    sum_p = seg_sum(jnp.where((plane_id > 0)[:, None], pos, 0.0))
+    safe_cnt = jnp.maximum(cnt, 1).astype(jnp.float32)
+    mean_n = sum_n / safe_cnt[:, None]
+    nlen = jnp.sqrt(jnp.maximum(jnp.sum(mean_n * mean_n, axis=-1), 1e-20))
+    plane_normal = mean_n / nlen[:, None]
+    plane_normal = jnp.where((cnt > 0)[:, None], plane_normal, 0.0)
+    plane_center = jnp.where(
+        (cnt > 0)[:, None], sum_p / safe_cnt[:, None], 0.0
+    )
+
+    return SegmentationResult(
+        plane_idx=plane_idx,
+        num_planes=num_planes,
+        plane_normal=plane_normal,
+        plane_center=plane_center,
+        plane_count=cnt,
+    )

@@ -1,0 +1,146 @@
+"""Ortho raster + contour stage tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from buildingsegment_tpu.raster.contours import (
+    contour_area,
+    contour_perimeter,
+    ellipse_kernel_5x5,
+    extract_contours,
+    morphology_close,
+    trace_external_contours,
+)
+from buildingsegment_tpu.raster.ortho import (
+    compute_ortho_images,
+    ground_threshold,
+    normalize_to_png,
+)
+
+
+class TestGroundThreshold:
+    def test_median_bin(self):
+        # 60% of points in bin 0 (z<1000), 40% in bin 5
+        z = np.concatenate([np.full(60, 500), np.full(40, 5500)])
+        pos = np.zeros((100, 3), np.int32)
+        pos[:, 2] = z
+        th = ground_threshold(jnp.asarray(pos), jnp.ones(100, bool), 6000)
+        assert int(th) == 0  # cumulative exceeds half in bin 0
+
+    def test_higher_median(self):
+        z = np.concatenate([np.full(40, 500), np.full(60, 5500)])
+        pos = np.zeros((100, 3), np.int32)
+        pos[:, 2] = z
+        th = ground_threshold(jnp.asarray(pos), jnp.ones(100, bool), 6000)
+        assert int(th) == 5000  # bin 5 floor
+
+    def test_reference_loop_semantics(self, rng):
+        # oracle: replicate the reference loop exactly (TMC3.cpp:181-198)
+        z = rng.integers(0, 20_000, 500)
+        pos = np.zeros((500, 3), np.int32)
+        pos[:, 2] = z
+        th = int(
+            ground_threshold(jnp.asarray(pos), jnp.ones(500, bool), 20_000)
+        )
+        num = np.zeros(20_000 // 1000 + 1, int)
+        for v in z:
+            num[v // 1000] += 1
+        total, i = 0, 0
+        for i in range(len(num)):
+            total += num[i]
+            if total > 250:
+                break
+        assert th == i * 1000
+
+
+class TestOrthoImages:
+    def test_mean_height_and_log_density(self):
+        # single cell-centered point → density 1 in one corner pattern
+        pos = np.array([[100, 100, 3000]], np.int32)
+        mh, ld, ch2 = compute_ortho_images(
+            jnp.asarray(pos), jnp.ones(1, bool), (200, 200, 3000)
+        )
+        mh, ld = np.asarray(mh), np.asarray(ld)
+        # exact cell corner: all weight at (1,1)
+        assert np.isclose(mh[1, 1], 3000.0)
+        assert np.isclose(ld[1, 1], np.log(2.0) + 20.0)
+        assert (np.asarray(ch2) == 0).all()
+
+    def test_png_normalization(self):
+        raster = np.array([[0.0, 5.0], [10.0, 2.5]])
+        img = normalize_to_png(raster, 1)
+        assert img[1, 0, 1] == 255
+        assert img[0, 1, 1] == 127
+        assert img[0, 0].sum() == 0
+        assert (img[:, :, [0, 2]] == 0).all()
+
+    def test_all_zero_raster_stays_black(self):
+        img = normalize_to_png(np.zeros((4, 4)), 0)
+        assert (img == 0).all()
+
+
+class TestMorphology:
+    def test_ellipse_kernel(self):
+        k = ellipse_kernel_5x5()
+        assert k.sum() == 17
+        assert k[0, 2] and not k[0, 0]
+
+    def test_close_fills_small_hole(self):
+        img = np.ones((20, 20), bool)
+        img[10, 10] = False
+        out = morphology_close(img, iterations=1)
+        assert out[10, 10]
+
+    def test_close_keeps_background(self):
+        img = np.zeros((30, 30), bool)
+        img[5:10, 5:10] = True
+        out = morphology_close(img, iterations=1)
+        assert not out[25, 25]
+        assert out[7, 7]
+
+
+class TestContours:
+    def test_rectangle_contour(self):
+        img = np.zeros((40, 50), bool)
+        img[10:30, 5:45] = True  # 20×40 rectangle
+        cs = trace_external_contours(img)
+        assert len(cs) == 1
+        area = contour_area(cs[0])
+        perim = contour_perimeter(cs[0])
+        # boundary polygon of the pixel centers: (h-1)*(w-1) area
+        assert abs(area - 19 * 39) < 1e-6
+        assert abs(perim - 2 * (19 + 39)) < 1e-6
+
+    def test_two_components(self):
+        img = np.zeros((40, 40), bool)
+        img[2:10, 2:10] = True
+        img[20:38, 20:38] = True
+        cs = trace_external_contours(img)
+        assert len(cs) == 2
+
+    def test_hole_is_not_external(self):
+        img = np.zeros((30, 30), bool)
+        img[5:25, 5:25] = True
+        img[12:18, 12:18] = False  # hole — RETR_EXTERNAL ignores it
+        cs = trace_external_contours(img)
+        assert len(cs) == 1
+        assert abs(contour_area(cs[0]) - 19 * 19) < 1e-6
+
+    def test_extract_filters_small(self):
+        img = np.zeros((64, 64, 3), np.uint8)
+        img[10:50, 10:60, 1] = 200  # big blob passes
+        img[55:58, 2:5, 1] = 200    # tiny blob filtered
+        all_c, filt, result = extract_contours(img)
+        assert len(all_c) == 2
+        assert len(filt) == 1
+        # overlay painted cyan somewhere
+        assert (result[:, :, 0] == 255).any()
+
+    def test_diagonal_compression(self):
+        img = np.zeros((20, 20), bool)
+        for i in range(10):
+            img[i + 2, i + 2] = True  # 8-connected diagonal line
+        cs = trace_external_contours(img)
+        assert len(cs) == 1
+        # compressed: far fewer points than boundary pixels
+        assert len(cs[0]) <= 6
