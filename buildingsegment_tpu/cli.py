@@ -71,6 +71,17 @@ def parse_args(argv):
     p.add_argument(
         "--json-summary", action="store_true", help="print a JSON run summary"
     )
+    p.add_argument(
+        "--batch",
+        nargs=2,
+        metavar=("IN_DIR", "OUT_DIR"),
+        help="multi-scan mode: segment every .ply in IN_DIR into OUT_DIR",
+    )
+    p.add_argument(
+        "--dump-stages",
+        metavar="NPZ",
+        help="write stage outputs (labels, plane table) as .npz for debugging",
+    )
     args = p.parse_args(rest)
 
     input_path = ref_style.get("a") or args.input
@@ -102,9 +113,10 @@ def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     _enable_compile_cache()
     args, input_path, output_path = parse_args(argv)
-    if not input_path or not output_path:
+    if not args.batch and (not input_path or not output_path):
         print(
-            "usage: buildingsegment_tpu -a=<in.ply> -s=<out.ply> [--flags]",
+            "usage: buildingsegment_tpu -a=<in.ply> -s=<out.ply> [--flags]\n"
+            "       buildingsegment_tpu --batch IN_DIR OUT_DIR [--flags]",
             file=sys.stderr,
         )
         return 2
@@ -120,7 +132,49 @@ def main(argv=None) -> int:
         output_binary=not args.ascii,
     )
 
-    from buildingsegment_tpu.pipeline import segment_file
+    from buildingsegment_tpu.pipeline import (
+        dump_stages,
+        segment_file,
+        segment_files,
+    )
+
+    if args.batch:
+        import glob
+        import os
+
+        in_dir, out_dir = args.batch
+        inputs = sorted(glob.glob(os.path.join(in_dir, "*.ply")))
+        if not inputs:
+            print(f"error: no .ply files in {in_dir}", file=sys.stderr)
+            return 1
+        os.makedirs(out_dir, exist_ok=True)
+        outs = [os.path.join(out_dir, os.path.basename(p)) for p in inputs]
+        results = segment_files(
+            inputs,
+            outs,
+            config,
+            signed_normals=args.signed_normals,
+            render_dir=args.render_dir,
+        )
+        total_pts = sum(r.cloud.count for r in results)
+        total_time = sum(r.timings["total"] for r in results)
+        print(
+            f"{len(results)} scans, {total_pts} points, "
+            f"{sum(r.num_planes for r in results)} planes, "
+            f"{total_pts / max(total_time, 1e-9) / 1e6:.3f} Mpoints/sec"
+        )
+        if args.json_summary:
+            print(
+                json.dumps(
+                    {
+                        "scans": len(results),
+                        "points": total_pts,
+                        "planes": [r.num_planes for r in results],
+                        "mpoints_per_sec": total_pts / max(total_time, 1e-9) / 1e6,
+                    }
+                )
+            )
+        return 0
 
     try:
         out = segment_file(
@@ -132,6 +186,9 @@ def main(argv=None) -> int:
     except FileNotFoundError:
         print(f"error: cannot open {input_path}", file=sys.stderr)
         return 1
+
+    if args.dump_stages:
+        dump_stages(out, args.dump_stages)
 
     if args.render_dir:
         from buildingsegment_tpu.raster.ortho import render_ortho_views

@@ -59,6 +59,9 @@ class PipelineConfig:
     th_thickness: float = 300.0     # max |point-to-plane| distance (mm)
     th_point_count: int = 400       # plane accepted iff size > this
     th_normal_cos: float = 0.88     # min cos(normal angle) for membership
+    # optional explicit curvature cap on seeds (None = reference
+    # semantics: the all-neighbors rule is the only planarity gate)
+    th_seed_curvature: Optional[float] = None
     max_sweeps: int = 64            # fixed-point propagation sweep budget
     max_planes: int = 4096          # fixed-capacity plane table
 

@@ -2,6 +2,7 @@ from buildingsegment_tpu.core.pointset import PointBatch
 from buildingsegment_tpu.core.morton import morton_encode, morton_argsort
 from buildingsegment_tpu.core.quantize import (
     compute_bbox,
+    dedup_quantized,
     shift_to_origin,
     quantize_positions,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "morton_encode",
     "morton_argsort",
     "compute_bbox",
+    "dedup_quantized",
     "shift_to_origin",
     "quantize_positions",
 ]

@@ -32,6 +32,42 @@ def quantize_positions(raw: jax.Array, scale: float) -> jax.Array:
     return jnp.trunc(scaled).astype(jnp.int32)
 
 
+def dedup_quantized(
+    positions: jax.Array, mask: jax.Array, drop_bits: int = 0
+) -> jax.Array:
+    """Mask out duplicate points after dropping ``drop_bits`` low bits.
+
+    The container-level dedup of the reference
+    (``removeDuplicatePointInQuantizedPoint``, tmc3/PCCPointSet.h:457-472:
+    mask low bits, sort, keep first of each run).  Returns an updated
+    validity mask with later duplicates cleared; order is preserved and
+    the FIRST occurrence in index order survives, like the reference's
+    stable pass.  TPU-shaped: sort by (key, index), compare runs,
+    scatter the keep flags back.
+    """
+    from buildingsegment_tpu.core.morton import morton_encode
+
+    q = jnp.where(mask[:, None], positions >> drop_bits, -1)
+    # 60-bit key via the two-word Morton encode (collision-free for
+    # coords < 2^20 per axis after shift-to-origin)
+    lo = morton_encode(jnp.maximum(q, 0), shift=0)
+    hi = morton_encode(jnp.maximum(q, 0), shift=10)
+    n = positions.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # stable two-pass sort by (hi, lo); invalid rows last
+    big = jnp.int32(0x7FFFFFFF)
+    hi = jnp.where(mask, hi, big)
+    order = jnp.argsort(lo, stable=True)
+    order = order[jnp.argsort(hi[order], stable=True)]
+    s_lo, s_hi, s_mask = lo[order], hi[order], mask[order]
+    same_as_prev = (
+        (s_lo == jnp.roll(s_lo, 1)) & (s_hi == jnp.roll(s_hi, 1)) & s_mask
+    )
+    same_as_prev = same_as_prev.at[0].set(False)
+    keep_sorted = s_mask & ~same_as_prev
+    return jnp.zeros((n,), jnp.bool_).at[order].set(keep_sorted)
+
+
 def compute_bbox(positions: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Masked integer bounding box (min, max), each int32[3].
 

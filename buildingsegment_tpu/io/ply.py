@@ -95,7 +95,24 @@ def read_ply(
     position_scale: float = 1.0,
     position_names: tuple = ("x", "y", "z"),
 ) -> HostPointCloud:
-    """Read a PLY file with reference-exact mapping semantics."""
+    """Read a PLY file with reference-exact mapping semantics.
+
+    Uses the native C++ codec when built (``make -C
+    buildingsegment_tpu/native``; disable with ``BST_NO_NATIVE=1``),
+    falling back to the vectorized numpy parser.  The native path only
+    handles the default x/y/z property names.
+    """
+    import os
+
+    if position_names == ("x", "y", "z") and not os.environ.get("BST_NO_NATIVE"):
+        try:
+            from buildingsegment_tpu.native.binding import read_ply_native
+
+            out = read_ply_native(path, position_scale)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     with open(path, "rb") as f:
         data = f.read()
     return read_ply_bytes(data, position_scale, position_names)
@@ -259,7 +276,27 @@ def write_ply(
     ascii: bool = False,
     position_names: tuple = ("x", "y", "z"),
 ) -> None:
-    """Write a PLY file with the reference's exact header/body layout."""
+    """Write a PLY file with the reference's exact header/body layout.
+
+    Binary writes of position(+color) clouds go through the native C++
+    codec when built (disable with ``BST_NO_NATIVE=1``).
+    """
+    import os
+
+    if (
+        not ascii
+        and position_names == ("x", "y", "z")
+        and cloud.reflectances is None
+        and cloud.frame_idx is None
+        and not os.environ.get("BST_NO_NATIVE")
+    ):
+        try:
+            from buildingsegment_tpu.native.binding import write_ply_native
+
+            if write_ply_native(cloud, path, position_scale, position_offset):
+                return
+        except Exception:
+            pass
     with open(path, "wb") as f:
         f.write(
             write_ply_bytes(

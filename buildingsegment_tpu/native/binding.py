@@ -1,0 +1,143 @@
+"""ctypes bindings for the native PLY codec (libbstnative.so).
+
+Auto-builds the library on first use when a toolchain is present
+(``make -C buildingsegment_tpu/native``); callers fall back to the
+pure-numpy codec in :mod:`buildingsegment_tpu.io.ply` when the native
+library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libbstnative.so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _HERE],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.bst_ply_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.bst_ply_info.restype = ctypes.c_int
+    lib.bst_ply_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
+    lib.bst_ply_read.restype = ctypes.c_int
+    lib.bst_ply_write.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+    ]
+    lib.bst_ply_write.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def read_ply_native(path: str, position_scale: float = 1.0):
+    """Read a PLY via the native codec; returns a HostPointCloud or None
+    (None → caller should use the numpy fallback)."""
+    lib = _load()
+    if lib is None:
+        return None
+    count = ctypes.c_int64(0)
+    flags = ctypes.c_int32(0)
+    rc = lib.bst_ply_info(path.encode(), ctypes.byref(count), ctypes.byref(flags))
+    if rc != 0:
+        return None
+    n = count.value
+    has_colors = bool(flags.value & 1)
+    has_refl = bool(flags.value & 2)
+    pos = np.zeros((max(n, 1), 3), np.int32)
+    col = np.zeros((max(n, 1), 3), np.uint16) if has_colors else None
+    refl = np.zeros((max(n, 1),), np.uint16) if has_refl else None
+    rc = lib.bst_ply_read(
+        path.encode(),
+        position_scale,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        col.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+        if col is not None
+        else None,
+        refl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+        if refl is not None
+        else None,
+    )
+    if rc != 0:
+        return None
+    from buildingsegment_tpu.io.ply import HostPointCloud
+
+    return HostPointCloud(
+        positions=pos[:n],
+        colors=col[:n] if col is not None else None,
+        reflectances=refl[:n] if refl is not None else None,
+    )
+
+
+def write_ply_native(
+    cloud,
+    path: str,
+    position_scale: float = 1.0,
+    position_offset=(0.0, 0.0, 0.0),
+) -> bool:
+    """Write binary PLY via the native codec; False → use numpy fallback."""
+    lib = _load()
+    if lib is None:
+        return False
+    pos = np.ascontiguousarray(cloud.positions, np.int32)
+    col = (
+        np.ascontiguousarray(cloud.colors, np.uint16)
+        if cloud.colors is not None
+        else None
+    )
+    rc = lib.bst_ply_write(
+        path.encode(),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        col.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+        if col is not None
+        else None,
+        pos.shape[0],
+        position_scale,
+        float(position_offset[0]),
+        float(position_offset[1]),
+        float(position_offset[2]),
+    )
+    return rc == 0

@@ -1,0 +1,373 @@
+// Native PLY codec — fast host-side parse/serialize for the TPU pipeline.
+//
+// C++ replacement for the reference's stream-based parser/serializer
+// (reference: tmc3/ply.cpp:88-504, a per-point ifs.read loop).  This
+// implementation is a fresh design for bulk throughput:
+//   * binary bodies: one fread + strided column extraction (no
+//     per-point virtual calls);
+//   * ascii bodies: single buffer scan with strtod, no per-line
+//     tokenizer allocations;
+//   * output: positions quantized to int32 (value * scale, truncated
+//     toward zero — the reference's double→int32_t conversion,
+//     tmc3/ply.cpp:407-409) and colors in the internal (g, b, r)
+//     channel order (tmc3/ply.cpp:412-414).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image).
+// Build: make -C buildingsegment_tpu/native
+//
+// Thread-free by design: the codec is called from Python once per file;
+// parallelism comes from processing many scans, not many threads here.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+enum PropKind : int32_t {
+  PROP_OTHER = 0,
+  PROP_X,
+  PROP_Y,
+  PROP_Z,
+  PROP_RED,
+  PROP_GREEN,
+  PROP_BLUE,
+  PROP_REFLECTANCE,
+  PROP_FRAMEINDEX,
+};
+
+struct Prop {
+  PropKind kind;
+  int type_size;   // bytes
+  char type_code;  // 'f' float, 'u' unsigned, 'i' signed
+};
+
+struct Header {
+  bool ascii = false;
+  bool big_endian = false;
+  int64_t vertex_count = 0;
+  int64_t body_offset = 0;
+  std::vector<Prop> props;
+  bool ok = false;
+  std::string error;
+};
+
+bool starts_with(const char* line, const char* prefix) {
+  return std::strncmp(line, prefix, std::strlen(prefix)) == 0;
+}
+
+// parse one header line worth of tokens (whitespace separated)
+int tokenize(char* line, char** toks, int max_toks) {
+  int n = 0;
+  char* save = nullptr;
+  for (char* t = strtok_r(line, " \t\r\n", &save);
+       t && n < max_toks;
+       t = strtok_r(nullptr, " \t\r\n", &save)) {
+    toks[n++] = t;
+  }
+  return n;
+}
+
+bool prop_type(const char* name, int* size, char* code) {
+  struct Entry { const char* n; int s; char c; };
+  static const Entry table[] = {
+      {"float64", 8, 'f'}, {"double", 8, 'f'}, {"float", 4, 'f'},
+      {"float32", 4, 'f'}, {"uint64", 8, 'u'}, {"uint32", 4, 'u'},
+      {"uint16", 2, 'u'},  {"uchar", 1, 'u'},  {"uint8", 1, 'u'},
+      {"int64", 8, 'i'},   {"int32", 4, 'i'},  {"int16", 2, 'i'},
+      {"char", 1, 'i'},    {"int8", 1, 'i'},
+  };
+  for (const auto& e : table) {
+    if (std::strcmp(name, e.n) == 0) {
+      *size = e.s;
+      *code = e.c;
+      return true;
+    }
+  }
+  return false;
+}
+
+PropKind classify(const char* name, int size, char code) {
+  // mirror the reference's accepted name/size combinations
+  // (tmc3/ply.cpp:328-369)
+  if ((size == 4 || size == 8) && code == 'f') {
+    if (!std::strcmp(name, "x")) return PROP_X;
+    if (!std::strcmp(name, "y")) return PROP_Y;
+    if (!std::strcmp(name, "z")) return PROP_Z;
+  }
+  if (size == 1 && code == 'u') {
+    if (!std::strcmp(name, "red")) return PROP_RED;
+    if (!std::strcmp(name, "green")) return PROP_GREEN;
+    if (!std::strcmp(name, "blue")) return PROP_BLUE;
+  }
+  if (size <= 2) {
+    if (!std::strcmp(name, "reflectance") || !std::strcmp(name, "refc"))
+      return PROP_REFLECTANCE;
+    if (!std::strcmp(name, "frameindex")) return PROP_FRAMEINDEX;
+  }
+  return PROP_OTHER;
+}
+
+Header parse_header(FILE* f) {
+  Header h;
+  char line[4096];
+  char* toks[8];
+
+  if (!fgets(line, sizeof line, f)) { h.error = "empty file"; return h; }
+  {
+    char tmp[4096];
+    std::strcpy(tmp, line);
+    int n = tokenize(tmp, toks, 8);
+    if (n < 1 || std::strcmp(toks[0], "ply") != 0) {
+      h.error = "missing ply magic";
+      return h;
+    }
+  }
+  bool in_vertex = true;
+  while (fgets(line, sizeof line, f)) {
+    if (starts_with(line, "end_header")) {
+      h.body_offset = ftell(f);
+      h.ok = true;
+      return h;
+    }
+    char tmp[4096];
+    std::strcpy(tmp, line);
+    int n = tokenize(tmp, toks, 8);
+    if (n == 0 || std::strcmp(toks[0], "comment") == 0) continue;
+    if (std::strcmp(toks[0], "format") == 0 && n == 3) {
+      h.ascii = std::strcmp(toks[1], "ascii") == 0;
+      h.big_endian = std::strcmp(toks[1], "binary_big_endian") == 0;
+      if (std::strtod(toks[2], nullptr) != 1.0) {
+        h.error = "unsupported version";
+        return h;
+      }
+    } else if (std::strcmp(toks[0], "element") == 0 && n == 3) {
+      if (std::strcmp(toks[1], "vertex") == 0) {
+        h.vertex_count = std::atoll(toks[2]);
+        in_vertex = true;
+      } else {
+        in_vertex = false;
+      }
+    } else if (std::strcmp(toks[0], "property") == 0 && in_vertex) {
+      if (n != 3) { h.error = "bad property"; return h; }
+      if (std::strcmp(toks[1], "list") == 0) {
+        h.error = "list property unsupported";
+        return h;
+      }
+      int size;
+      char code;
+      if (!prop_type(toks[1], &size, &code)) {
+        h.error = "unknown type";
+        return h;
+      }
+      h.props.push_back({classify(toks[2], size, code), size, code});
+    }
+  }
+  h.error = "truncated header";
+  return h;
+}
+
+inline uint64_t byteswap(uint64_t v, int size) {
+  switch (size) {
+    case 2: return __builtin_bswap16((uint16_t)v);
+    case 4: return __builtin_bswap32((uint32_t)v);
+    case 8: return __builtin_bswap64(v);
+    default: return v;
+  }
+}
+
+inline double read_scalar(const uint8_t* p, int size, char code, bool swap) {
+  uint64_t raw = 0;
+  std::memcpy(&raw, p, size);
+  if (swap) raw = byteswap(raw, size);
+  if (code == 'f') {
+    if (size == 4) {
+      float f;
+      uint32_t r32 = (uint32_t)raw;
+      std::memcpy(&f, &r32, 4);
+      return f;
+    }
+    double d;
+    std::memcpy(&d, &raw, 8);
+    return d;
+  }
+  if (code == 'u') return (double)raw;
+  // sign-extend
+  switch (size) {
+    case 1: return (double)(int8_t)raw;
+    case 2: return (double)(int16_t)raw;
+    case 4: return (double)(int32_t)raw;
+    default: return (double)(int64_t)raw;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Inspect the file: returns 0 on success and fills counts/flags.
+// flags bit0: has_colors, bit1: has_reflectance, bit2: has_frameindex
+int bst_ply_info(const char* path, int64_t* count, int32_t* flags) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  Header h = parse_header(f);
+  std::fclose(f);
+  if (!h.ok) return -2;
+  *count = h.vertex_count;
+  bool r = false, g = false, b = false, refl = false, fi = false;
+  for (const auto& p : h.props) {
+    if (p.kind == PROP_RED) r = true;
+    if (p.kind == PROP_GREEN) g = true;
+    if (p.kind == PROP_BLUE) b = true;
+    if (p.kind == PROP_REFLECTANCE) refl = true;
+    if (p.kind == PROP_FRAMEINDEX) fi = true;
+  }
+  *flags = ((r && g && b) ? 1 : 0) | (refl ? 2 : 0) | (fi ? 4 : 0);
+  return 0;
+}
+
+// Read positions (quantized int32, trunc-toward-zero of value*scale) and
+// optional colors (uint16 in internal g,b,r order).  Buffers must hold
+// `count` rows (from bst_ply_info).  color_out may be null.
+int bst_ply_read(const char* path, double scale, int32_t* pos_out,
+                 uint16_t* color_out, uint16_t* refl_out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  Header h = parse_header(f);
+  if (!h.ok) { std::fclose(f); return -2; }
+  const int64_t n = h.vertex_count;
+
+  if (h.ascii) {
+    // slurp the body, single strtod scan
+    fseek(f, 0, SEEK_END);
+    long end = ftell(f);
+    fseek(f, h.body_offset, SEEK_SET);
+    std::vector<char> buf(end - h.body_offset + 1);
+    size_t got = fread(buf.data(), 1, buf.size() - 1, f);
+    buf[got] = '\0';
+    std::fclose(f);
+    char* p = buf.data();
+    const int np = (int)h.props.size();
+    for (int64_t i = 0; i < n; ++i) {
+      for (int a = 0; a < np; ++a) {
+        char* next = nullptr;
+        double v = std::strtod(p, &next);
+        if (next == p) {  // ran out of data: leave remaining rows zeroed
+          return 0;
+        }
+        p = next;
+        switch (h.props[a].kind) {
+          case PROP_X: pos_out[i * 3 + 0] = (int32_t)(v * scale); break;
+          case PROP_Y: pos_out[i * 3 + 1] = (int32_t)(v * scale); break;
+          case PROP_Z: pos_out[i * 3 + 2] = (int32_t)(v * scale); break;
+          case PROP_GREEN:
+            if (color_out) color_out[i * 3 + 0] = (uint16_t)v;
+            break;
+          case PROP_BLUE:
+            if (color_out) color_out[i * 3 + 1] = (uint16_t)v;
+            break;
+          case PROP_RED:
+            if (color_out) color_out[i * 3 + 2] = (uint16_t)v;
+            break;
+          case PROP_REFLECTANCE:
+            if (refl_out) refl_out[i] = (uint16_t)v;
+            break;
+          default: break;
+        }
+      }
+    }
+    return 0;
+  }
+
+  // binary: bulk-read the body, strided extraction
+  int stride = 0;
+  for (const auto& p : h.props) stride += p.type_size;
+  std::vector<uint8_t> body((size_t)n * stride);
+  fseek(f, h.body_offset, SEEK_SET);
+  size_t got = fread(body.data(), 1, body.size(), f);
+  std::fclose(f);
+  int64_t avail = (int64_t)(got / stride);
+  if (avail > n) avail = n;
+
+#if __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+  const bool swap = !h.big_endian;
+#else
+  const bool swap = h.big_endian;
+#endif
+
+  int off = 0;
+  for (const auto& prop : h.props) {
+    const uint8_t* base = body.data() + off;
+    off += prop.type_size;
+    if (prop.kind == PROP_OTHER) continue;
+    for (int64_t i = 0; i < avail; ++i) {
+      double v = read_scalar(base + (size_t)i * stride, prop.type_size,
+                             prop.type_code, swap);
+      switch (prop.kind) {
+        case PROP_X: pos_out[i * 3 + 0] = (int32_t)(v * scale); break;
+        case PROP_Y: pos_out[i * 3 + 1] = (int32_t)(v * scale); break;
+        case PROP_Z: pos_out[i * 3 + 2] = (int32_t)(v * scale); break;
+        case PROP_GREEN:
+          if (color_out) color_out[i * 3 + 0] = (uint16_t)v;
+          break;
+        case PROP_BLUE:
+          if (color_out) color_out[i * 3 + 1] = (uint16_t)v;
+          break;
+        case PROP_RED:
+          if (color_out) color_out[i * 3 + 2] = (uint16_t)v;
+          break;
+        case PROP_REFLECTANCE:
+          if (refl_out) refl_out[i] = (uint16_t)v;
+          break;
+        default: break;
+      }
+    }
+  }
+  return 0;
+}
+
+// Write a binary-little-endian PLY with the reference's exact layout
+// (header: float64 x/y/z, uchar green/blue/red, element face 0 —
+// tmc3/ply.cpp:103-139; body: double[3] + uint8[3] per point,
+// tmc3/ply.cpp:164-182).  positions are int32, written as
+// pos*scale+offset in float64.
+int bst_ply_write(const char* path, const int32_t* pos,
+                  const uint16_t* colors, int64_t n, double scale,
+                  double off_x, double off_y, double off_z) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  std::fprintf(f, "ply\nformat binary_little_endian 1.0\n");
+  std::fprintf(f, "element vertex %lld\n", (long long)n);
+  std::fprintf(f,
+               "property float64 x\nproperty float64 y\nproperty float64 z\n");
+  if (colors)
+    std::fprintf(
+        f, "property uchar green\nproperty uchar blue\nproperty uchar red\n");
+  std::fprintf(f, "element face 0\n");
+  std::fprintf(f, "property list uint8 int32 vertex_index\n");
+  std::fprintf(f, "end_header\n");
+
+  const int rec = 24 + (colors ? 3 : 0);
+  std::vector<uint8_t> buf((size_t)n * rec);
+  const double off[3] = {off_x, off_y, off_z};
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t* p = buf.data() + (size_t)i * rec;
+    for (int k = 0; k < 3; ++k) {
+      double v = pos[i * 3 + k] * scale + off[k];
+      std::memcpy(p + k * 8, &v, 8);
+    }
+    if (colors) {
+      p[24] = (uint8_t)colors[i * 3 + 0];
+      p[25] = (uint8_t)colors[i * 3 + 1];
+      p[26] = (uint8_t)colors[i * 3 + 2];
+    }
+  }
+  size_t wrote = fwrite(buf.data(), 1, buf.size(), f);
+  std::fclose(f);
+  return wrote == buf.size() ? 0 : -3;
+}
+
+}  // extern "C"

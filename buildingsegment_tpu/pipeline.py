@@ -80,6 +80,7 @@ class PipelineOutput:
         "signed_normals",
         "knn_method",
         "knn_window_size",
+        "th_seed_curvature",
     ),
 )
 def run_device_pipeline(
@@ -98,6 +99,7 @@ def run_device_pipeline(
     signed_normals: bool = False,
     knn_method: str = "brute",
     knn_window_size: int = 64,
+    th_seed_curvature=None,
 ):
     """The fused on-device portion: shift → kNN → normals → segmentation.
 
@@ -121,7 +123,7 @@ def run_device_pipeline(
             sposf, smask, k=max(knn_k, 16), window=knn_window_size,
             presorted=True,
         )
-        normals, _curv = estimate_normals_window(
+        normals, curv = estimate_normals_window(
             sposf, smask, radius=normal_radius, window=2 * knn_window_size
         )
         seg = segment_planes(
@@ -131,6 +133,8 @@ def run_device_pipeline(
             smask,
             neigh_sq_dist=neigh_d[:, :knn_k],
             max_edge_dist=2.0 * th_thickness,
+            curvature=curv,
+            th_seed_curvature=th_seed_curvature,
             th_thickness=th_thickness,
             th_normal_cos=th_normal_cos,
             th_point_count=th_point_count,
@@ -147,7 +151,7 @@ def run_device_pipeline(
         return shifted, lo, seg
 
     neigh_idx, neigh_d = knn(shifted, mask, k=k_search)
-    normals, _curv = estimate_normals(
+    normals, curv = estimate_normals(
         shifted,
         mask,
         neigh_idx,
@@ -160,6 +164,8 @@ def run_device_pipeline(
         normals,
         neigh_idx[:, :knn_k],
         mask,
+        curvature=curv,
+        th_seed_curvature=th_seed_curvature,
         th_thickness=th_thickness,
         th_normal_cos=th_normal_cos,
         th_point_count=th_point_count,
@@ -203,6 +209,7 @@ def segment_cloud(
         signed_normals=signed_normals,
         knn_method=resolve_knn_method(config, capacity),
         knn_window_size=config.knn_window,
+        th_seed_curvature=config.th_seed_curvature,
     )
     jax.block_until_ready(seg.plane_idx)
     t2 = time.perf_counter()
@@ -234,6 +241,73 @@ def segment_cloud(
         plane_counts=np.asarray(seg.plane_count)[:num_planes],
         bbox_min=np.asarray(lo),
         timings=timings,
+    )
+
+
+def _bucket_capacity(n: int, config: PipelineConfig) -> int:
+    """Round capacity to a power-of-two bucket ≥ padded_count.
+
+    Multi-scan runs hit the jit cache when scans share a bucket; without
+    bucketing every distinct point count would recompile the fused
+    pipeline (minutes on a remote-compile TPU).
+    """
+    cap = config.padded_count(n)
+    bucket = 1 << (cap - 1).bit_length()
+    return max(bucket, config.pad_to_multiple)
+
+
+def segment_files(
+    input_paths,
+    output_paths,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    signed_normals: bool = False,
+    render_dir: Optional[str] = None,
+) -> list:
+    """Multi-scan pipeline (BASELINE config 5): segment each scan,
+    colorize, write labeled PLYs, optionally render ortho PNGs.
+
+    Scans are padded into power-of-two capacity buckets so the fused
+    device program compiles once per bucket, not once per scan.
+    """
+    outputs = []
+    for in_path, out_path in zip(input_paths, output_paths):
+        cloud = read_ply(in_path, position_scale=config.position_scale)
+        bucket = _bucket_capacity(cloud.count, config)
+        cfg = dataclasses.replace(config, pad_to_multiple=bucket)
+        out = segment_cloud(cloud, cfg, signed_normals=signed_normals)
+        write_ply(
+            out.cloud,
+            out_path,
+            position_scale=config.output_scale,
+            ascii=not config.output_binary,
+        )
+        if render_dir is not None:
+            import os
+
+            from buildingsegment_tpu.raster.ortho import render_ortho_views
+
+            base = os.path.splitext(os.path.basename(in_path))[0]
+            render_ortho_views(
+                out, os.path.join(render_dir, base), config
+            )
+        outputs.append(out)
+    return outputs
+
+
+def dump_stages(output: "PipelineOutput", path: str) -> None:
+    """Debug checkpoint: persist stage outputs as .npz (SURVEY.md §5 —
+    the rebuild's analog of the reference's mid-pipeline debug PLY,
+    tmc3/my_function.h:81, but structured and opt-in)."""
+    np.savez_compressed(
+        path,
+        positions=output.cloud.positions,
+        plane_idx=output.plane_idx,
+        plane_normals=output.plane_normals,
+        plane_centers=output.plane_centers,
+        plane_counts=output.plane_counts,
+        bbox_min=output.bbox_min,
+        num_planes=output.num_planes,
     )
 
 

@@ -92,6 +92,8 @@ def segment_planes(
     *,
     neigh_sq_dist: Optional[jax.Array] = None,
     max_edge_dist: Optional[float] = None,
+    curvature: Optional[jax.Array] = None,
+    th_seed_curvature: Optional[float] = None,
     th_thickness: float = 300.0,
     th_normal_cos: float = 0.88,
     th_point_count: int = 400,
@@ -149,8 +151,14 @@ def segment_planes(
     cos = cmag(jnp.einsum("nkd,nd->nk", nb_nrm, nrm))
     fwd_ok = (dist <= th_thickness) & (cos >= th_normal_cos) & nb_valid
 
-    # 1. seed gating: ALL K-1 neighbors pass (depth-0 rule)
+    # 1. seed gating: ALL K-1 neighbors pass (depth-0 rule); optionally
+    # also require low surface variation (the BASELINE north star's
+    # "curvature-gated seeds" — the reference's all-neighbors rule is an
+    # implicit planarity gate; an explicit curvature cap is cheaper and
+    # steadier on noisy scans)
     seed = jnp.all(fwd_ok, axis=1) & mask
+    if curvature is not None and th_seed_curvature is not None:
+        seed = seed & (curvature <= jnp.float32(th_seed_curvature))
 
     # 2. seed-anchored label propagation to a fixed point.
     # label[i] ∈ {seed indices} ∪ {inf}; acceptance of point t into
@@ -380,8 +388,63 @@ def segment_planes(
         [jnp.zeros(ws, bool), mask, jnp.zeros(ws, bool)]
     )
 
-    def window_hop(label, model_n, model_c):
-        # per-point model params (one [N,3] gather each — cheap)
+    L = min(max_planes, n)
+
+    def window_body(label):
+        """One fused iteration of windowized region growing.
+
+        Engineering shape (every TPU cost center gets exactly one
+        instance per iteration):
+          1. per-label stats via ONE combined [N,8] scatter-add — XLA
+             lowers each scatter-add to a hidden sort, so cnt/Σn/Σp/Σ|p|²
+             must share a single scatter;
+          2. live labels compacted to [L] slots by cumsum rank (the
+             scatter-free replacement for top_k);
+          3. one slice sweep over ±window offsets computing BOTH the
+             min-label hop and the merge-hook candidates;
+          4. merge hooks (window + global coplanar-overlap pairs)
+             resolved by jump-doubling in the COMPACT [L] space —
+             [L]-sized gathers are free, unlike [N]-sized pointer
+             chasing;
+          5. one [N] gather applies the collapsed parents.
+        """
+        valid = label < inf_label
+        tgt = jnp.where(valid, label, n)
+
+        # 1. combined segment stats: [cnt, Σn(3), Σp(3), Σ|p|²]
+        payload = jnp.concatenate(
+            [
+                jnp.ones((n, 1), jnp.float32),
+                sum_nrm_src,
+                pos,
+                jnp.sum(pos * pos, -1, keepdims=True),
+            ],
+            axis=1,
+        )
+        acc = (
+            jnp.zeros((n + 1, 8), jnp.float32)
+            .at[tgt]
+            .add(jnp.where(valid[:, None], payload, 0.0))
+        )[:n]
+        cnt = acc[:, 0]
+        safe_cnt = jnp.maximum(cnt, 1.0)[:, None]
+        model_n = acc[:, 1:4] / safe_cnt
+        ln = jnp.sqrt(
+            jnp.maximum(jnp.sum(model_n * model_n, -1, keepdims=True), 1e-20)
+        )
+        model_n = model_n / ln
+        model_c = acc[:, 4:7] / safe_cnt
+
+        # 2. compact live labels → [L] slots (cumsum rank, no sort)
+        flag = cnt > 0
+        rank = jnp.cumsum(flag.astype(jnp.int32))
+        slot_of = jnp.where(flag & (rank <= L), rank - 1, L)  # [n] by label
+        top_lab = (
+            jnp.full((L + 1,), 0, jnp.int32).at[slot_of].set(idx_arange)
+        )[:L]
+        live = (jnp.zeros((L + 1,), jnp.bool_).at[slot_of].set(flag))[:L]
+
+        # 3. slice sweep: hop-min + merge-hook candidates
         safe = jnp.clip(label, 0, n - 1)
         has = label < inf_label
         mpn = jnp.where(has[:, None], model_n[safe], 0.0)
@@ -393,7 +456,8 @@ def segment_planes(
         pmpn = _pad_rows(mpn, 0.0)
         pmpc = _pad_rows(mpc, 0.0)
 
-        def one_offset(slot, new):
+        def one_offset(slot, carry):
+            new, best = carry
             start = jnp.where(slot < ws, slot, slot + 1)  # skip offset 0
             cpos = lax.dynamic_slice(ppos_w, (start, 0), (n, 3))
             cmask = lax.dynamic_slice(pmask_w, (start,), (n,))
@@ -401,88 +465,125 @@ def segment_planes(
             cmpn = lax.dynamic_slice(pmpn, (start, 0), (n, 3))
             cmpc = lax.dynamic_slice(pmpc, (start, 0), (n, 3))
             diff = pos - cpos
-            near = jnp.sum(diff * diff, -1) <= edge_gate2
+            near = (jnp.sum(diff * diff, -1) <= edge_gate2) & cmask & mask
+            cl_ok = clab < inf_label
+            # hop: does the neighbor's region model accept this point?
             d = jnp.abs(jnp.sum((pos - cmpc) * cmpn, -1))
             c = cmag(jnp.sum(nrm * cmpn, -1))
-            ok = (
-                (clab < inf_label)
-                & near
-                & cmask
-                & mask
-                & (d <= th_thickness)
-                & (c >= th_normal_cos)
-            )
-            return jnp.minimum(new, jnp.where(ok, clab, inf_label))
-
-        return lax.fori_loop(0, 2 * ws, one_offset, label)
-
-    def window_merge(label, model_n, model_c):
-        """Shiloach-Vishkin-style label union over window edges.
-
-        For every point, find the minimum smaller label among window
-        neighbors whose region models mutually accept each other
-        (near + coplanar); hook the point's own label to it with one
-        [N] scatter-min, then pointer-jump.  With dense seeds this
-        collapses the ~N singleton regions in O(log N) rounds — pure
-        one-hop flooding would need O(diameter).
-        """
-        safe = jnp.clip(label, 0, n - 1)
-        has = label < inf_label
-        mpn = jnp.where(has[:, None], model_n[safe], 0.0)
-        mpc = jnp.where(has[:, None], model_c[safe], 0.0)
-        plab = jnp.concatenate(
-            [jnp.full(ws, inf_label, jnp.int32), label,
-             jnp.full(ws, inf_label, jnp.int32)]
-        )
-        pmpn = _pad_rows(mpn, 0.0)
-        pmpc = _pad_rows(mpc, 0.0)
-
-        def one_offset(slot, best):
-            start = jnp.where(slot < ws, slot, slot + 1)
-            cpos = lax.dynamic_slice(ppos_w, (start, 0), (n, 3))
-            cmask = lax.dynamic_slice(pmask_w, (start,), (n,))
-            clab = lax.dynamic_slice(plab, (start,), (n,))
-            cmpn = lax.dynamic_slice(pmpn, (start, 0), (n, 3))
-            cmpc = lax.dynamic_slice(pmpc, (start, 0), (n, 3))
-            diff = pos - cpos
-            near = jnp.sum(diff * diff, -1) <= edge_gate2
+            hop_ok = cl_ok & near & (d <= th_thickness) & (c >= th_normal_cos)
+            new = jnp.minimum(new, jnp.where(hop_ok, clab, inf_label))
+            # merge hook: mutual model acceptance between the regions
             dc = cmpc - mpc
             mutual = (
                 (jnp.abs(jnp.sum(dc * mpn, -1)) <= th_thickness)
                 & (jnp.abs(jnp.sum(dc * cmpn, -1)) <= th_thickness)
                 & (cmag(jnp.sum(mpn * cmpn, -1)) >= th_normal_cos)
             )
-            ok = has & (clab < label) & near & cmask & mask & mutual
-            return jnp.minimum(best, jnp.where(ok, clab, inf_label))
+            mrg_ok = has & (clab < label) & near & mutual
+            best = jnp.minimum(best, jnp.where(mrg_ok, clab, inf_label))
+            return new, best
 
-        best = lax.fori_loop(
-            0, 2 * ws, one_offset, jnp.full((n,), inf_label, jnp.int32)
+        new, best = lax.fori_loop(
+            0,
+            2 * ws,
+            one_offset,
+            (label, jnp.full((n,), inf_label, jnp.int32)),
         )
+
+        # 4a. hook window merges: parent[label] min= best  (one scatter)
         parent = (
             jnp.concatenate([idx_arange, jnp.array([inf_label])])
             .at[jnp.where(best < inf_label, label, n)]
             .min(best)
         )[:n]
 
-        def jump(_, p):
-            return jnp.minimum(p, p[jnp.clip(p, 0, n - 1)])
+        # 4b. global coplanar-overlap pairs on the compact table
+        tl_cnt = jnp.where(live, cnt[top_lab], 0.0)
+        sc = jnp.maximum(tl_cnt, 1.0)[:, None]
+        c_tab = acc[:, 4:7][top_lab] / sc
+        n_tab = acc[:, 1:4][top_lab] / sc
+        nl = jnp.sqrt(
+            jnp.maximum(jnp.sum(n_tab * n_tab, -1, keepdims=True), 1e-20)
+        )
+        n_tab = n_tab / nl
+        r_tab = jnp.sqrt(
+            jnp.maximum(
+                acc[:, 7][top_lab] / sc[:, 0]
+                - jnp.sum(c_tab * c_tab, -1),
+                0.0,
+            )
+        )
+        nc = jnp.sum(n_tab * c_tab, -1)
+        ncT = jnp.dot(n_tab, c_tab.T, preferred_element_type=jnp.float32)
+        nrm_sep = ncT - nc[:, None]
+        nrm_sep_b = nc[None, :] - ncT.T
+        cosab = cmag(
+            jnp.dot(n_tab, n_tab.T, preferred_element_type=jnp.float32)
+        )
+        ccd = jnp.sum(c_tab * c_tab, -1)
+        d2 = ccd[:, None] + ccd[None, :] - 2.0 * jnp.dot(
+            c_tab, c_tab.T, preferred_element_type=jnp.float32
+        )
+        inplane2 = jnp.maximum(d2 - nrm_sep * nrm_sep, 0.0)
+        reach = 2.0 * (r_tab[:, None] + r_tab[None, :]) + jnp.sqrt(edge_gate2)
+        ok_pair = (
+            (jnp.abs(nrm_sep) <= th_thickness)
+            & (jnp.abs(nrm_sep_b) <= th_thickness)
+            & (cosab >= th_normal_cos)
+            & (inplane2 <= reach * reach)
+            & live[:, None]
+            & live[None, :]
+        )
+        la = jnp.broadcast_to(top_lab[:, None], (L, L))
+        lb = jnp.broadcast_to(top_lab[None, :], (L, L))
+        pair_lo = jnp.where(
+            ok_pair & (la != lb), jnp.minimum(la, lb), inf_label
+        )
+        row_min = jnp.min(pair_lo, axis=1)  # [L]
+        parent = (
+            jnp.concatenate([parent, jnp.array([inf_label])])
+            .at[jnp.where(row_min < inf_label, top_lab, n)]
+            .min(row_min)
+        )[:n]
 
-        parent = lax.fori_loop(0, 12, jump, parent)
-        return jnp.where(has, parent[safe], label)
+        # 4c. collapse merge chains by jump-doubling in [L] space
+        par = parent[top_lab]  # [L] parent label per live slot
+
+        def jump(_, par):
+            ps = slot_of[jnp.clip(par, 0, n - 1)]  # [L] slot of parent
+            pp = jnp.where(
+                (par < inf_label) & (ps < L), par[jnp.clip(ps, 0, L - 1)], par
+            )
+            # also re-read the hook table so new hooks chain in
+            ph = parent[jnp.clip(par, 0, n - 1)]
+            return jnp.minimum(jnp.minimum(par, pp), ph)
+
+        par = lax.fori_loop(0, 16, jump, par)
+        parent_final = (
+            jnp.concatenate([idx_arange, jnp.array([inf_label])])
+            .at[jnp.where(live, top_lab, n)]
+            .min(jnp.where(live, par, inf_label))
+        )[:n]
+
+        # 5. apply: one [N] gather
+        return jnp.where(
+            new < inf_label,
+            parent_final[jnp.clip(new, 0, n - 1)],
+            new,
+        )
 
     def body(state):
         label, _, it = state
-        model_n, model_c = label_models(label)
         if propagation == "window":
-            new = window_hop(label, model_n, model_c)
-            new = window_merge(new, model_n, model_c)
+            new = window_body(label)
         else:
+            model_n, model_c = label_models(label)
             accepts = make_accepts(model_n, model_c)
             new = label
             for _ in range(4):
                 new = one_hop(new, accepts)
             new = merge_labels(new, accepts, model_n, model_c)
-        new = global_merge(new)
+            new = global_merge(new)
         changed = jnp.any(new != label)
         return new, changed, it + 1
 

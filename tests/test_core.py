@@ -7,6 +7,7 @@ from buildingsegment_tpu.core.morton import morton_argsort, morton_encode
 from buildingsegment_tpu.core.pointset import PointBatch
 from buildingsegment_tpu.core.quantize import (
     compute_bbox,
+    dedup_quantized,
     quantize_positions,
     shift_to_origin,
 )
@@ -67,6 +68,32 @@ class TestQuantize:
         np.testing.assert_array_equal(np.asarray(shifted), [[0, 0, 0], [3, 5, 1]])
         np.testing.assert_array_equal(np.asarray(lo), [10, 20, 30])
         np.testing.assert_array_equal(np.asarray(hi), [13, 25, 31])
+
+
+class TestDedup:
+    def test_exact_duplicates_dropped_first_kept(self):
+        pos = jnp.asarray(
+            np.array(
+                [[1, 2, 3], [4, 5, 6], [1, 2, 3], [1, 2, 3], [7, 8, 9]],
+                np.int32,
+            )
+        )
+        mask = jnp.ones(5, bool)
+        keep = np.asarray(dedup_quantized(pos, mask))
+        np.testing.assert_array_equal(keep, [True, True, False, False, True])
+
+    def test_low_bit_masking(self):
+        # points equal after dropping 2 low bits collapse
+        pos = jnp.asarray(np.array([[4, 4, 4], [5, 6, 7], [8, 8, 8]], np.int32))
+        mask = jnp.ones(3, bool)
+        keep = np.asarray(dedup_quantized(pos, mask, drop_bits=2))
+        np.testing.assert_array_equal(keep, [True, False, True])
+
+    def test_padding_stays_invalid(self, rng):
+        pos = jnp.asarray(rng.integers(0, 100, (16, 3)).astype(np.int32))
+        mask = jnp.zeros(16, bool).at[:4].set(True)
+        keep = np.asarray(dedup_quantized(pos, mask))
+        assert not keep[4:].any()
 
 
 class TestMorton:

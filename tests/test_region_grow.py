@@ -167,6 +167,28 @@ class TestSegmentPlanes:
         assert int(res.num_planes) == 0
         assert (np.asarray(res.plane_idx) == -1).all()
 
+    def test_curvature_gate_prunes_seeds(self, building):
+        pts, truth, cap = building
+        pos, mask, idx, normals, n = _prep(pts, cap)
+        from buildingsegment_tpu.ops.normals import estimate_normals
+        from buildingsegment_tpu.ops.knn import knn
+
+        i2, d2 = knn(pos, mask, k=16, query_tile=512, cand_tile=512)
+        _, curv = estimate_normals(pos, mask, i2, d2, radius=1e9, max_nn=16)
+        # an impossible cap kills every seed → no planes
+        res = segment_planes(
+            pos, normals, idx, mask, th_point_count=400,
+            curvature=curv, th_seed_curvature=-1.0,
+        )
+        assert int(res.num_planes) == 0
+        # a generous cap changes nothing vs ungated
+        res2 = segment_planes(
+            pos, normals, idx, mask, th_point_count=400,
+            curvature=curv, th_seed_curvature=1.0,
+        )
+        res3 = segment_planes(pos, normals, idx, mask, th_point_count=400)
+        assert int(res2.num_planes) == int(res3.num_planes)
+
     def test_noise_cloud_no_planes(self, rng):
         pts = rng.integers(0, 30_000, size=(2000, 3)).astype(np.int32)
         pos, mask, idx, normals, n = _prep(pts, 2048)
