@@ -1,19 +1,36 @@
-"""Benchmark: end-to-end segmentation throughput on the available device.
+"""Benchmark: the five BASELINE configs on the available device(s).
 
-Prints one JSON line:
-    {"metric": "...", "value": N, "unit": "Mpoints/sec", "vs_baseline": N}
+Prints ONE JSON line (driver contract):
+    {"metric": ..., "value": N, "unit": "Mpoints/sec", "vs_baseline": N, ...}
 
-The baseline is the BASELINE.json north star: ≥ 50 Mpoints/sec
-end-to-end segmentation on a TPU v5e-8 (the reference binary publishes
-no numbers).  This harness runs on however many chips are visible and
-reports the measured device-pipeline throughput (compile excluded,
-synthetic ~1M-point building scene, reference-default thresholds).
+The headline metric is end-to-end segmentation throughput (BASELINE
+north star: ≥ 50 Mpoints/sec on a v5e-8; the reference binary publishes
+no numbers).  Sub-metrics for the other scored configs ride along as
+extra fields:
+  - knn_bruteforce_mpts: config 2 (exact brute force, Pallas kernel)
+  - knn_window_mpts: the production approximate graph build
+  - normals_mpts: config 3 (covariance-PCA normals + curvature)
+  - segmentation_mpts: config 4 (region growing alone)
+All numbers are steady-state (compile excluded), synthetic ~1M-point
+building scene, reference-default thresholds.
 """
 
 import json
 import time
 
 import numpy as np
+
+
+def _timed(fn, *args, reps=3, **kw):
+    import jax
+
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
 
 
 def main():
@@ -25,13 +42,18 @@ def main():
     _enable_compile_cache()
 
     from buildingsegment_tpu.config import PipelineConfig
+    from buildingsegment_tpu.core.morton import morton_argsort
     from buildingsegment_tpu.dist.mesh import make_mesh
     from buildingsegment_tpu.dist.sharded import sharded_pipeline
+    from buildingsegment_tpu.ops.knn import knn_window_sorted
+    from buildingsegment_tpu.ops.normals import estimate_normals_window
+    from buildingsegment_tpu.ops.pallas_knn import knn_pallas
+    from buildingsegment_tpu.seg.region_grow import segment_planes
     from buildingsegment_tpu.utils.synthetic import make_building_cloud
 
     n_dev = len(jax.devices())
 
-    # ~1M-point dense building scene (config 1/4 shape): 25 mm spacing
+    # ~1M-point dense building scene: 25 mm spacing
     pts, _ = make_building_cloud(
         seed=0,
         spacing_mm=25.0,
@@ -49,23 +71,51 @@ def main():
     pos[:n] = pts
     mask = np.zeros(capacity, bool)
     mask[:n] = True
-
-    mesh = make_mesh(n_dev)
-    fn = sharded_pipeline(mesh, cfg, capacity_hint=capacity)
     pos_j, mask_j = jnp.asarray(pos), jnp.asarray(mask)
 
-    # compile + warm up
-    _, _, seg = fn(pos_j, mask_j)
-    jax.block_until_ready(seg.plane_idx)
+    extras = {}
 
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        _, _, seg = fn(pos_j, mask_j)
-        jax.block_until_ready(seg.plane_idx)
-    dt = (time.perf_counter() - t0) / reps
+    # --- headline: end-to-end sharded pipeline (config 1/4) ---
+    mesh = make_mesh(n_dev)
+    fn = sharded_pipeline(mesh, cfg, capacity_hint=capacity)
+    e2e_dt, (_, _, seg) = _timed(lambda: fn(pos_j, mask_j))
+    mpts = n / e2e_dt / 1e6
+    extras["planes_found"] = int(seg.num_planes)
+    extras["seg_sweeps"] = int(seg.num_sweeps)
 
-    mpts = n / dt / 1e6
+    # --- stage benches on the sorted frame ---
+    order = morton_argsort(pos_j, mask_j)
+    spos = pos_j[order]
+    smask = mask_j[order]
+    sposf = spos.astype(jnp.float32)
+
+    dt, (nb_i, nb_d) = _timed(
+        lambda: knn_window_sorted(sposf, smask, 16, window=32)
+    )
+    extras["knn_window_mpts"] = round(n / dt / 1e6, 2)
+
+    dt, (normals, curv) = _timed(
+        lambda: estimate_normals_window(sposf, smask, radius=100.0, window=64)
+    )
+    extras["normals_mpts"] = round(n / dt / 1e6, 2)
+
+    dt, res = _timed(
+        lambda: segment_planes(
+            spos, normals, nb_i[:, :15], smask,
+            neigh_sq_dist=nb_d[:, :15], max_edge_dist=600.0,
+            th_point_count=400, max_planes=1024,
+            propagation="window", window=16,
+        )
+    )
+    extras["segmentation_mpts"] = round(n / dt / 1e6, 2)
+
+    # --- config 2: exact brute force (Pallas kernel), 1 rep (O(N²)) ---
+    try:
+        dt, _ = _timed(lambda: knn_pallas(spos, smask, k=16), reps=1)
+        extras["knn_bruteforce_mpts"] = round(n / dt / 1e6, 3)
+    except Exception as e:  # pragma: no cover — kernel may not lower
+        extras["knn_bruteforce_error"] = type(e).__name__
+
     print(
         json.dumps(
             {
@@ -75,8 +125,8 @@ def main():
                 "vs_baseline": round(mpts / 50.0, 4),
                 "points": n,
                 "devices": n_dev,
-                "seconds_per_scan": round(dt, 4),
-                "planes_found": int(seg.num_planes),
+                "seconds_per_scan": round(e2e_dt, 4),
+                **extras,
             }
         )
     )

@@ -75,6 +75,7 @@ class SegmentationResult:
     plane_normal: jax.Array
     plane_center: jax.Array
     plane_count: jax.Array
+    num_sweeps: jax.Array
 
 
 @functools.partial(
@@ -546,24 +547,15 @@ def segment_planes(
             .min(row_min)
         )[:n]
 
-        # 4c. collapse merge chains by jump-doubling in [L] space
-        par = parent[top_lab]  # [L] parent label per live slot
+        # 4c. collapse merge chains by jump-doubling over the FULL [n]
+        # label space.  (A compact [L]-space collapse is cheaper per
+        # round but early iterations have ~N live singleton labels, so
+        # capping participation at L slows convergence from ~8 to ~25
+        # iterations — a net loss.)
+        def jump(_, p):
+            return jnp.minimum(p, p[jnp.clip(p, 0, n - 1)])
 
-        def jump(_, par):
-            ps = slot_of[jnp.clip(par, 0, n - 1)]  # [L] slot of parent
-            pp = jnp.where(
-                (par < inf_label) & (ps < L), par[jnp.clip(ps, 0, L - 1)], par
-            )
-            # also re-read the hook table so new hooks chain in
-            ph = parent[jnp.clip(par, 0, n - 1)]
-            return jnp.minimum(jnp.minimum(par, pp), ph)
-
-        par = lax.fori_loop(0, 16, jump, par)
-        parent_final = (
-            jnp.concatenate([idx_arange, jnp.array([inf_label])])
-            .at[jnp.where(live, top_lab, n)]
-            .min(jnp.where(live, par, inf_label))
-        )[:n]
+        parent_final = lax.fori_loop(0, 8, jump, parent)
 
         # 5. apply: one [N] gather
         return jnp.where(
@@ -591,7 +583,7 @@ def segment_planes(
         _, changed, it = state
         return changed & (it < max_sweeps)
 
-    label, _, _ = lax.while_loop(
+    label, _, sweeps_used = lax.while_loop(
         cond, body, (label0, jnp.bool_(True), jnp.int32(0))
     )
     label = jnp.where(mask, label, inf_label)
@@ -638,4 +630,5 @@ def segment_planes(
         plane_normal=plane_normal,
         plane_center=plane_center,
         plane_count=cnt,
+        num_sweeps=sweeps_used,
     )
