@@ -52,6 +52,13 @@ def parse_args(argv):
     p.add_argument("--position-scale", type=float, default=1000.0)
     p.add_argument("--knn-k", type=int, default=15)
     p.add_argument("--normal-radius", type=float, default=100.0)
+    p.add_argument(
+        "--knn-method",
+        choices=["auto", "brute", "window", "pallas"],
+        default="auto",
+        help="auto: Morton-window above 65k points, exact brute below; "
+        "pallas: exact fused TPU kernel",
+    )
     p.add_argument("--normal-max-nn", type=int, default=50)
     p.add_argument("--th-thickness", type=float, default=300.0)
     p.add_argument("--th-point-count", type=int, default=400)
@@ -123,6 +130,7 @@ def main(argv=None) -> int:
 
     config = PipelineConfig(
         position_scale=args.position_scale,
+        knn_method=args.knn_method,
         knn_k=args.knn_k,
         normal_radius=args.normal_radius,
         normal_max_nn=args.normal_max_nn,

@@ -239,9 +239,16 @@ def knn(
             c = lax.dynamic_slice(pos, (c_start, 0), (cand_tile, 3))
             c_sq = lax.dynamic_slice(cand_sq, (c_start,), (cand_tile,))
             # MXU block: [qt, ct]
+            # precision=HIGHEST: TPU matmuls default to bf16, whose
+            # ~0.4% relative error on q·c (~1e9 at mm scale) swamps
+            # real squared distances and drops true neighbors
             d = (
                 q_sq[:, None]
-                - 2.0 * jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+                - 2.0 * jnp.dot(
+                    q, c.T,
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
                 + c_sq[None, :]
             )
             c_idx = c_start + lax.broadcasted_iota(

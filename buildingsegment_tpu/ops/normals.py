@@ -276,7 +276,10 @@ def estimate_normals(
     nb = (nb - pos[:, None, :]) * w[:, :, None]
     mean = jnp.sum(nb, axis=1) / safe_cnt[:, None]
     # covariance = E[p pᵀ] − mean meanᵀ (over the centered coords)
-    sec = jnp.einsum("nkd,nke->nde", nb, nb * w[:, :, None]) / safe_cnt[:, None, None]
+    sec = jnp.einsum(
+        "nkd,nke->nde", nb, nb * w[:, :, None],
+        precision=lax.Precision.HIGHEST,
+    ) / safe_cnt[:, None, None]
     cov = sec - mean[:, None, :] * mean[:, :, None]
 
     v, eigvals = eigh3x3_smallest(cov)

@@ -46,10 +46,16 @@ _SENTINEL_D = 1e14
 
 
 def _banded(ci: jax.Array, home: jax.Array, num_c: int) -> jax.Array:
-    """Visit order home, home+1, home-1, home+2, … (mod num_c)."""
+    """Visit order home, home+1, home-1, home+2, … (mod num_c).
+
+    The modulo operand is biased non-negative first: lowered index
+    arithmetic uses C-style srem where (-1) % 4 == -1, unlike jnp's
+    3 — a negative block index silently clamps and half the candidate
+    tiles are never visited (observed compiled-vs-interpret divergence).
+    """
     step = (ci + 1) // 2
     sign = jnp.where(ci % 2 == 1, 1, -1)
-    return (home + sign * step) % num_c
+    return (home + sign * step + num_c) % num_c
 
 
 def _kernel(q_ref, c_ref, qv_ref, cv_ref, best_d_ref, best_i_ref, k: int,

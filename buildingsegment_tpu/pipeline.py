@@ -34,6 +34,7 @@ from buildingsegment_tpu.core.morton import morton_argsort
 from buildingsegment_tpu.core.quantize import shift_to_origin
 from buildingsegment_tpu.io.ply import HostPointCloud, read_ply, write_ply
 from buildingsegment_tpu.ops.knn import knn, knn_window
+from buildingsegment_tpu.ops.pallas_knn import knn_pallas
 from buildingsegment_tpu.ops.normals import estimate_normals, estimate_normals_window
 from buildingsegment_tpu.seg.colorize import colorize_planes
 from buildingsegment_tpu.seg.region_grow import SegmentationResult, segment_planes
@@ -150,7 +151,19 @@ def run_device_pipeline(
         seg = dataclasses.replace(seg, plane_idx=plane_idx)
         return shifted, lo, seg
 
-    neigh_idx, neigh_d = knn(shifted, mask, k=k_search)
+    if knn_method == "pallas":
+        # exact brute force via the fused Pallas kernel (TPU only);
+        # Morton-sort first so the banded candidate order converges
+        order = morton_argsort(shifted, mask)
+        sorted_pos = shifted[order]
+        sorted_mask = mask[order]
+        s_idx, s_d = knn_pallas(sorted_pos, sorted_mask, k=k_search)
+        n = positions.shape[0]
+        orig = order[s_idx]
+        neigh_idx = jnp.zeros((n, k_search), jnp.int32).at[order].set(orig)
+        neigh_d = jnp.zeros((n, k_search), jnp.float32).at[order].set(s_d)
+    else:
+        neigh_idx, neigh_d = knn(shifted, mask, k=k_search)
     normals, curv = estimate_normals(
         shifted,
         mask,

@@ -148,8 +148,8 @@ def segment_planes(
         )
 
     # membership test of neighbor j against i's tangent plane
-    dist = jnp.abs(jnp.einsum("nkd,nd->nk", nb_pos - pos[:, None, :], nrm))
-    cos = cmag(jnp.einsum("nkd,nd->nk", nb_nrm, nrm))
+    dist = jnp.abs(jnp.einsum("nkd,nd->nk", nb_pos - pos[:, None, :], nrm, precision=lax.Precision.HIGHEST))
+    cos = cmag(jnp.einsum("nkd,nd->nk", nb_nrm, nrm, precision=lax.Precision.HIGHEST))
     fwd_ok = (dist <= th_thickness) & (cos >= th_normal_cos) & nb_valid
 
     # 1. seed gating: ALL K-1 neighbors pass (depth-0 rule); optionally
@@ -278,14 +278,16 @@ def segment_planes(
 
         # pair tests as [L,3]×[3,L] matmuls — never materialize [L,L,3]
         nc = jnp.sum(mn * c, -1)  # n_a · c_a
-        ncT = jnp.dot(mn, c.T, preferred_element_type=jnp.float32)
+        ncT = jnp.dot(mn, c.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
         # (c_b - c_a) · n_a  and  (c_b - c_a) · n_b
         nrm_sep = ncT - nc[:, None]          # [L, L] rows a, cols b
         nrm_sep_b = nc[None, :] - ncT.T      # (c_b - c_a)·n_b
         band_a = jnp.abs(nrm_sep) <= th_thickness
         band_b = jnp.abs(nrm_sep_b) <= th_thickness
         cos_ab = (
-            cmag(jnp.dot(mn, mn.T, preferred_element_type=jnp.float32))
+            cmag(jnp.dot(mn, mn.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST))
             >= th_normal_cos
         )
         cc = jnp.sum(c * c, -1)
@@ -515,11 +517,13 @@ def segment_planes(
             )
         )
         nc = jnp.sum(n_tab * c_tab, -1)
-        ncT = jnp.dot(n_tab, c_tab.T, preferred_element_type=jnp.float32)
+        ncT = jnp.dot(n_tab, c_tab.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
         nrm_sep = ncT - nc[:, None]
         nrm_sep_b = nc[None, :] - ncT.T
         cosab = cmag(
-            jnp.dot(n_tab, n_tab.T, preferred_element_type=jnp.float32)
+            jnp.dot(n_tab, n_tab.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
         )
         ccd = jnp.sum(c_tab * c_tab, -1)
         d2 = ccd[:, None] + ccd[None, :] - 2.0 * jnp.dot(
