@@ -64,6 +64,10 @@ class PipelineConfig:
     th_seed_curvature: Optional[float] = None
     max_sweeps: int = 64            # fixed-point propagation sweep budget
     max_planes: int = 4096          # fixed-capacity plane table
+    # stop sweeping when fewer than tol×N labels change per sweep
+    # (exact fixed point when tol×N < 1; default trades the last
+    # straggler-polishing sweeps for throughput)
+    seg_convergence_tol: float = 1e-5
 
     # --- colorize ---
     color_low: int = 55             # 55 + rand() % 200 per channel

@@ -82,6 +82,7 @@ class PipelineOutput:
         "knn_method",
         "knn_window_size",
         "th_seed_curvature",
+        "convergence_tol",
     ),
 )
 def run_device_pipeline(
@@ -101,6 +102,7 @@ def run_device_pipeline(
     knn_method: str = "brute",
     knn_window_size: int = 64,
     th_seed_curvature=None,
+    convergence_tol: float = 0.0,
 ):
     """The fused on-device portion: shift → kNN → normals → segmentation.
 
@@ -141,6 +143,7 @@ def run_device_pipeline(
             th_point_count=th_point_count,
             max_planes=max_planes,
             max_sweeps=max_sweeps,
+            convergence_tol=convergence_tol,
             signed_normals=signed_normals,
             propagation="window",
         )
@@ -184,6 +187,7 @@ def run_device_pipeline(
         th_point_count=th_point_count,
         max_planes=max_planes,
         max_sweeps=max_sweeps,
+        convergence_tol=convergence_tol,
         signed_normals=signed_normals,
     )
     return shifted, lo, seg
@@ -223,6 +227,7 @@ def segment_cloud(
         knn_method=resolve_knn_method(config, capacity),
         knn_window_size=config.knn_window,
         th_seed_curvature=config.th_seed_curvature,
+        convergence_tol=config.seg_convergence_tol,
     )
     jax.block_until_ready(seg.plane_idx)
     t2 = time.perf_counter()

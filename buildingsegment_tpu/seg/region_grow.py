@@ -82,7 +82,7 @@ class SegmentationResult:
     jax.jit,
     static_argnames=(
         "th_point_count", "max_planes", "max_sweeps", "signed_normals",
-        "propagation", "window",
+        "propagation", "window", "convergence_tol",
     ),
 )
 def segment_planes(
@@ -100,6 +100,7 @@ def segment_planes(
     th_point_count: int = 400,
     max_planes: int = 4096,
     max_sweeps: int = 64,
+    convergence_tol: float = 0.0,
     signed_normals: bool = False,
     propagation: str = "graph",
     window: int = 16,
@@ -580,7 +581,11 @@ def segment_planes(
                 new = one_hop(new, accepts)
             new = merge_labels(new, accepts, model_n, model_c)
             new = global_merge(new)
-        changed = jnp.any(new != label)
+        # convergence by change-count tolerance: the final sweeps of an
+        # exact fixed point only relabel a handful of stragglers (which
+        # end up culled or absorbed either way) at full per-sweep cost
+        tol_count = jnp.int32(max(1, int(convergence_tol * n)))
+        changed = jnp.sum((new != label).astype(jnp.int32)) >= tol_count
         return new, changed, it + 1
 
     def cond(state):

@@ -65,6 +65,23 @@ def test_sharded_output_sharding(cloud):
     assert seg.plane_idx.shape == (pos.shape[0],)
 
 
+def test_window_mode_sharded_identity(cloud):
+    # the Morton-window fast path (the production large-scan path) must
+    # also be numerically identical across mesh sizes under GSPMD
+    pos, mask, n = cloud
+    cfg = PipelineConfig(
+        normal_radius=1e6, pad_to_multiple=1024, knn_method="window"
+    )
+    f8 = sharded_pipeline(make_mesh(8), cfg, capacity_hint=pos.shape[0])
+    f1 = sharded_pipeline(make_mesh(1), cfg, capacity_hint=pos.shape[0])
+    _, _, seg8 = f8(jnp.asarray(pos), jnp.asarray(mask))
+    _, _, seg1 = f1(jnp.asarray(pos), jnp.asarray(mask))
+    np.testing.assert_array_equal(
+        np.asarray(seg8.plane_idx), np.asarray(seg1.plane_idx)
+    )
+    assert int(seg8.num_planes) == int(seg1.num_planes)
+
+
 def test_finds_planes_sharded(cloud):
     pos, mask, n = cloud
     mesh = make_mesh(8)
