@@ -109,6 +109,18 @@ def main():
     )
     extras["segmentation_mpts"] = round(n / dt / 1e6, 2)
 
+    from buildingsegment_tpu.seg.coarse import segment_planes_multigrid
+
+    dt, res = _timed(
+        lambda: segment_planes_multigrid(
+            spos, normals, nb_i[:, :16], smask,
+            neigh_sq_dist=nb_d[:, :16], max_edge_dist=600.0,
+            th_point_count=400, max_planes=1024,
+            window=16, group=8,
+        )
+    )
+    extras["segmentation_multigrid_mpts"] = round(n / dt / 1e6, 2)
+
     # --- config 2: exact brute force (Pallas kernel), 1 rep (O(N²)) ---
     try:
         dt, _ = _timed(lambda: knn_pallas(spos, smask, k=16), reps=1)

@@ -68,6 +68,9 @@ class PipelineConfig:
     # (exact fixed point when tol×N < 1; default trades the last
     # straggler-polishing sweeps for throughput)
     seg_convergence_tol: float = 1e-5
+    # multigrid coarsening factor for the windowized solver (Morton
+    # groups of this size become super-points; 1 = single level)
+    seg_group: int = 8
 
     # --- colorize ---
     color_low: int = 55             # 55 + rand() % 200 per channel

@@ -62,6 +62,9 @@ def sharded_pipeline(
         th_point_count=config.th_point_count,
         max_planes=config.max_planes,
         max_sweeps=config.max_sweeps,
+        convergence_tol=config.seg_convergence_tol,
+        seg_group=config.seg_group,
+        th_seed_curvature=config.th_seed_curvature,
         signed_normals=signed_normals,
         knn_method=resolve_knn_method(config, capacity_hint or 0)
         if capacity_hint is not None

@@ -37,6 +37,7 @@ from buildingsegment_tpu.ops.knn import knn, knn_window
 from buildingsegment_tpu.ops.pallas_knn import knn_pallas
 from buildingsegment_tpu.ops.normals import estimate_normals, estimate_normals_window
 from buildingsegment_tpu.seg.colorize import colorize_planes
+from buildingsegment_tpu.seg.coarse import segment_planes_multigrid
 from buildingsegment_tpu.seg.region_grow import SegmentationResult, segment_planes
 
 __all__ = [
@@ -83,6 +84,7 @@ class PipelineOutput:
         "knn_window_size",
         "th_seed_curvature",
         "convergence_tol",
+        "seg_group",
     ),
 )
 def run_device_pipeline(
@@ -103,6 +105,7 @@ def run_device_pipeline(
     knn_window_size: int = 64,
     th_seed_curvature=None,
     convergence_tol: float = 0.0,
+    seg_group: int = 1,
 ):
     """The fused on-device portion: shift → kNN → normals → segmentation.
 
@@ -129,11 +132,7 @@ def run_device_pipeline(
         normals, curv = estimate_normals_window(
             sposf, smask, radius=normal_radius, window=2 * knn_window_size
         )
-        seg = segment_planes(
-            spos,
-            normals,
-            neigh_idx[:, :knn_k],
-            smask,
+        seg_kwargs = dict(
             neigh_sq_dist=neigh_d[:, :knn_k],
             max_edge_dist=2.0 * th_thickness,
             curvature=curv,
@@ -145,8 +144,17 @@ def run_device_pipeline(
             max_sweeps=max_sweeps,
             convergence_tol=convergence_tol,
             signed_normals=signed_normals,
-            propagation="window",
         )
+        if seg_group > 1 and positions.shape[0] % seg_group == 0:
+            seg = segment_planes_multigrid(
+                spos, normals, neigh_idx[:, :knn_k], smask,
+                group=seg_group, **seg_kwargs,
+            )
+        else:
+            seg = segment_planes(
+                spos, normals, neigh_idx[:, :knn_k], smask,
+                propagation="window", **seg_kwargs,
+            )
         n = positions.shape[0]
         plane_idx = (
             jnp.zeros((n,), jnp.int32).at[order].set(seg.plane_idx)
@@ -228,6 +236,7 @@ def segment_cloud(
         knn_window_size=config.knn_window,
         th_seed_curvature=config.th_seed_curvature,
         convergence_tol=config.seg_convergence_tol,
+        seg_group=config.seg_group,
     )
     jax.block_until_ready(seg.plane_idx)
     t2 = time.perf_counter()

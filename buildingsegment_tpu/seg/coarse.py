@@ -1,0 +1,314 @@
+"""Multigrid region growing — coarse label propagation + fine refinement.
+
+The fixed-point label propagation dominates the pipeline (every sweep
+touches several [N]-sized arrays through scatters/gathers).  Building
+scans are Morton-sorted before segmentation, so G consecutive points are
+almost always samples of the same plane — which makes a classic
+multigrid scheme natural:
+
+1. **Coarsen**: group the sorted cloud into super-points of G
+   consecutive rows; each carries the masked mean position, the
+   normalized mean (canonicalized) normal, and a coherence flag
+   (normals aligned + spatially tight).  Incoherent groups (plane
+   boundaries, corners, clutter) are excluded from the coarse problem.
+2. **Coarse solve**: run the full windowized region growing
+   (:func:`segment_planes`) on the ~N/G super-points — identical
+   machinery at 1/G the cost per sweep, and each window hop covers G×
+   more space, so it also converges in fewer sweeps.
+3. **Refine**: expand each group's plane id to its points, then test
+   every point against its plane's model (the coarse plane table —
+   [P]-sized, so lookups are cheap); points that fail, plus points of
+   incoherent groups, try the plane ids of nearby rows through a few
+   windowized slice sweeps.
+4. **Finalize**: recount plane membership at full resolution, cull
+   (> th_point_count, the reference's strict rule), renumber densely,
+   and rebuild the plane table from the final membership.
+
+Quality guard: tests compare the multigrid result against the
+single-level solver's ground-truth agreement on synthetic houses.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from buildingsegment_tpu.ops.normals import canonicalize_normals
+from buildingsegment_tpu.seg.region_grow import (
+    SegmentationResult,
+    segment_planes,
+)
+
+__all__ = ["segment_planes_multigrid"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group",
+        "th_point_count",
+        "max_planes",
+        "max_sweeps",
+        "signed_normals",
+        "window",
+        "refine_sweeps",
+        "convergence_tol",
+    ),
+)
+def segment_planes_multigrid(
+    positions: jax.Array,
+    normals: jax.Array,
+    neigh_idx: jax.Array,
+    mask: jax.Array,
+    *,
+    neigh_sq_dist: Optional[jax.Array] = None,
+    max_edge_dist: Optional[float] = None,
+    curvature: Optional[jax.Array] = None,
+    th_seed_curvature: Optional[float] = None,
+    th_thickness: float = 300.0,
+    th_normal_cos: float = 0.88,
+    th_point_count: int = 400,
+    max_planes: int = 4096,
+    max_sweeps: int = 64,
+    convergence_tol: float = 0.0,
+    signed_normals: bool = False,
+    window: int = 16,
+    group: int = 8,
+    refine_sweeps: int = 2,
+) -> SegmentationResult:
+    """Multigrid windowized plane segmentation (Morton-sorted input).
+
+    Same contract as :func:`segment_planes` with ``propagation="window"``;
+    ``group`` is the coarsening factor (must divide N).
+    """
+    n, k = neigh_idx.shape
+    if n % group:
+        raise ValueError(f"N={n} must be a multiple of group={group}")
+    ng = n // group
+    pos = positions.astype(jnp.float32)
+    nrm = normals.astype(jnp.float32)
+    cmag = (lambda x: x) if signed_normals else jnp.abs
+    cn = nrm if signed_normals else canonicalize_normals(nrm)
+    edge_gate = (
+        jnp.float32(max_edge_dist)
+        if max_edge_dist is not None
+        else jnp.float32(2.0 * th_thickness)
+    )
+
+    # ------------------------------------------------------------------
+    # 1. coarsen
+    # ------------------------------------------------------------------
+    gpos_all = pos.reshape(ng, group, 3)
+    gnrm_all = cn.reshape(ng, group, 3)
+    gmask_all = mask.reshape(ng, group)
+    w = gmask_all.astype(jnp.float32)
+    cnt = jnp.sum(w, axis=1)
+    safe = jnp.maximum(cnt, 1.0)[:, None]
+    gpos = jnp.sum(gpos_all * w[:, :, None], axis=1) / safe
+    gsum_n = jnp.sum(gnrm_all * w[:, :, None], axis=1)
+    glen = jnp.sqrt(jnp.maximum(jnp.sum(gsum_n * gsum_n, -1), 1e-20))
+    gnrm = gsum_n / glen[:, None]
+    # coherence: |Σ n̂| close to count (normals aligned) AND the group
+    # hugs its mean plane AND stays spatially tight
+    align = glen / jnp.maximum(cnt, 1.0)
+    dvec = gpos_all - gpos[:, None, :]
+    plane_d = jnp.abs(jnp.einsum("gkd,gd->gk", dvec, gnrm,
+                                 precision=lax.Precision.HIGHEST))
+    spread2 = jnp.max(
+        jnp.where(gmask_all, jnp.sum(dvec * dvec, -1), 0.0), axis=1
+    )
+    coherent = (
+        (cnt >= jnp.float32(max(2, group // 2)))
+        & (align >= th_normal_cos)
+        & (jnp.max(jnp.where(gmask_all, plane_d, 0.0), 1) <= th_thickness)
+        & (spread2 <= edge_gate * edge_gate)
+    )
+    gmask = (cnt > 0) & coherent
+
+    # coarse seed rule: the group contains a strict fine-level seed.
+    # The depth-0 rule ("every one of the k−1 nearest neighbors passes
+    # the plane test") is re-expressed gather-free over window slices:
+    # a point is a seed iff NO window candidate within its k-th NN
+    # radius fails the test — identical to the graph formulation when
+    # the graph itself came from the same window, and it avoids the
+    # [N,K,3] neighbor gathers that would dominate this stage.
+    if neigh_sq_dist is not None:
+        dk = neigh_sq_dist[:, k - 1]  # squared k-th NN distance
+    else:
+        dk = jnp.full((n,), edge_gate * edge_gate, jnp.float32)
+    ws0 = window
+    pad3s = jnp.full((ws0, 3), -3e7, jnp.float32)
+    spos_p = jnp.concatenate([pad3s, pos, pad3s])
+    snrm_p = jnp.concatenate(
+        [jnp.zeros((ws0, 3), jnp.float32), nrm,
+         jnp.zeros((ws0, 3), jnp.float32)]
+    )
+    smask_p = jnp.concatenate(
+        [jnp.zeros(ws0, bool), mask, jnp.zeros(ws0, bool)]
+    )
+
+    def seed_offset(slot, bad):
+        start = jnp.where(slot < ws0, slot, slot + 1)
+        cpos = lax.dynamic_slice(spos_p, (start, 0), (n, 3))
+        cnrm = lax.dynamic_slice(snrm_p, (start, 0), (n, 3))
+        cmask_ = lax.dynamic_slice(smask_p, (start,), (n,))
+        diff = cpos - pos
+        d2 = jnp.sum(diff * diff, -1)
+        in_ball = (d2 <= dk) & cmask_ & mask
+        pd = jnp.abs(jnp.sum(diff * nrm, -1))
+        pc_ = cmag(jnp.sum(cnrm * nrm, -1))
+        fails = in_ball & ~((pd <= th_thickness) & (pc_ >= th_normal_cos))
+        return bad | fails
+
+    bad = lax.fori_loop(
+        0, 2 * ws0, seed_offset, jnp.zeros((n,), bool)
+    )
+    fine_seed = mask & ~bad
+    if curvature is not None and th_seed_curvature is not None:
+        fine_seed = fine_seed & (curvature <= jnp.float32(th_seed_curvature))
+    gseed = jnp.any(fine_seed.reshape(ng, group), axis=1) & gmask
+
+    # ------------------------------------------------------------------
+    # 2. coarse solve — reuse the windowized single-level solver with a
+    # synthetic "seed graph": give seeds a self-loop-only graph so the
+    # solver's own seed rule passes exactly where gseed holds.
+    # ------------------------------------------------------------------
+    rows_g = lax.broadcasted_iota(jnp.int32, (ng, 1), 0)
+    g_idx = jnp.concatenate([rows_g, rows_g], axis=1)  # placeholder graph
+    coarse = segment_planes(
+        gpos.astype(jnp.int32),
+        gnrm,
+        g_idx,
+        gmask,
+        seed_override=gseed,
+        max_edge_dist=2.0 * th_thickness,
+        neigh_sq_dist=None,
+        th_thickness=th_thickness,
+        th_normal_cos=th_normal_cos,
+        th_point_count=max(1, th_point_count // group // 2),
+        max_planes=max_planes,
+        max_sweeps=max_sweeps,
+        convergence_tol=convergence_tol,
+        signed_normals=signed_normals,
+        propagation="window",
+        window=window,
+    )
+
+    # ------------------------------------------------------------------
+    # 3. refine at full resolution with plane-id labels
+    # ------------------------------------------------------------------
+    pn = coarse.plane_normal  # [P, 3]
+    pc = coarse.plane_center
+    plane_id_g = jnp.maximum(coarse.plane_idx, 0)  # [ng], 0 = none
+    pid0 = jnp.repeat(plane_id_g, group)  # expand to points
+
+    def accepts(pid):
+        t = jnp.clip(pid - 1, 0, max_planes - 1)
+        d = jnp.abs(jnp.sum((pos - pc[t]) * pn[t], axis=-1))
+        c = cmag(jnp.sum(nrm * pn[t], axis=-1))
+        return (
+            (pid > 0)
+            & (d <= th_thickness)
+            & (c >= th_normal_cos)
+            & mask
+        )
+
+    pid = jnp.where(accepts(pid0), pid0, 0)
+
+    # windowized sweeps: adopt the min accepting plane id of nearby rows
+    ws = window
+    pmask_w = jnp.concatenate(
+        [jnp.zeros(ws, bool), mask, jnp.zeros(ws, bool)]
+    )
+    ppos_w = jnp.concatenate(
+        [jnp.full((ws, 3), -3e7, jnp.float32), pos,
+         jnp.full((ws, 3), -3e7, jnp.float32)]
+    )
+    big_pid = jnp.int32(max_planes + 1)
+
+    def sweep(pid):
+        # hoist the plane-table lookups: two [N,3] gathers per sweep,
+        # then slice-shift the per-point model arrays per offset (a
+        # gather inside the offset loop would run 2·ws times per sweep)
+        has = pid > 0
+        t = jnp.clip(pid - 1, 0, max_planes - 1)
+        mcp = jnp.where(has[:, None], pc[t], 0.0)
+        mnp = jnp.where(has[:, None], pn[t], 0.0)
+        ppid = jnp.concatenate(
+            [jnp.zeros(ws, jnp.int32), pid, jnp.zeros(ws, jnp.int32)]
+        )
+        pad3 = jnp.zeros((ws, 3), jnp.float32)
+        pmcp = jnp.concatenate([pad3, mcp, pad3])
+        pmnp = jnp.concatenate([pad3, mnp, pad3])
+
+        def one_offset(slot, best):
+            start = jnp.where(slot < ws, slot, slot + 1)
+            cpid = lax.dynamic_slice(ppid, (start,), (n,))
+            cpos = lax.dynamic_slice(ppos_w, (start, 0), (n, 3))
+            cmask_ = lax.dynamic_slice(pmask_w, (start,), (n,))
+            cmcp = lax.dynamic_slice(pmcp, (start, 0), (n, 3))
+            cmnp = lax.dynamic_slice(pmnp, (start, 0), (n, 3))
+            diff = pos - cpos
+            near = jnp.sum(diff * diff, -1) <= edge_gate * edge_gate
+            d = jnp.abs(jnp.sum((pos - cmcp) * cmnp, -1))
+            c = cmag(jnp.sum(nrm * cmnp, -1))
+            ok = (
+                (cpid > 0)
+                & near
+                & cmask_
+                & mask
+                & (d <= th_thickness)
+                & (c >= th_normal_cos)
+            )
+            return jnp.minimum(best, jnp.where(ok, cpid, big_pid))
+
+        best = lax.fori_loop(
+            0, 2 * ws, one_offset, jnp.full((n,), big_pid, jnp.int32)
+        )
+        return jnp.where(pid > 0, pid, jnp.where(best < big_pid, best, 0))
+
+    for _ in range(refine_sweeps):
+        pid = sweep(pid)
+
+    # ------------------------------------------------------------------
+    # 4. finalize: recount, cull (> th_point_count), renumber densely
+    # ------------------------------------------------------------------
+    counts = jnp.zeros((max_planes + 1,), jnp.int32).at[
+        jnp.where(mask, pid, 0)
+    ].add(jnp.where(mask, 1, 0))
+    keep = counts > th_point_count  # by old plane id; id 0 irrelevant
+    keep = keep.at[0].set(False)
+    rank = jnp.cumsum(keep.astype(jnp.int32))  # inclusive, over old ids
+    new_id = jnp.where(keep[pid], rank[pid], 0)
+    plane_idx = jnp.where(new_id > 0, new_id, -1).astype(jnp.int32)
+    num_planes = rank[max_planes]
+
+    # rebuild the plane table from final membership
+    seg = jnp.where(new_id > 0, new_id - 1, max_planes)
+    sum_n2 = jnp.zeros((max_planes + 1, 3), jnp.float32).at[seg].add(
+        jnp.where((new_id > 0)[:, None], cn, 0.0)
+    )[:max_planes]
+    sum_p2 = jnp.zeros((max_planes + 1, 3), jnp.float32).at[seg].add(
+        jnp.where((new_id > 0)[:, None], pos, 0.0)
+    )[:max_planes]
+    cnt2 = jnp.zeros((max_planes + 1,), jnp.int32).at[seg].add(
+        (new_id > 0).astype(jnp.int32)
+    )[:max_planes]
+    sc = jnp.maximum(cnt2, 1).astype(jnp.float32)[:, None]
+    mn2 = sum_n2 / sc
+    ln2 = jnp.sqrt(jnp.maximum(jnp.sum(mn2 * mn2, -1, keepdims=True), 1e-20))
+    plane_normal = jnp.where((cnt2 > 0)[:, None], mn2 / ln2, 0.0)
+    plane_center = jnp.where((cnt2 > 0)[:, None], sum_p2 / sc, 0.0)
+
+    return SegmentationResult(
+        plane_idx=plane_idx,
+        num_planes=num_planes,
+        plane_normal=plane_normal,
+        plane_center=plane_center,
+        plane_count=cnt2,
+        num_sweeps=coarse.num_sweeps,
+    )

@@ -93,6 +93,7 @@ def segment_planes(
     *,
     neigh_sq_dist: Optional[jax.Array] = None,
     max_edge_dist: Optional[float] = None,
+    seed_override: Optional[jax.Array] = None,
     curvature: Optional[jax.Array] = None,
     th_seed_curvature: Optional[float] = None,
     th_thickness: float = 300.0,
@@ -158,7 +159,12 @@ def segment_planes(
     # "curvature-gated seeds" — the reference's all-neighbors rule is an
     # implicit planarity gate; an explicit curvature cap is cheaper and
     # steadier on noisy scans)
-    seed = jnp.all(fwd_ok, axis=1) & mask
+    if seed_override is not None:
+        # caller-supplied seed mask (the multigrid coarse level derives
+        # seeds from the fine-level rule instead of a coarse graph)
+        seed = seed_override & mask
+    else:
+        seed = jnp.all(fwd_ok, axis=1) & mask
     if curvature is not None and th_seed_curvature is not None:
         seed = seed & (curvature <= jnp.float32(th_seed_curvature))
 

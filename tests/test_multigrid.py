@@ -1,0 +1,94 @@
+"""Multigrid segmentation: quality parity with the single-level solver."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from buildingsegment_tpu.core.morton import morton_argsort
+from buildingsegment_tpu.ops.knn import knn_window_sorted
+from buildingsegment_tpu.ops.normals import estimate_normals_window
+from buildingsegment_tpu.seg.coarse import segment_planes_multigrid
+from buildingsegment_tpu.seg.region_grow import segment_planes
+from buildingsegment_tpu.utils.synthetic import make_building_cloud
+
+
+@pytest.fixture(scope="module")
+def sorted_scene():
+    pts, truth = make_building_cloud(
+        seed=0, spacing_mm=80.0, width_mm=12000.0, depth_mm=9000.0,
+        wall_h_mm=6000.0, ridge_h_mm=8000.0, noise_mm=8.0,
+    )
+    n = len(pts)
+    cap = ((n + 2047) // 2048) * 2048
+    pos = np.full((cap, 3), 2**24, np.int32)
+    pos[:n] = pts
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    order = morton_argsort(jnp.asarray(pos), jnp.asarray(mask))
+    spos = jnp.asarray(pos)[order]
+    smask = jnp.asarray(mask)[order]
+    idx, d = knn_window_sorted(spos.astype(jnp.float32), smask, 16, window=32)
+    normals, _ = estimate_normals_window(
+        spos.astype(jnp.float32), smask, radius=300.0, window=64
+    )
+    struth = truth[np.asarray(order)[np.asarray(smask)]]
+    return spos, smask, idx, d, normals, struth
+
+
+def _truth_agreement(truth, labels):
+    pairs = {}
+    for a, b in zip(truth.tolist(), labels.tolist()):
+        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    ua, ub, good = set(), set(), 0
+    for (a, b), c in sorted(pairs.items(), key=lambda kv: -kv[1]):
+        if a in ua or b in ub:
+            continue
+        ua.add(a)
+        ub.add(b)
+        good += c
+    return good / len(truth)
+
+
+class TestMultigrid:
+    @pytest.mark.parametrize("group", [4, 8])
+    def test_quality_matches_single_level(self, sorted_scene, group):
+        spos, smask, idx, d, normals, struth = sorted_scene
+        common = dict(
+            th_point_count=400, neigh_sq_dist=d, max_edge_dist=600.0,
+            max_planes=1024,
+        )
+        mg = segment_planes_multigrid(
+            spos, normals, idx, smask, group=group, window=16, **common
+        )
+        single = segment_planes(
+            spos, normals, idx, smask, propagation="window", window=16,
+            **common
+        )
+        sel = np.asarray(smask)
+        a_mg = _truth_agreement(struth, np.asarray(mg.plane_idx)[sel])
+        a_sl = _truth_agreement(struth, np.asarray(single.plane_idx)[sel])
+        assert abs(int(mg.num_planes) - int(single.num_planes)) <= 2
+        assert a_mg > a_sl - 0.03, f"multigrid {a_mg} vs single {a_sl}"
+
+    def test_invariants(self, sorted_scene):
+        spos, smask, idx, d, normals, struth = sorted_scene
+        res = segment_planes_multigrid(
+            spos, normals, idx, smask, group=8, th_point_count=400,
+            neigh_sq_dist=d, max_edge_dist=600.0, max_planes=1024,
+        )
+        pi = np.asarray(res.plane_idx)
+        num = int(res.num_planes)
+        labels = set(np.unique(pi[np.asarray(smask)])) - {-1}
+        assert labels == set(range(1, num + 1))
+        counts = np.asarray(res.plane_count)
+        assert (counts[:num] > 400).all()
+        assert (pi[~np.asarray(smask)] == -1).all()
+        nrm = np.asarray(res.plane_normal)[:num]
+        np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-4)
+
+    def test_group_must_divide(self, sorted_scene):
+        spos, smask, idx, d, normals, _ = sorted_scene
+        with pytest.raises(ValueError):
+            segment_planes_multigrid(
+                spos, normals, idx, smask, group=7,
+            )
