@@ -64,6 +64,12 @@ def parse_args(argv):
     p.add_argument("--th-point-count", type=int, default=400)
     p.add_argument("--th-normal-cos", type=float, default=0.88)
     p.add_argument(
+        "--golden",
+        action="store_true",
+        help="run the bit-faithful host oracle of the reference's "
+        "sequential algorithm (small scans; defines behavioral parity)",
+    )
+    p.add_argument(
         "--signed-normals",
         action="store_true",
         help="strict reference semantics (unstable on vertical walls)",
@@ -184,6 +190,9 @@ def main(argv=None) -> int:
             )
         return 0
 
+    if args.golden:
+        return _run_golden(input_path, output_path, config)
+
     try:
         out = segment_file(
             input_path,
@@ -220,6 +229,64 @@ def main(argv=None) -> int:
                 }
             )
         )
+    return 0
+
+
+def _run_golden(input_path, output_path, config) -> int:
+    """Reference-semantics oracle run: numpy golden model end-to-end.
+
+    Mirrors the reference binary exactly (sequential region growing
+    with all quirks, MSVC rand colors) — the parity target for the
+    device pipeline.  O(n·k) Python; intended for small scans.
+    """
+    import numpy as np
+
+    from buildingsegment_tpu.io.ply import HostPointCloud, read_ply, write_ply
+    from buildingsegment_tpu.ops.knn import knn
+    from buildingsegment_tpu.ops.normals import estimate_normals
+    from buildingsegment_tpu.seg.colorize import msvc_rand_colors
+    from buildingsegment_tpu.seg.golden import golden_segment
+
+    import jax.numpy as jnp
+
+    try:
+        cloud = read_ply(input_path, position_scale=config.position_scale)
+    except FileNotFoundError:
+        print(f"error: cannot open {input_path}", file=sys.stderr)
+        return 1
+    pts = cloud.positions - cloud.positions.min(axis=0)
+    n = len(pts)
+    cap = config.padded_count(n)
+    pos = np.full((cap, 3), 2**24, np.int32)
+    pos[:n] = pts
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    k_search = max(config.knn_k, config.normal_max_nn)
+    idx, d = knn(jnp.asarray(pos), jnp.asarray(mask), k=k_search)
+    normals, _ = estimate_normals(
+        jnp.asarray(pos), jnp.asarray(mask), idx, d,
+        radius=config.normal_radius, max_nn=config.normal_max_nn,
+    )
+    plane_idx, planes = golden_segment(
+        pts,
+        np.asarray(normals)[:n].astype(np.float64),
+        np.asarray(idx)[:n, : config.knn_k],
+        k=config.knn_k,
+        th_thickness=config.th_thickness,
+        th_point_count=config.th_point_count,
+        th_normal_cos=config.th_normal_cos,
+    )
+    colors = np.zeros((n, 3), np.uint16)
+    table = msvc_rand_colors(len(planes), config.color_low, config.color_range)
+    for p, col in zip(planes, table):
+        colors[np.asarray(p.point_idx)] = col
+    write_ply(
+        HostPointCloud(positions=pts.astype(np.int32), colors=colors),
+        output_path,
+        position_scale=config.output_scale,
+        ascii=not config.output_binary,
+    )
+    print(f"{n} points → {len(planes)} planes (golden oracle) → {output_path}")
     return 0
 
 

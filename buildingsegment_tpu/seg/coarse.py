@@ -57,6 +57,7 @@ __all__ = ["segment_planes_multigrid"]
         "window",
         "refine_sweeps",
         "convergence_tol",
+        "levels",
     ),
 )
 def segment_planes_multigrid(
@@ -79,6 +80,8 @@ def segment_planes_multigrid(
     window: int = 16,
     group: int = 8,
     refine_sweeps: int = 2,
+    levels: int = 1,
+    seed_override=None,
 ) -> SegmentationResult:
     """Multigrid windowized plane segmentation (Morton-sorted input).
 
@@ -164,10 +167,13 @@ def segment_planes_multigrid(
         fails = in_ball & ~((pd <= th_thickness) & (pc_ >= th_normal_cos))
         return bad | fails
 
-    bad = lax.fori_loop(
-        0, 2 * ws0, seed_offset, jnp.zeros((n,), bool)
-    )
-    fine_seed = mask & ~bad
+    if seed_override is not None:
+        fine_seed = seed_override & mask
+    else:
+        bad = lax.fori_loop(
+            0, 2 * ws0, seed_offset, jnp.zeros((n,), bool)
+        )
+        fine_seed = mask & ~bad
     if curvature is not None and th_seed_curvature is not None:
         fine_seed = fine_seed & (curvature <= jnp.float32(th_seed_curvature))
     gseed = jnp.any(fine_seed.reshape(ng, group), axis=1) & gmask
@@ -179,24 +185,47 @@ def segment_planes_multigrid(
     # ------------------------------------------------------------------
     rows_g = lax.broadcasted_iota(jnp.int32, (ng, 1), 0)
     g_idx = jnp.concatenate([rows_g, rows_g], axis=1)  # placeholder graph
-    coarse = segment_planes(
-        gpos.astype(jnp.int32),
-        gnrm,
-        g_idx,
-        gmask,
-        seed_override=gseed,
-        max_edge_dist=2.0 * th_thickness,
-        neigh_sq_dist=None,
-        th_thickness=th_thickness,
-        th_normal_cos=th_normal_cos,
-        th_point_count=max(1, th_point_count // group // 2),
-        max_planes=max_planes,
-        max_sweeps=max_sweeps,
-        convergence_tol=convergence_tol,
-        signed_normals=signed_normals,
-        propagation="window",
-        window=window,
-    )
+    coarse_th = max(1, th_point_count // group // 2)
+    if levels > 1 and ng % group == 0:
+        # recurse: another coarsening level solves the coarse problem
+        coarse = segment_planes_multigrid(
+            gpos.astype(jnp.int32),
+            gnrm,
+            g_idx,
+            gmask,
+            seed_override=gseed,
+            max_edge_dist=2.0 * th_thickness,
+            th_thickness=th_thickness,
+            th_normal_cos=th_normal_cos,
+            th_point_count=coarse_th,
+            max_planes=max_planes,
+            max_sweeps=max_sweeps,
+            convergence_tol=convergence_tol,
+            signed_normals=signed_normals,
+            window=window,
+            group=group,
+            refine_sweeps=refine_sweeps,
+            levels=levels - 1,
+        )
+    else:
+        coarse = segment_planes(
+            gpos.astype(jnp.int32),
+            gnrm,
+            g_idx,
+            gmask,
+            seed_override=gseed,
+            max_edge_dist=2.0 * th_thickness,
+            neigh_sq_dist=None,
+            th_thickness=th_thickness,
+            th_normal_cos=th_normal_cos,
+            th_point_count=coarse_th,
+            max_planes=max_planes,
+            max_sweeps=max_sweeps,
+            convergence_tol=convergence_tol,
+            signed_normals=signed_normals,
+            propagation="window",
+            window=window,
+        )
 
     # ------------------------------------------------------------------
     # 3. refine at full resolution with plane-id labels
