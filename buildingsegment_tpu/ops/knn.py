@@ -99,19 +99,29 @@ def knn_window_sorted(
 
     base = spos.astype(jnp.float32)
 
-    def one_offset(slot, d_all):
-        # slot ∈ [0, 2W) → offset ∈ [-W..-1, 1..W]
-        off = jnp.where(slot < window, slot - window, slot - window + 1)
-        start = off + window  # index into padded arrays
-        cand = lax.dynamic_slice(ppos, (start, 0), (n, 3))
-        cmask = lax.dynamic_slice(pmask, (start,), (n,))
-        diff = cand - base
-        d = jnp.sum(diff * diff, axis=-1)
-        d = jnp.where(cmask & smask, d, _INF)
-        return lax.dynamic_update_slice(d_all, d[None, :], (slot, 0))
+    # unrolled by several slots per loop step: the per-step work is tiny
+    # relative to dispatch/loop overhead, so one-slot fori steps are
+    # latency-bound
+    unroll = 8 if w2 % 8 == 0 else 1
+
+    def one_chunk(chunk, d_all):
+        for u in range(unroll):
+            slot = chunk * unroll + u
+            off = jnp.where(slot < window, slot - window, slot - window + 1)
+            start = off + window  # index into padded arrays
+            cand = lax.dynamic_slice(ppos, (start, 0), (n, 3))
+            cmask = lax.dynamic_slice(pmask, (start,), (n,))
+            diff = cand - base
+            d = jnp.sum(diff * diff, axis=-1)
+            d = jnp.where(cmask & smask, d, _INF)
+            d_all = lax.dynamic_update_slice(d_all, d[None, :], (slot, 0))
+        return d_all
 
     d_all = lax.fori_loop(
-        0, w2, one_offset, jnp.full((w2, n), _INF, jnp.float32)
+        0,
+        w2 // unroll,
+        one_chunk,
+        jnp.full((w2, n), _INF, jnp.float32),
     )
     neg_top, arg = lax.top_k(-d_all.T, k - 1)  # [N, k-1]
     nb_d = -neg_top

@@ -105,7 +105,20 @@ def estimate_normals_window(
         jnp.zeros((n, 3), jnp.float32),
         jnp.zeros((n, 6), jnp.float32),
     )
-    s0, s1, s2 = lax.fori_loop(0, 2 * w + 1, one_offset, acc0)
+    # unroll several offsets per loop step (one-offset steps are
+    # dispatch-latency-bound); 2w+1 offsets = unrolled chunks + a tail
+    total = 2 * w + 1
+    unroll = 8
+
+    def chunk(ci, acc):
+        for u in range(unroll):
+            acc = one_offset(ci * unroll + u, acc)
+        return acc
+
+    acc = lax.fori_loop(0, total // unroll, chunk, acc0)
+    for slot in range((total // unroll) * unroll, total):
+        acc = one_offset(slot, acc)
+    s0, s1, s2 = acc
 
     safe = jnp.maximum(s0, 1.0)
     mean = s1 / safe[:, None]

@@ -50,10 +50,18 @@ __all__ = [
 
 
 def resolve_knn_method(config: PipelineConfig, capacity: int) -> str:
-    """'auto' → window above the threshold, exact brute force below."""
-    if config.knn_method == "auto":
-        return "window" if capacity > config.knn_auto_threshold else "brute"
-    return config.knn_method
+    """Resolve 'auto' to a concrete kNN method.
+
+    Small clouds (≤ knn_auto_threshold) use exact XLA brute force;
+    larger ones the Morton-window search.  ``knn_method="pallas"``
+    selects the exact fused TPU kernel explicitly — it stays opt-in
+    because its O(N²) cost (and the gather-based hybrid normals that
+    ride with the exact path) is the reference-exactness trade, not
+    the throughput one.
+    """
+    if config.knn_method != "auto":
+        return config.knn_method
+    return "brute" if capacity <= config.knn_auto_threshold else "window"
 
 
 @dataclasses.dataclass
@@ -295,31 +303,56 @@ def segment_files(
     colorize, write labeled PLYs, optionally render ortho PNGs.
 
     Scans are padded into power-of-two capacity buckets so the fused
-    device program compiles once per bucket, not once per scan.
+    device program compiles once per bucket, not once per scan; host
+    PLY decoding is prefetched one scan ahead on a worker thread so it
+    overlaps the previous scan's device time.
     """
+    import concurrent.futures as _futures
+
     outputs = []
-    for in_path, out_path in zip(input_paths, output_paths):
-        cloud = read_ply(in_path, position_scale=config.position_scale)
-        bucket = _bucket_capacity(cloud.count, config)
-        cfg = dataclasses.replace(config, pad_to_multiple=bucket)
-        out = segment_cloud(cloud, cfg, signed_normals=signed_normals)
-        write_ply(
-            out.cloud,
-            out_path,
-            position_scale=config.output_scale,
-            ascii=not config.output_binary,
-        )
-        if render_dir is not None:
-            import os
-
-            from buildingsegment_tpu.raster.ortho import render_ortho_views
-
-            base = os.path.splitext(os.path.basename(in_path))[0]
-            render_ortho_views(
-                out, os.path.join(render_dir, base), config
+    input_paths = list(input_paths)
+    output_paths = list(output_paths)
+    with _futures.ThreadPoolExecutor(max_workers=1) as pool:
+        pending = [
+            pool.submit(read_ply, p, position_scale=config.position_scale)
+            for p in input_paths[:1]
+        ]
+        for i, (in_path, out_path) in enumerate(
+            zip(input_paths, output_paths)
+        ):
+            cloud = pending[i].result()
+            if i + 1 < len(input_paths):
+                pending.append(
+                    pool.submit(
+                        read_ply,
+                        input_paths[i + 1],
+                        position_scale=config.position_scale,
+                    )
+                )
+            bucket = _bucket_capacity(cloud.count, config)
+            cfg = dataclasses.replace(config, pad_to_multiple=bucket)
+            out = segment_cloud(cloud, cfg, signed_normals=signed_normals)
+            _write_and_render(
+                out, in_path, out_path, config, render_dir
             )
-        outputs.append(out)
+            outputs.append(out)
     return outputs
+
+
+def _write_and_render(out, in_path, out_path, config, render_dir):
+    write_ply(
+        out.cloud,
+        out_path,
+        position_scale=config.output_scale,
+        ascii=not config.output_binary,
+    )
+    if render_dir is not None:
+        import os
+
+        from buildingsegment_tpu.raster.ortho import render_ortho_views
+
+        base = os.path.splitext(os.path.basename(in_path))[0]
+        render_ortho_views(out, os.path.join(render_dir, base), config)
 
 
 def dump_stages(output: "PipelineOutput", path: str) -> None:

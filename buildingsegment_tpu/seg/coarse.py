@@ -170,8 +170,15 @@ def segment_planes_multigrid(
     if seed_override is not None:
         fine_seed = seed_override & mask
     else:
+        s_unroll = 8 if (2 * ws0) % 8 == 0 else 1
+
+        def seed_chunk(ci, bad):
+            for u in range(s_unroll):
+                bad = seed_offset(ci * s_unroll + u, bad)
+            return bad
+
         bad = lax.fori_loop(
-            0, 2 * ws0, seed_offset, jnp.zeros((n,), bool)
+            0, (2 * ws0) // s_unroll, seed_chunk, jnp.zeros((n,), bool)
         )
         fine_seed = mask & ~bad
     if curvature is not None and th_seed_curvature is not None:
@@ -295,8 +302,16 @@ def segment_planes_multigrid(
             )
             return jnp.minimum(best, jnp.where(ok, cpid, big_pid))
 
+        r_unroll = 8 if (2 * ws) % 8 == 0 else 1
+
+        def r_chunk(ci, best):
+            for u in range(r_unroll):
+                best = one_offset(ci * r_unroll + u, best)
+            return best
+
         best = lax.fori_loop(
-            0, 2 * ws, one_offset, jnp.full((n,), big_pid, jnp.int32)
+            0, (2 * ws) // r_unroll, r_chunk,
+            jnp.full((n,), big_pid, jnp.int32),
         )
         return jnp.where(pid > 0, pid, jnp.where(best < big_pid, best, 0))
 

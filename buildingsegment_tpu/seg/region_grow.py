@@ -493,10 +493,18 @@ def segment_planes(
             best = jnp.minimum(best, jnp.where(mrg_ok, clab, inf_label))
             return new, best
 
+        # unroll offsets per step (one-offset steps are latency-bound)
+        unroll = 8 if (2 * ws) % 8 == 0 else 1
+
+        def one_chunk(ci, carry):
+            for u in range(unroll):
+                carry = one_offset(ci * unroll + u, carry)
+            return carry
+
         new, best = lax.fori_loop(
             0,
-            2 * ws,
-            one_offset,
+            (2 * ws) // unroll,
+            one_chunk,
             (label, jnp.full((n,), inf_label, jnp.int32)),
         )
 
