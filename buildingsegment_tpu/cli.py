@@ -82,6 +82,12 @@ def parse_args(argv):
     )
     p.add_argument("--profile", action="store_true", help="print stage timings")
     p.add_argument(
+        "--trace",
+        metavar="DIR",
+        help="capture a jax.profiler device trace into DIR "
+        "(view in TensorBoard/Perfetto)",
+    )
+    p.add_argument(
         "--json-summary", action="store_true", help="print a JSON run summary"
     )
     p.add_argument(
@@ -193,13 +199,22 @@ def main(argv=None) -> int:
     if args.golden:
         return _run_golden(input_path, output_path, config)
 
+    import contextlib
+
+    trace_cm = contextlib.nullcontext()
+    if args.trace:
+        from buildingsegment_tpu.profiling import trace as _trace
+
+        trace_cm = _trace(args.trace)
+
     try:
-        out = segment_file(
-            input_path,
-            output_path,
-            config,
-            signed_normals=args.signed_normals,
-        )
+        with trace_cm:
+            out = segment_file(
+                input_path,
+                output_path,
+                config,
+                signed_normals=args.signed_normals,
+            )
     except FileNotFoundError:
         print(f"error: cannot open {input_path}", file=sys.stderr)
         return 1

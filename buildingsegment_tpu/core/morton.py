@@ -59,8 +59,76 @@ def morton_argsort(positions: jax.Array, mask: jax.Array) -> jax.Array:
     pos = jnp.clip(positions, 0, (1 << TOTAL_BITS) - 1)
     lo = morton_encode(pos, shift=0)
     hi = morton_encode(pos, shift=WORD_BITS)
+    return _two_word_argsort(lo, hi, mask)
+
+
+def _two_word_argsort(lo: jax.Array, hi: jax.Array, mask: jax.Array) -> jax.Array:
     big = jnp.int32(0x7FFFFFFF)
     hi = jnp.where(mask, hi, big)  # padding → after every real point
     order = jnp.argsort(lo, stable=True)
     order = order[jnp.argsort(hi[order], stable=True)]
     return order
+
+
+def hilbert_transpose(positions: jax.Array, bits: int = TOTAL_BITS) -> jax.Array:
+    """Skilling's axes→transpose transform, vectorized (int32 per axis).
+
+    Returns X int32[..., 3] such that interleaving the bits of
+    X[...,0] (most significant), X[...,1], X[...,2] yields the Hilbert
+    index.  The Hilbert curve visits every cell through face-adjacent
+    steps — unlike the Z-order curve it has no long jumps, which is
+    exactly what window-based neighbor search wants.
+    """
+    x = jnp.clip(positions[..., 0], 0, (1 << bits) - 1)
+    y = jnp.clip(positions[..., 1], 0, (1 << bits) - 1)
+    z = jnp.clip(positions[..., 2], 0, (1 << bits) - 1)
+    X = [x, y, z]
+
+    # inverse undo (static loop over bit planes, vectorized over points)
+    q = 1 << (bits - 1)
+    while q > 1:
+        p = q - 1
+        for i in range(3):
+            has = (X[i] & q) != 0
+            # invert X[0] low bits where has; else swap low bits X[0]<->X[i]
+            t = (X[0] ^ X[i]) & p
+            X0_inv = X[0] ^ p
+            X0_swp = X[0] ^ t
+            Xi_swp = X[i] ^ t
+            X0_new = jnp.where(has, X0_inv, X0_swp)
+            Xi_new = jnp.where(has | (i == 0), X[i], Xi_swp)
+            if i == 0:
+                X[0] = jnp.where(has, X0_inv, X[0])
+            else:
+                X[0] = X0_new
+                X[i] = Xi_new
+        q >>= 1
+
+    # Gray encode
+    X[1] = X[1] ^ X[0]
+    X[2] = X[2] ^ X[1]
+    t = jnp.zeros_like(X[0])
+    q = 1 << (bits - 1)
+    while q > 1:
+        cond = (X[2] & q) != 0
+        t = jnp.where(cond, t ^ (q - 1), t)
+        q >>= 1
+    return jnp.stack([X[0] ^ t, X[1] ^ t, X[2] ^ t], axis=-1)
+
+
+def hilbert_argsort(positions: jax.Array, mask: jax.Array) -> jax.Array:
+    """Stable argsort by the 60-bit Hilbert index; padded rows sort last.
+
+    Same two-word LSD-radix scheme as :func:`morton_argsort`, with the
+    transpose-form axes interleaved so X[...,0] is the most significant
+    axis per bit triple (our interleave puts the ``z`` slot at bit
+    3k+2, so the transpose axes map to (z,y,x) slots reversed).
+    """
+    pos = jnp.clip(positions, 0, (1 << TOTAL_BITS) - 1)
+    xt = hilbert_transpose(pos)
+    # slot order: morton_encode puts axis 2 (z) most significant —
+    # feed X0 there, X2 least significant
+    perm = jnp.stack([xt[..., 2], xt[..., 1], xt[..., 0]], axis=-1)
+    lo = morton_encode(perm, shift=0)
+    hi = morton_encode(perm, shift=WORD_BITS)
+    return _two_word_argsort(lo, hi, mask)

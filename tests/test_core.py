@@ -3,7 +3,12 @@
 import jax.numpy as jnp
 import numpy as np
 
-from buildingsegment_tpu.core.morton import morton_argsort, morton_encode
+from buildingsegment_tpu.core.morton import (
+    hilbert_argsort,
+    hilbert_transpose,
+    morton_argsort,
+    morton_encode,
+)
 from buildingsegment_tpu.core.pointset import PointBatch
 from buildingsegment_tpu.core.quantize import (
     compute_bbox,
@@ -68,6 +73,56 @@ class TestQuantize:
         np.testing.assert_array_equal(np.asarray(shifted), [[0, 0, 0], [3, 5, 1]])
         np.testing.assert_array_equal(np.asarray(lo), [10, 20, 30])
         np.testing.assert_array_equal(np.asarray(hi), [13, 25, 31])
+
+
+class TestHilbert:
+    def test_matches_skilling_oracle(self, rng):
+        def skilling(X, b):
+            X = list(X)
+            q = 1 << (b - 1)
+            while q > 1:
+                p = q - 1
+                for i in range(3):
+                    if X[i] & q:
+                        X[0] ^= p
+                    else:
+                        t = (X[0] ^ X[i]) & p
+                        X[0] ^= t
+                        X[i] ^= t
+                q >>= 1
+            for i in range(1, 3):
+                X[i] ^= X[i - 1]
+            t, q = 0, 1 << (b - 1)
+            while q > 1:
+                if X[2] & q:
+                    t ^= q - 1
+                q >>= 1
+            return [x ^ t for x in X]
+
+        pts = rng.integers(0, 1 << 20, (100, 3)).astype(np.int32)
+        ours = np.asarray(hilbert_transpose(jnp.asarray(pts)))
+        for p, o in zip(pts, ours):
+            assert skilling(list(map(int, p)), 20) == list(map(int, o))
+
+    def test_unit_step_traversal(self):
+        # consecutive Hilbert-sorted lattice cells are face-adjacent
+        g = 8
+        xs, ys, zs = np.meshgrid(*([np.arange(g)] * 3), indexing="ij")
+        cells = (
+            np.stack([xs, ys, zs], -1).reshape(-1, 3).astype(np.int32) << 17
+        )
+        mask = jnp.ones(len(cells), bool)
+        o = np.asarray(hilbert_argsort(jnp.asarray(cells), mask))
+        steps = np.abs(np.diff(cells[o] >> 17, axis=0)).sum(1)
+        assert (steps == 1).all()
+
+    def test_padding_sorts_last(self):
+        pos = jnp.asarray(
+            np.array([[5, 5, 5], [0, 0, 0], [1, 1, 1]], np.int32)
+        )
+        mask = jnp.array([True, False, True])
+        order = np.asarray(hilbert_argsort(pos, mask))
+        assert order[-1] == 1
 
 
 class TestDedup:
