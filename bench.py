@@ -116,7 +116,8 @@ def main():
             spos, normals, nb_i[:, :16], smask,
             neigh_sq_dist=nb_d[:, :16], max_edge_dist=600.0,
             th_point_count=400, max_planes=1024,
-            window=16, group=8,
+            window=16, group=cfg.seg_group, levels=cfg.seg_levels,
+            refine_sweeps=cfg.seg_refine_sweeps,
         )
     )
     extras["segmentation_multigrid_mpts"] = round(n / dt / 1e6, 2)

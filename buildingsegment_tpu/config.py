@@ -70,7 +70,9 @@ class PipelineConfig:
     seg_convergence_tol: float = 1e-5
     # multigrid coarsening factor for the windowized solver (Morton
     # groups of this size become super-points; 1 = single level)
-    seg_group: int = 8
+    seg_group: int = 4
+    seg_levels: int = 2             # recursive coarsening depth
+    seg_refine_sweeps: int = 3      # per-point refinement sweeps
 
     # --- colorize ---
     color_low: int = 55             # 55 + rand() % 200 per channel

@@ -64,6 +64,8 @@ def sharded_pipeline(
         max_sweeps=config.max_sweeps,
         convergence_tol=config.seg_convergence_tol,
         seg_group=config.seg_group,
+        seg_levels=config.seg_levels,
+        seg_refine_sweeps=config.seg_refine_sweeps,
         th_seed_curvature=config.th_seed_curvature,
         signed_normals=signed_normals,
         knn_method=resolve_knn_method(config, capacity_hint or 0)

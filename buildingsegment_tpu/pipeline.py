@@ -93,6 +93,8 @@ class PipelineOutput:
         "th_seed_curvature",
         "convergence_tol",
         "seg_group",
+        "seg_levels",
+        "seg_refine_sweeps",
     ),
 )
 def run_device_pipeline(
@@ -114,6 +116,8 @@ def run_device_pipeline(
     th_seed_curvature=None,
     convergence_tol: float = 0.0,
     seg_group: int = 1,
+    seg_levels: int = 1,
+    seg_refine_sweeps: int = 2,
 ):
     """The fused on-device portion: shift → kNN → normals → segmentation.
 
@@ -138,7 +142,7 @@ def run_device_pipeline(
             presorted=True,
         )
         normals, curv = estimate_normals_window(
-            sposf, smask, radius=normal_radius, window=2 * knn_window_size
+            sposf, smask, radius=normal_radius, window=knn_window_size
         )
         seg_kwargs = dict(
             neigh_sq_dist=neigh_d[:, :knn_k],
@@ -153,10 +157,11 @@ def run_device_pipeline(
             convergence_tol=convergence_tol,
             signed_normals=signed_normals,
         )
-        if seg_group > 1 and positions.shape[0] % seg_group == 0:
+        if seg_group > 1 and positions.shape[0] % (seg_group ** seg_levels) == 0:
             seg = segment_planes_multigrid(
                 spos, normals, neigh_idx[:, :knn_k], smask,
-                group=seg_group, **seg_kwargs,
+                group=seg_group, levels=seg_levels,
+                refine_sweeps=seg_refine_sweeps, **seg_kwargs,
             )
         else:
             seg = segment_planes(
@@ -245,6 +250,8 @@ def segment_cloud(
         th_seed_curvature=config.th_seed_curvature,
         convergence_tol=config.seg_convergence_tol,
         seg_group=config.seg_group,
+        seg_levels=config.seg_levels,
+        seg_refine_sweeps=config.seg_refine_sweeps,
     )
     jax.block_until_ready(seg.plane_idx)
     t2 = time.perf_counter()
