@@ -82,6 +82,13 @@ def parse_args(argv):
     )
     p.add_argument("--profile", action="store_true", help="print stage timings")
     p.add_argument(
+        "--extract-contours",
+        action="store_true",
+        help="with --render-dir: also run contour extraction on the "
+        "density render and extrude building prisms to csa.obj "
+        "(the reference's full disabled path, TMC3.cpp:223-226)",
+    )
+    p.add_argument(
         "--trace",
         metavar="DIR",
         help="capture a jax.profiler device trace into DIR "
@@ -223,9 +230,24 @@ def main(argv=None) -> int:
         dump_stages(out, args.dump_stages)
 
     if args.render_dir:
-        from buildingsegment_tpu.raster.ortho import render_ortho_views
+        from buildingsegment_tpu.raster.ortho import DENSITY_PNG, render_ortho_views
 
-        render_ortho_views(out, args.render_dir, config)
+        paths = render_ortho_views(out, args.render_dir, config)
+        if args.extract_contours:
+            import os
+
+            from buildingsegment_tpu.raster.contours import extracted_contour
+
+            extracted_contour(
+                paths[DENSITY_PNG],
+                os.path.join(args.render_dir, "extracted_contours.png"),
+                os.path.join(args.render_dir, "extracted_contours_flip.png"),
+                obj_path=os.path.join(args.render_dir, "csa.obj"),
+                threshold=config.contour_threshold,
+                min_area=config.contour_min_area,
+                min_perimeter=config.contour_min_perimeter,
+                close_iterations=config.contour_close_iters,
+            )
 
     print(
         f"{out.cloud.count} points → {out.num_planes} planes → {output_path}"
