@@ -131,6 +131,10 @@ def _enable_compile_cache():
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        # numeric sanitizer (SURVEY.md §5: the rebuild's stand-in for
+        # the reference's nonexistent sanitizers): fail fast on NaNs
+        if os.environ.get("BST_DEBUG_NANS"):
+            jax.config.update("jax_debug_nans", True)
     except Exception:
         pass  # cache is an optimization, never a hard requirement
 
