@@ -265,9 +265,15 @@ def segment_cloud(
         low=config.color_low,
         rng_range=config.color_range,
     )
+    # attribute passthrough: the reference's writer keeps reflectance
+    # and frameindex alongside the new label colors (tmc3/ply.cpp:
+    # 131-136, 173-181); only the colors are replaced by
+    # set_plane_color
     out_cloud = HostPointCloud(
         positions=np.asarray(shifted)[:n],
         colors=colors,
+        reflectances=cloud.reflectances,
+        frame_idx=cloud.frame_idx,
     )
     t3 = time.perf_counter()
     timings["colorize_host"] = t3 - t2
