@@ -33,6 +33,7 @@ from buildingsegment_tpu.core.pointset import PointBatch
 from buildingsegment_tpu.core.morton import morton_argsort
 from buildingsegment_tpu.core.quantize import shift_to_origin
 from buildingsegment_tpu.io.ply import HostPointCloud, read_ply, write_ply
+from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
 from buildingsegment_tpu.ops.knn import knn, knn_window
 from buildingsegment_tpu.ops.pallas_knn import knn_pallas
 from buildingsegment_tpu.ops.normals import estimate_normals, estimate_normals_window
@@ -137,12 +138,11 @@ def run_device_pipeline(
         spos = shifted[order]
         smask = mask[order]
         sposf = spos.astype(jnp.float32)
-        neigh_idx, neigh_d = knn_window(
+        # fused sweep: kNN candidates and normal moments share the
+        # same ±W slices — one pass instead of two
+        neigh_idx, neigh_d, normals, curv = knn_normals_window_sorted(
             sposf, smask, k=max(knn_k, 16), window=knn_window_size,
-            presorted=True,
-        )
-        normals, curv = estimate_normals_window(
-            sposf, smask, radius=normal_radius, window=knn_window_size
+            radius=normal_radius,
         )
         seg_kwargs = dict(
             neigh_sq_dist=neigh_d[:, :knn_k],
