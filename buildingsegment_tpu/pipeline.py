@@ -368,10 +368,45 @@ def _write_and_render(out, in_path, out_path, config, render_dir):
         render_ortho_views(out, os.path.join(render_dir, base), config)
 
 
-def dump_stages(output: "PipelineOutput", path: str) -> None:
+def dump_stages(
+    output: "PipelineOutput", path: str, *, include_graph: bool = False,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> None:
     """Debug checkpoint: persist stage outputs as .npz (SURVEY.md §5 —
     the rebuild's analog of the reference's mid-pipeline debug PLY,
-    tmc3/my_function.h:81, but structured and opt-in)."""
+    tmc3/my_function.h:81, but structured and opt-in).
+
+    With ``include_graph=True`` the post-kNN and post-normals stage
+    outputs are recomputed (in the sorted frame, then un-sorted) and
+    included — useful when bisecting a segmentation regression.
+    """
+    extra = {}
+    if include_graph:
+        from buildingsegment_tpu.core.morton import morton_argsort
+        from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
+
+        pos = jnp.asarray(output.cloud.positions)
+        n = pos.shape[0]
+        mask = jnp.ones((n,), bool)
+        cap = config.padded_count(n)
+        if cap != n:
+            pos = jnp.pad(pos, ((0, cap - n), (0, 0)), constant_values=2**24)
+            mask = jnp.pad(mask, (0, cap - n))
+        order = morton_argsort(pos, mask)
+        idx, d, nrm, curv = knn_normals_window_sorted(
+            pos[order].astype(jnp.float32), mask[order],
+            k=max(config.knn_k, 16), window=config.knn_window,
+            radius=config.normal_radius,
+        )
+        onp = np.asarray(order)
+        inv = np.empty(cap, np.int64)
+        inv[onp] = np.arange(cap)
+        extra = {
+            "neigh_idx": onp[np.asarray(idx)][inv][:n],
+            "neigh_sq_dist": np.asarray(d)[inv][:n],
+            "normals": np.asarray(nrm)[inv][:n],
+            "curvature": np.asarray(curv)[inv][:n],
+        }
     np.savez_compressed(
         path,
         positions=output.cloud.positions,
@@ -381,6 +416,7 @@ def dump_stages(output: "PipelineOutput", path: str) -> None:
         plane_counts=output.plane_counts,
         bbox_min=output.bbox_min,
         num_planes=output.num_planes,
+        **extra,
     )
 
 
