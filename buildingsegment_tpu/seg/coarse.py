@@ -331,17 +331,21 @@ def segment_planes_multigrid(
     plane_idx = jnp.where(new_id > 0, new_id, -1).astype(jnp.int32)
     num_planes = rank[max_planes]
 
-    # rebuild the plane table from final membership
+    # rebuild the plane table from final membership — ONE combined
+    # [N,7] scatter-add (each separate scatter-add hides a full N-row
+    # sort on TPU)
     seg = jnp.where(new_id > 0, new_id - 1, max_planes)
-    sum_n2 = jnp.zeros((max_planes + 1, 3), jnp.float32).at[seg].add(
-        jnp.where((new_id > 0)[:, None], cn, 0.0)
+    payload = jnp.concatenate(
+        [jnp.ones((n, 1), jnp.float32), cn, pos], axis=1
+    )
+    acc2 = (
+        jnp.zeros((max_planes + 1, 7), jnp.float32)
+        .at[seg]
+        .add(jnp.where((new_id > 0)[:, None], payload, 0.0))
     )[:max_planes]
-    sum_p2 = jnp.zeros((max_planes + 1, 3), jnp.float32).at[seg].add(
-        jnp.where((new_id > 0)[:, None], pos, 0.0)
-    )[:max_planes]
-    cnt2 = jnp.zeros((max_planes + 1,), jnp.int32).at[seg].add(
-        (new_id > 0).astype(jnp.int32)
-    )[:max_planes]
+    cnt2 = acc2[:, 0].astype(jnp.int32)
+    sum_n2 = acc2[:, 1:4]
+    sum_p2 = acc2[:, 4:7]
     sc = jnp.maximum(cnt2, 1).astype(jnp.float32)[:, None]
     mn2 = sum_n2 / sc
     ln2 = jnp.sqrt(jnp.maximum(jnp.sum(mn2 * mn2, -1, keepdims=True), 1e-20))
