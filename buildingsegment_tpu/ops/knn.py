@@ -20,9 +20,16 @@ Two strategies replace them:
   in sorted order, so the whole graph is one batched gather + diff-form
   distance + top_k with O(N·W) work and no sequential dependency —
   exactly the access pattern TPUs like.  Z-order discontinuities make
-  this approximate: recall is measured against the brute-force oracle
-  in tests (dense building scans sit well above 99% at W=64) and the
-  downstream region-growing is robust to a missing neighbor edge.
+  this approximate: neighbor-set recall vs the brute-force oracle is
+  ~0.78 at W=32 / ~0.83 at W=64 on sparse surface scans (tests pin the
+  floor) — the limit is surface-in-volume curve dimensionality, not
+  curve choice (Hilbert measures the same).  The downstream region
+  growing tolerates missing edges (window + global merges reconnect),
+  and ground-truth segmentation agreement stays at 0.95+ on dense
+  scans.  (Measured dead ends, so nobody re-tries them: a Hilbert
+  order changes recall by <1 point, and a dual-pass union over a
+  second axis interleave buys only ~+1.7 points for 2× cost — the
+  misses of different space-filling curves correlate on surfaces.)
 
 Matching the reference layout, slot 0 of each neighbor list is the
 query point itself (Open3D returns self as the nearest neighbor;
