@@ -27,10 +27,21 @@ def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """1-D mesh over the ``points`` axis."""
+    """1-D mesh over the ``points`` axis.
+
+    Raises when fewer than ``n_devices`` devices exist — silently
+    truncating would turn an "8-device" run into a 1-device one.
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise RuntimeError(
+                    f"requested a {n_devices}-device mesh but only "
+                    f"{len(devices)} devices are visible "
+                    f"({devices[0].platform}); for a virtual CPU mesh "
+                    "set XLA_FLAGS=--xla_force_host_platform_device_count"
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=(POINTS_AXIS,))
 

@@ -45,6 +45,30 @@ class PlyError(ValueError):
     pass
 
 
+def _native_failed(op: str, exc: Exception) -> None:
+    """A native-codec *crash* (not a deliberate unsupported-feature
+    fallback) must be visible: warn once per process, and re-raise
+    under ``BST_NATIVE_STRICT=1`` so CI catches regressions."""
+    import os
+    import warnings
+
+    if os.environ.get("BST_NATIVE_STRICT"):
+        raise RuntimeError(f"native PLY codec failed during {op}") from exc
+    global _warned_native
+    if not _warned_native:
+        _warned_native = True
+        warnings.warn(
+            f"native PLY codec raised during {op} "
+            f"({type(exc).__name__}: {exc}); using the numpy fallback. "
+            "Set BST_NATIVE_STRICT=1 to make this fatal.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+_warned_native = False
+
+
 @dataclasses.dataclass
 class HostPointCloud:
     """Host-side mirror of the device PointBatch (numpy, unpadded).
@@ -111,8 +135,8 @@ def read_ply(
             out = read_ply_native(path, position_scale)
             if out is not None:
                 return out
-        except Exception:
-            pass
+        except Exception as e:
+            _native_failed("read", e)
     with open(path, "rb") as f:
         data = f.read()
     return read_ply_bytes(data, position_scale, position_names)
@@ -295,8 +319,8 @@ def write_ply(
 
             if write_ply_native(cloud, path, position_scale, position_offset):
                 return
-        except Exception:
-            pass
+        except Exception as e:
+            _native_failed("write", e)
     with open(path, "wb") as f:
         f.write(
             write_ply_bytes(

@@ -21,21 +21,36 @@ _lib = None
 _tried = False
 
 
+def _stale() -> bool:
+    """The .so must be rebuilt when sources are newer (a stale or
+    foreign-ISA binary must never shadow ply_codec.cpp changes)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for src in ("ply_codec.cpp", "Makefile"):
+        p = os.path.join(_HERE, src)
+        if os.path.exists(p) and os.path.getmtime(p) > so_mtime:
+            return True
+    return False
+
+
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    if _stale():
         try:
             subprocess.run(
-                ["make", "-C", _HERE],
+                ["make", "-B", "-C", _HERE],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
         except Exception:
             return None
+    if not os.path.exists(_LIB_PATH):
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -87,6 +102,12 @@ def read_ply_native(path: str, position_scale: float = 1.0):
     n = count.value
     has_colors = bool(flags.value & 1)
     has_refl = bool(flags.value & 2)
+    if flags.value & (4 | 8):
+        # frameindex/laserangle present: this fast path does not extract
+        # them — defer to the numpy parser so the attributes survive to
+        # the output PLY (the reference container carries both,
+        # tmc3/PCCPointSet.h:604-613)
+        return None
     pos = np.zeros((max(n, 1), 3), np.int32)
     col = np.zeros((max(n, 1), 3), np.uint16) if has_colors else None
     refl = np.zeros((max(n, 1),), np.uint16) if has_refl else None

@@ -37,6 +37,7 @@ enum PropKind : int32_t {
   PROP_BLUE,
   PROP_REFLECTANCE,
   PROP_FRAMEINDEX,
+  PROP_LASERANGLE,
 };
 
 struct Prop {
@@ -108,6 +109,9 @@ PropKind classify(const char* name, int size, char code) {
       return PROP_REFLECTANCE;
     if (!std::strcmp(name, "frameindex")) return PROP_FRAMEINDEX;
   }
+  // any type: the fast path only needs to *detect* it so the binding
+  // can defer to the attribute-preserving numpy parser
+  if (!std::strcmp(name, "laserangle")) return PROP_LASERANGLE;
   return PROP_OTHER;
 }
 
@@ -209,7 +213,10 @@ inline double read_scalar(const uint8_t* p, int size, char code, bool swap) {
 extern "C" {
 
 // Inspect the file: returns 0 on success and fills counts/flags.
-// flags bit0: has_colors, bit1: has_reflectance, bit2: has_frameindex
+// flags bit0: has_colors, bit1: has_reflectance, bit2: has_frameindex,
+// bit3: has_laserangle.  Bits 2/3 mark attributes this fast path does
+// not extract — the Python binding falls back to the numpy parser so
+// they are never silently dropped.
 int bst_ply_info(const char* path, int64_t* count, int32_t* flags) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
@@ -217,15 +224,18 @@ int bst_ply_info(const char* path, int64_t* count, int32_t* flags) {
   std::fclose(f);
   if (!h.ok) return -2;
   *count = h.vertex_count;
-  bool r = false, g = false, b = false, refl = false, fi = false;
+  bool r = false, g = false, b = false, refl = false, fi = false,
+       la = false;
   for (const auto& p : h.props) {
     if (p.kind == PROP_RED) r = true;
     if (p.kind == PROP_GREEN) g = true;
     if (p.kind == PROP_BLUE) b = true;
     if (p.kind == PROP_REFLECTANCE) refl = true;
     if (p.kind == PROP_FRAMEINDEX) fi = true;
+    if (p.kind == PROP_LASERANGLE) la = true;
   }
-  *flags = ((r && g && b) ? 1 : 0) | (refl ? 2 : 0) | (fi ? 4 : 0);
+  *flags = ((r && g && b) ? 1 : 0) | (refl ? 2 : 0) | (fi ? 4 : 0) |
+           (la ? 8 : 0);
   return 0;
 }
 
@@ -250,13 +260,23 @@ int bst_ply_read(const char* path, double scale, int32_t* pos_out,
     buf[got] = '\0';
     std::fclose(f);
     char* p = buf.data();
+    char* bufend = buf.data() + got;
     const int np = (int)h.props.size();
     for (int64_t i = 0; i < n; ++i) {
+      // one record per line, like the reference's getline loop
+      // (tmc3/ply.cpp:395-429): a short line is a parse error, not a
+      // silent misalignment of every following column
+      while (p < bufend &&
+             (*p == '\n' || *p == '\r' || *p == ' ' || *p == '\t'))
+        ++p;
+      if (p >= bufend) return -3;  // fewer records than declared
+      char* eol = (char*)std::memchr(p, '\n', bufend - p);
+      if (eol == nullptr) eol = bufend;
       for (int a = 0; a < np; ++a) {
         char* next = nullptr;
         double v = std::strtod(p, &next);
-        if (next == p) {  // ran out of data: leave remaining rows zeroed
-          return 0;
+        if (next == p || next > eol) {
+          return -3;  // short line: defer to the strict numpy parser
         }
         p = next;
         switch (h.props[a].kind) {
@@ -278,6 +298,7 @@ int bst_ply_read(const char* path, double scale, int32_t* pos_out,
           default: break;
         }
       }
+      p = eol;  // ignore any extra tokens on the line
     }
     return 0;
   }

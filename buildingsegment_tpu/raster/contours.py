@@ -109,7 +109,13 @@ def trace_external_contours(binary: np.ndarray) -> List[np.ndarray]:
     contour per component (RETR_EXTERNAL).  Collinear runs are
     compressed to their endpoints (CHAIN_APPROX_SIMPLE equivalent).
     """
-    from scipy import ndimage
+    try:
+        from scipy import ndimage
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "contour extraction needs scipy (pip install "
+            "'buildingsegment-tpu[contours]')"
+        ) from e
 
     labeled, num = ndimage.label(binary, structure=np.ones((3, 3), int))
     contours = []

@@ -100,3 +100,101 @@ class TestNativeParity:
         pc = read_ply_native(p, 1.0)
         np.testing.assert_array_equal(pc.positions, [[1, 2, 3]])
         assert pc.colors is None
+
+
+class TestNativeFallbackDiscipline:
+    """The fast path must *defer*, never silently drop or misalign."""
+
+    def test_frameindex_defers_to_numpy(self, tmp_path):
+        # native codec does not extract frameindex → must return None so
+        # read_ply keeps the attribute via the numpy parser
+        text = (
+            b"ply\nformat ascii 1.0\nelement vertex 2\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"property uint8 frameindex\nend_header\n"
+            b"1 2 3 7\n4 5 6 9\n"
+        )
+        p = str(tmp_path / "fi.ply")
+        open(p, "wb").write(text)
+        assert read_ply_native(p, 1.0) is None
+        from buildingsegment_tpu.io.ply import read_ply
+
+        pc = read_ply(p, position_scale=1.0)
+        np.testing.assert_array_equal(pc.frame_idx, [7, 9])
+
+    def test_laserangle_defers_to_numpy(self, tmp_path):
+        text = (
+            b"ply\nformat ascii 1.0\nelement vertex 1\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"property float laserangle\nend_header\n"
+            b"1 2 3 -4.5\n"
+        )
+        p = str(tmp_path / "la.ply")
+        open(p, "wb").write(text)
+        assert read_ply_native(p, 1.0) is None
+
+    def test_ascii_short_line_fails_not_misaligns(self, tmp_path):
+        # a record with fewer values than declared properties must be a
+        # parse error (like the numpy path / the reference), never a
+        # silent column shift
+        text = (
+            b"ply\nformat ascii 1.0\nelement vertex 3\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"end_header\n1 2 3\n4 5\n7 8 9\n"
+        )
+        p = str(tmp_path / "short.ply")
+        open(p, "wb").write(text)
+        assert read_ply_native(p, 1.0) is None
+
+    def test_ascii_extra_tokens_ignored(self, tmp_path):
+        text = (
+            b"ply\nformat ascii 1.0\nelement vertex 2\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"end_header\n1 2 3 999\n4 5 6\n"
+        )
+        p = str(tmp_path / "extra.ply")
+        open(p, "wb").write(text)
+        pc = read_ply_native(p, 1.0)
+        np.testing.assert_array_equal(pc.positions, [[1, 2, 3], [4, 5, 6]])
+
+    def test_strict_mode_reraises(self, tmp_path, monkeypatch):
+        # BST_NATIVE_STRICT=1 turns a native-codec crash into an error
+        import buildingsegment_tpu.io.ply as plymod
+
+        def boom(path, scale):
+            raise RuntimeError("synthetic native crash")
+
+        import buildingsegment_tpu.native.binding as binding
+
+        monkeypatch.setattr(binding, "read_ply_native", boom)
+        monkeypatch.setenv("BST_NATIVE_STRICT", "1")
+        text = (
+            b"ply\nformat ascii 1.0\nelement vertex 1\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"end_header\n1 2 3\n"
+        )
+        p = str(tmp_path / "s.ply")
+        open(p, "wb").write(text)
+        with pytest.raises(RuntimeError, match="native PLY codec failed"):
+            plymod.read_ply(p, position_scale=1.0)
+
+    def test_crash_falls_back_with_warning(self, tmp_path, monkeypatch):
+        import buildingsegment_tpu.io.ply as plymod
+        import buildingsegment_tpu.native.binding as binding
+
+        def boom(path, scale):
+            raise RuntimeError("synthetic native crash")
+
+        monkeypatch.setattr(binding, "read_ply_native", boom)
+        monkeypatch.delenv("BST_NATIVE_STRICT", raising=False)
+        monkeypatch.setattr(plymod, "_warned_native", False)
+        text = (
+            b"ply\nformat ascii 1.0\nelement vertex 1\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"end_header\n1 2 3\n"
+        )
+        p = str(tmp_path / "w.ply")
+        open(p, "wb").write(text)
+        with pytest.warns(RuntimeWarning, match="numpy fallback"):
+            pc = plymod.read_ply(p, position_scale=1.0)
+        np.testing.assert_array_equal(pc.positions, [[1, 2, 3]])
