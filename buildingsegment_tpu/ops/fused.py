@@ -28,7 +28,7 @@ __all__ = ["knn_normals_window_sorted"]
 _INF = jnp.float32(jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "window"))
+@functools.partial(jax.jit, static_argnames=("k", "window", "axis_name"))
 def knn_normals_window_sorted(
     spos: jax.Array,
     smask: jax.Array,
@@ -37,6 +37,7 @@ def knn_normals_window_sorted(
     window: int = 64,
     radius: float = 100.0,
     orient_z: bool = True,
+    axis_name: str = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One fused sweep → (neigh_idx, neigh_sq_dist, normals, curvature).
 
@@ -46,6 +47,10 @@ def knn_normals_window_sorted(
         k: neighbors INCLUDING self at slot 0 (2·window ≥ k−1).
         window: half-width of the candidate window.
         radius: normal-estimation neighborhood radius.
+        axis_name: when running inside ``shard_map`` over Morton-range
+            shards, the mesh axis — window padding comes from a
+            ppermute halo exchange instead of constant sentinels, and
+            neighbor indices are returned in the GLOBAL sorted frame.
 
     Returns sorted-frame neighbor indices/distances (slot 0 = self) and
     unit normals (+Z oriented) with curvature.
@@ -55,17 +60,25 @@ def knn_normals_window_sorted(
         raise ValueError(f"window {window} too small for k={k}")
     w2 = 2 * window
 
-    pad_val = jnp.float32(-3e7)
-    ppos = jnp.concatenate(
-        [
-            jnp.full((window, 3), pad_val, jnp.float32),
-            spos.astype(jnp.float32),
-            jnp.full((window, 3), pad_val, jnp.float32),
-        ]
-    )
-    pmask = jnp.concatenate(
-        [jnp.zeros(window, bool), smask, jnp.zeros(window, bool)]
-    )
+    if axis_name is not None:
+        from buildingsegment_tpu.dist.halo import halo_pad
+
+        ppos = halo_pad(spos.astype(jnp.float32), window, axis_name)
+        pmask = halo_pad(smask, window, axis_name)
+        row_base = lax.axis_index(axis_name).astype(jnp.int32) * n
+    else:
+        pad_val = jnp.float32(-3e7)
+        ppos = jnp.concatenate(
+            [
+                jnp.full((window, 3), pad_val, jnp.float32),
+                spos.astype(jnp.float32),
+                jnp.full((window, 3), pad_val, jnp.float32),
+            ]
+        )
+        pmask = jnp.concatenate(
+            [jnp.zeros(window, bool), smask, jnp.zeros(window, bool)]
+        )
+        row_base = jnp.int32(0)
     base = spos.astype(jnp.float32)
     r2 = jnp.float32(radius) * jnp.float32(radius)
 
@@ -118,7 +131,7 @@ def knn_normals_window_sorted(
     neg_top, arg = lax.top_k(-d_all.T, k - 1)
     nb_d = -neg_top
     off = jnp.where(arg < window, arg - window, arg - window + 1)
-    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0) + row_base
     nb_i = rows + off
     invalid = jnp.isinf(nb_d)
     nb_i = jnp.where(invalid, rows, nb_i)

@@ -41,6 +41,7 @@ from buildingsegment_tpu.ops.normals import canonicalize_normals
 from buildingsegment_tpu.seg.region_grow import (
     SegmentationResult,
     segment_planes,
+    window_seeds,
 )
 
 __all__ = ["segment_planes_multigrid"]
@@ -58,6 +59,7 @@ __all__ = ["segment_planes_multigrid"]
         "refine_sweeps",
         "convergence_tol",
         "levels",
+        "axis_name",
     ),
 )
 def segment_planes_multigrid(
@@ -82,13 +84,36 @@ def segment_planes_multigrid(
     refine_sweeps: int = 2,
     levels: int = 1,
     seed_override=None,
+    axis_name: str = None,
 ) -> SegmentationResult:
     """Multigrid windowized plane segmentation (Morton-sorted input).
 
     Same contract as :func:`segment_planes` with ``propagation="window"``;
-    ``group`` is the coarsening factor (must divide N).
+    ``group`` is the coarsening factor (must divide N).  With
+    ``axis_name`` (inside shard_map over Morton-range shards) the
+    coarsening/refinement stay shard-local with ppermute halo slices,
+    and the coarse solve + plane-table finalization use collective
+    (psum/pmin) label resolution — see :func:`segment_planes`.
     """
     n, k = neigh_idx.shape
+    if axis_name is not None:
+        from buildingsegment_tpu.dist.halo import halo_pad as _halo
+
+        def _pad_rows(a, fill, w):
+            return _halo(a, w, axis_name)
+
+        def _psum(x):
+            return lax.psum(x, axis_name)
+
+    else:
+
+        def _pad_rows(a, fill, w):
+            f = jnp.full((w,) + a.shape[1:], fill, a.dtype)
+            return jnp.concatenate([f, a, f])
+
+        def _psum(x):
+            return x
+
     if n % group:
         raise ValueError(f"N={n} must be a multiple of group={group}")
     ng = n // group
@@ -132,55 +157,23 @@ def segment_planes_multigrid(
     )
     gmask = (cnt > 0) & coherent
 
-    # coarse seed rule: the group contains a strict fine-level seed.
-    # The depth-0 rule ("every one of the k−1 nearest neighbors passes
-    # the plane test") is re-expressed gather-free over window slices:
-    # a point is a seed iff NO window candidate within its k-th NN
-    # radius fails the test — identical to the graph formulation when
-    # the graph itself came from the same window, and it avoids the
-    # [N,K,3] neighbor gathers that would dominate this stage.
+    # coarse seed rule: the group contains a strict fine-level seed
+    # (the gather-free windowized depth-0 rule — see window_seeds)
     if neigh_sq_dist is not None:
         dk = neigh_sq_dist[:, k - 1]  # squared k-th NN distance
     else:
         dk = jnp.full((n,), edge_gate * edge_gate, jnp.float32)
-    ws0 = window
-    pad3s = jnp.full((ws0, 3), -3e7, jnp.float32)
-    spos_p = jnp.concatenate([pad3s, pos, pad3s])
-    snrm_p = jnp.concatenate(
-        [jnp.zeros((ws0, 3), jnp.float32), nrm,
-         jnp.zeros((ws0, 3), jnp.float32)]
-    )
-    smask_p = jnp.concatenate(
-        [jnp.zeros(ws0, bool), mask, jnp.zeros(ws0, bool)]
-    )
-
-    def seed_offset(slot, bad):
-        start = jnp.where(slot < ws0, slot, slot + 1)
-        cpos = lax.dynamic_slice(spos_p, (start, 0), (n, 3))
-        cnrm = lax.dynamic_slice(snrm_p, (start, 0), (n, 3))
-        cmask_ = lax.dynamic_slice(smask_p, (start,), (n,))
-        diff = cpos - pos
-        d2 = jnp.sum(diff * diff, -1)
-        in_ball = (d2 <= dk) & cmask_ & mask
-        pd = jnp.abs(jnp.sum(diff * nrm, -1))
-        pc_ = cmag(jnp.sum(cnrm * nrm, -1))
-        fails = in_ball & ~((pd <= th_thickness) & (pc_ >= th_normal_cos))
-        return bad | fails
-
     if seed_override is not None:
         fine_seed = seed_override & mask
     else:
-        s_unroll = 8 if (2 * ws0) % 8 == 0 else 1
-
-        def seed_chunk(ci, bad):
-            for u in range(s_unroll):
-                bad = seed_offset(ci * s_unroll + u, bad)
-            return bad
-
-        bad = lax.fori_loop(
-            0, (2 * ws0) // s_unroll, seed_chunk, jnp.zeros((n,), bool)
+        fine_seed = window_seeds(
+            pos, nrm, mask, dk,
+            window=window,
+            th_thickness=th_thickness,
+            th_normal_cos=th_normal_cos,
+            signed_normals=signed_normals,
+            axis_name=axis_name,
         )
-        fine_seed = mask & ~bad
     if curvature is not None and th_seed_curvature is not None:
         fine_seed = fine_seed & (curvature <= jnp.float32(th_seed_curvature))
     gseed = jnp.any(fine_seed.reshape(ng, group), axis=1) & gmask
@@ -213,6 +206,7 @@ def segment_planes_multigrid(
             group=group,
             refine_sweeps=refine_sweeps,
             levels=levels - 1,
+            axis_name=axis_name,
         )
     else:
         coarse = segment_planes(
@@ -232,6 +226,7 @@ def segment_planes_multigrid(
             signed_normals=signed_normals,
             propagation="window",
             window=window,
+            axis_name=axis_name,
         )
 
     # ------------------------------------------------------------------
@@ -257,13 +252,8 @@ def segment_planes_multigrid(
 
     # windowized sweeps: adopt the min accepting plane id of nearby rows
     ws = window
-    pmask_w = jnp.concatenate(
-        [jnp.zeros(ws, bool), mask, jnp.zeros(ws, bool)]
-    )
-    ppos_w = jnp.concatenate(
-        [jnp.full((ws, 3), -3e7, jnp.float32), pos,
-         jnp.full((ws, 3), -3e7, jnp.float32)]
-    )
+    pmask_w = _pad_rows(mask, False, ws)
+    ppos_w = _pad_rows(pos, -3e7, ws)
     big_pid = jnp.int32(max_planes + 1)
 
     def sweep(pid):
@@ -274,12 +264,9 @@ def segment_planes_multigrid(
         t = jnp.clip(pid - 1, 0, max_planes - 1)
         mcp = jnp.where(has[:, None], pc[t], 0.0)
         mnp = jnp.where(has[:, None], pn[t], 0.0)
-        ppid = jnp.concatenate(
-            [jnp.zeros(ws, jnp.int32), pid, jnp.zeros(ws, jnp.int32)]
-        )
-        pad3 = jnp.zeros((ws, 3), jnp.float32)
-        pmcp = jnp.concatenate([pad3, mcp, pad3])
-        pmnp = jnp.concatenate([pad3, mnp, pad3])
+        ppid = _pad_rows(pid, 0, ws)
+        pmcp = _pad_rows(mcp, 0.0, ws)
+        pmnp = _pad_rows(mnp, 0.0, ws)
 
         def one_offset(slot, best):
             start = jnp.where(slot < ws, slot, slot + 1)
@@ -324,6 +311,7 @@ def segment_planes_multigrid(
     counts = jnp.zeros((max_planes + 1,), jnp.int32).at[
         jnp.where(mask, pid, 0)
     ].add(jnp.where(mask, 1, 0))
+    counts = _psum(counts)  # global member counts when sharded
     keep = counts > th_point_count  # by old plane id; id 0 irrelevant
     keep = keep.at[0].set(False)
     rank = jnp.cumsum(keep.astype(jnp.int32))  # inclusive, over old ids
@@ -338,11 +326,13 @@ def segment_planes_multigrid(
     payload = jnp.concatenate(
         [jnp.ones((n, 1), jnp.float32), cn, pos], axis=1
     )
-    acc2 = (
-        jnp.zeros((max_planes + 1, 7), jnp.float32)
-        .at[seg]
-        .add(jnp.where((new_id > 0)[:, None], payload, 0.0))
-    )[:max_planes]
+    acc2 = _psum(
+        (
+            jnp.zeros((max_planes + 1, 7), jnp.float32)
+            .at[seg]
+            .add(jnp.where((new_id > 0)[:, None], payload, 0.0))
+        )[:max_planes]
+    )
     cnt2 = acc2[:, 0].astype(jnp.int32)
     sum_n2 = acc2[:, 1:4]
     sum_p2 = acc2[:, 4:7]

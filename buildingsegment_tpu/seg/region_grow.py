@@ -53,7 +53,88 @@ from jax import lax
 
 from buildingsegment_tpu.ops.normals import canonicalize_normals
 
-__all__ = ["segment_planes", "SegmentationResult"]
+__all__ = ["segment_planes", "window_seeds", "SegmentationResult"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "signed_normals", "axis_name"),
+)
+def window_seeds(
+    positions: jax.Array,
+    normals: jax.Array,
+    mask: jax.Array,
+    kth_sq_dist: jax.Array,
+    *,
+    window: int = 16,
+    th_thickness: float = 300.0,
+    th_normal_cos: float = 0.88,
+    signed_normals: bool = False,
+    axis_name: str = None,
+) -> jax.Array:
+    """Strict depth-0 seed rule over ±window slices, gather-free.
+
+    The reference's rule ("every one of the k−1 nearest neighbors
+    passes the plane test", tmc3/my_function.cpp:238) re-expressed on a
+    Morton-sorted cloud: point i is a seed iff NO window candidate
+    within its k-th-NN radius fails the test — identical to the graph
+    formulation when the graph came from the same window, without the
+    [N, K, 3] gathers.
+
+    Args:
+        positions: float/int [N, 3] Morton-sorted.
+        normals: float32[N, 3].
+        mask: bool[N].
+        kth_sq_dist: float32[N] squared k-th NN distance (the ball).
+        axis_name: shard_map mesh axis for halo-exchanged padding.
+
+    Returns bool[N] seed mask.
+    """
+    n = positions.shape[0]
+    pos = positions.astype(jnp.float32)
+    nrm = normals.astype(jnp.float32)
+    cmag = (lambda x: x) if signed_normals else jnp.abs
+    ws = window
+
+    if axis_name is not None:
+        from buildingsegment_tpu.dist.halo import halo_pad
+
+        spos_p = halo_pad(pos, ws, axis_name)
+        snrm_p = halo_pad(nrm, ws, axis_name)
+        smask_p = halo_pad(mask, ws, axis_name)
+    else:
+        pad3 = jnp.full((ws, 3), -3e7, jnp.float32)
+        spos_p = jnp.concatenate([pad3, pos, pad3])
+        z3 = jnp.zeros((ws, 3), jnp.float32)
+        snrm_p = jnp.concatenate([z3, nrm, z3])
+        smask_p = jnp.concatenate(
+            [jnp.zeros(ws, bool), mask, jnp.zeros(ws, bool)]
+        )
+
+    def seed_offset(slot, bad):
+        start = jnp.where(slot < ws, slot, slot + 1)
+        cpos = lax.dynamic_slice(spos_p, (start, 0), (n, 3))
+        cnrm = lax.dynamic_slice(snrm_p, (start, 0), (n, 3))
+        cmask_ = lax.dynamic_slice(smask_p, (start,), (n,))
+        diff = cpos - pos
+        d2 = jnp.sum(diff * diff, -1)
+        in_ball = (d2 <= kth_sq_dist) & cmask_ & mask
+        pd = jnp.abs(jnp.sum(diff * nrm, -1))
+        pc_ = cmag(jnp.sum(cnrm * nrm, -1))
+        fails = in_ball & ~((pd <= th_thickness) & (pc_ >= th_normal_cos))
+        return bad | fails
+
+    unroll = 8 if (2 * ws) % 8 == 0 else 1
+
+    def seed_chunk(ci, bad):
+        for u in range(unroll):
+            bad = seed_offset(ci * unroll + u, bad)
+        return bad
+
+    bad = lax.fori_loop(
+        0, (2 * ws) // unroll, seed_chunk, jnp.zeros((n,), bool)
+    )
+    return mask & ~bad
 
 
 @jax.tree_util.register_dataclass
@@ -82,7 +163,7 @@ class SegmentationResult:
     jax.jit,
     static_argnames=(
         "th_point_count", "max_planes", "max_sweeps", "signed_normals",
-        "propagation", "window", "convergence_tol",
+        "propagation", "window", "convergence_tol", "axis_name",
     ),
 )
 def segment_planes(
@@ -105,6 +186,7 @@ def segment_planes(
     signed_normals: bool = False,
     propagation: str = "graph",
     window: int = 16,
+    axis_name: str = None,
 ) -> SegmentationResult:
     """Segment a point cloud into planar regions.
 
@@ -113,14 +195,44 @@ def segment_planes(
         normals: float32[N, 3] unit normals (oriented).
         neigh_idx: int32[N, K] kNN graph, self at slot 0.
         mask: bool[N] validity.
+        axis_name: when running inside ``shard_map`` over Morton-range
+            point shards, the mesh axis.  The label space becomes
+            global: per-label statistics become a psum'd table, the
+            merge parent a pmin'd table, and the ±window slice sweeps
+            read ppermute-exchanged halo rows (SURVEY.md §2.5's
+            collective label resolution).  Requires
+            ``propagation="window"`` and an explicit ``seed_override``
+            (the gather-based kNN-graph seed rule does not shard; use
+            :func:`window_seeds`).
 
     Returns:
-        :class:`SegmentationResult`.
+        :class:`SegmentationResult` — ``plane_idx`` is shard-local when
+        sharded; the plane table and ``num_planes`` are replicated.
     """
     n, k = neigh_idx.shape
     pos = positions.astype(jnp.float32)
     nrm = normals.astype(jnp.float32)
-    inf_label = jnp.int32(n)
+
+    if axis_name is not None:
+        if propagation != "window" or seed_override is None:
+            raise ValueError(
+                "sharded segment_planes requires propagation='window' "
+                "and seed_override (see window_seeds)"
+            )
+        num_shards = lax.axis_size(axis_name)
+        ng = n * num_shards  # global label space
+        base = lax.axis_index(axis_name).astype(jnp.int32) * n
+    else:
+        ng = n
+        base = jnp.int32(0)
+    inf_label = jnp.int32(ng)
+
+    def _allreduce(x, kind):
+        if axis_name is None:
+            return x
+        return (
+            lax.psum(x, axis_name) if kind == "sum" else lax.pmin(x, axis_name)
+        )
     # Orientation handling: the reference's signed cos test inherits the
     # ±Z orientation pathology on vertical walls (n_z ≈ ±noise flips
     # signs at random, splitting every wall into two anti-parallel
@@ -135,24 +247,28 @@ def segment_planes(
         cmag = jnp.abs
         sum_nrm_src = canonicalize_normals(nrm)
 
-    nb = neigh_idx[:, 1:]  # [N, K-1] real neighbor slots
-    nb_pos = pos[nb]  # [N, K-1, 3]
-    nb_nrm = nrm[nb]
-    nb_valid = mask[nb] & mask[:, None] & (nb != jnp.arange(n)[:, None])
-    # Approximate (Morton-window) graphs can contain long edges across
-    # Z-order discontinuities; a long edge between two coplanar-but-
-    # distant patches would bridge regions the reference's true-kNN
-    # edges never connect.  Gate edges by Euclidean length when the
-    # caller provides distances (true kNN edges are implicitly short).
-    if neigh_sq_dist is not None and max_edge_dist is not None:
-        nb_valid = nb_valid & (
-            neigh_sq_dist[:, 1:] <= jnp.float32(max_edge_dist) ** 2
-        )
+    # the kNN-graph machinery gathers [N, K-1] neighbor rows; the
+    # windowized path with caller-supplied seeds never touches it
+    need_graph = propagation != "window" or seed_override is None
+    if need_graph:
+        nb = neigh_idx[:, 1:]  # [N, K-1] real neighbor slots
+        nb_pos = pos[nb]  # [N, K-1, 3]
+        nb_nrm = nrm[nb]
+        nb_valid = mask[nb] & mask[:, None] & (nb != jnp.arange(n)[:, None])
+        # Approximate (Morton-window) graphs can contain long edges across
+        # Z-order discontinuities; a long edge between two coplanar-but-
+        # distant patches would bridge regions the reference's true-kNN
+        # edges never connect.  Gate edges by Euclidean length when the
+        # caller provides distances (true kNN edges are implicitly short).
+        if neigh_sq_dist is not None and max_edge_dist is not None:
+            nb_valid = nb_valid & (
+                neigh_sq_dist[:, 1:] <= jnp.float32(max_edge_dist) ** 2
+            )
 
-    # membership test of neighbor j against i's tangent plane
-    dist = jnp.abs(jnp.einsum("nkd,nd->nk", nb_pos - pos[:, None, :], nrm, precision=lax.Precision.HIGHEST))
-    cos = cmag(jnp.einsum("nkd,nd->nk", nb_nrm, nrm, precision=lax.Precision.HIGHEST))
-    fwd_ok = (dist <= th_thickness) & (cos >= th_normal_cos) & nb_valid
+        # membership test of neighbor j against i's tangent plane
+        dist = jnp.abs(jnp.einsum("nkd,nd->nk", nb_pos - pos[:, None, :], nrm, precision=lax.Precision.HIGHEST))
+        cos = cmag(jnp.einsum("nkd,nd->nk", nb_nrm, nrm, precision=lax.Precision.HIGHEST))
+        fwd_ok = (dist <= th_thickness) & (cos >= th_normal_cos) & nb_valid
 
     # 1. seed gating: ALL K-1 neighbors pass (depth-0 rule); optionally
     # also require low surface variation (the BASELINE north star's
@@ -171,8 +287,11 @@ def segment_planes(
     # 2. seed-anchored label propagation to a fixed point.
     # label[i] ∈ {seed indices} ∪ {inf}; acceptance of point t into
     # region L tests t against the seed plane (pos[L], nrm[L]).
-    idx_arange = jnp.arange(n, dtype=jnp.int32)
-    label0 = jnp.where(seed, idx_arange, inf_label)
+    # Labels live in the GLOBAL index space [0, ng); idx_arange spans it
+    # (replicated when sharded), gid are the local rows' global ids.
+    idx_arange = jnp.arange(ng, dtype=jnp.int32)
+    gid = base + jnp.arange(n, dtype=jnp.int32)
+    label0 = jnp.where(seed, gid, inf_label)
 
     def label_models(label):
         """Per-label mean plane model via segment reductions.
@@ -298,8 +417,11 @@ def segment_planes(
             >= th_normal_cos
         )
         cc = jnp.sum(c * c, -1)
+        # HIGHEST is mandatory: bf16 on mm-scale centroids puts ~4e7 mm²
+        # of noise on d2 vs a reach² bound of ~3.6e5 (CLAUDE.md)
         d2 = cc[:, None] + cc[None, :] - 2.0 * jnp.dot(
-            c, c.T, preferred_element_type=jnp.float32
+            c, c.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
         inplane2 = jnp.maximum(d2 - nrm_sep * nrm_sep, 0.0)
         # absolute term: regions within one edge-gate length merge even
@@ -387,18 +509,27 @@ def segment_planes(
         (max_edge_dist if max_edge_dist is not None else 2 * th_thickness) ** 2
     )
 
-    def _pad_rows(a, fill):
-        padshape = (ws,) + a.shape[1:]
-        f = jnp.full(padshape, fill, a.dtype)
-        return jnp.concatenate([f, a, f])
+    if axis_name is not None:
+        from buildingsegment_tpu.dist.halo import halo_pad
+
+        def _pad_rows(a, fill):
+            # halo rows come from the ring neighbors; global-edge shards
+            # get zeros, gated by the halo-exchanged mask exactly like
+            # the constant sentinel padding is
+            return halo_pad(a, ws, axis_name)
+
+    else:
+
+        def _pad_rows(a, fill):
+            padshape = (ws,) + a.shape[1:]
+            f = jnp.full(padshape, fill, a.dtype)
+            return jnp.concatenate([f, a, f])
 
     ppos_w = _pad_rows(pos, -3e7)
     pnrm_w = _pad_rows(nrm, 0.0)
-    pmask_w = jnp.concatenate(
-        [jnp.zeros(ws, bool), mask, jnp.zeros(ws, bool)]
-    )
+    pmask_w = _pad_rows(mask, False)
 
-    L = min(max_planes, n)
+    L = min(max_planes, ng)  # ng is static (lax.axis_size is an int)
 
     def window_body(label):
         """One fused iteration of windowized region growing.
@@ -419,9 +550,10 @@ def segment_planes(
           5. one [N] gather applies the collapsed parents.
         """
         valid = label < inf_label
-        tgt = jnp.where(valid, label, n)
+        tgt = jnp.where(valid, label, ng)
 
-        # 1. combined segment stats: [cnt, Σn(3), Σp(3), Σ|p|²]
+        # 1. combined segment stats: [cnt, Σn(3), Σp(3), Σ|p|²] over the
+        # global label space — per-shard partial scatters, one psum
         payload = jnp.concatenate(
             [
                 jnp.ones((n, 1), jnp.float32),
@@ -432,10 +564,11 @@ def segment_planes(
             axis=1,
         )
         acc = (
-            jnp.zeros((n + 1, 8), jnp.float32)
+            jnp.zeros((ng + 1, 8), jnp.float32)
             .at[tgt]
             .add(jnp.where(valid[:, None], payload, 0.0))
-        )[:n]
+        )[:ng]
+        acc = _allreduce(acc, "sum")
         cnt = acc[:, 0]
         safe_cnt = jnp.maximum(cnt, 1.0)[:, None]
         model_n = acc[:, 1:4] / safe_cnt
@@ -445,24 +578,22 @@ def segment_planes(
         model_n = model_n / ln
         model_c = acc[:, 4:7] / safe_cnt
 
-        # 2. compact live labels → [L] slots (cumsum rank, no sort)
+        # 2. compact live labels → [L] slots (cumsum rank, no sort) —
+        # replicated compute over the (replicated) stats table
         flag = cnt > 0
         rank = jnp.cumsum(flag.astype(jnp.int32))
-        slot_of = jnp.where(flag & (rank <= L), rank - 1, L)  # [n] by label
+        slot_of = jnp.where(flag & (rank <= L), rank - 1, L)  # [ng] by label
         top_lab = (
             jnp.full((L + 1,), 0, jnp.int32).at[slot_of].set(idx_arange)
         )[:L]
         live = (jnp.zeros((L + 1,), jnp.bool_).at[slot_of].set(flag))[:L]
 
         # 3. slice sweep: hop-min + merge-hook candidates
-        safe = jnp.clip(label, 0, n - 1)
+        safe = jnp.clip(label, 0, ng - 1)
         has = label < inf_label
         mpn = jnp.where(has[:, None], model_n[safe], 0.0)
         mpc = jnp.where(has[:, None], model_c[safe], 0.0)
-        plab = jnp.concatenate(
-            [jnp.full(ws, inf_label, jnp.int32), label,
-             jnp.full(ws, inf_label, jnp.int32)]
-        )
+        plab = _pad_rows(label, inf_label)
         pmpn = _pad_rows(mpn, 0.0)
         pmpc = _pad_rows(mpc, 0.0)
 
@@ -508,12 +639,14 @@ def segment_planes(
             (label, jnp.full((n,), inf_label, jnp.int32)),
         )
 
-        # 4a. hook window merges: parent[label] min= best  (one scatter)
+        # 4a. hook window merges: parent[label] min= best — per-shard
+        # partial scatter into the global parent table, one pmin
         parent = (
             jnp.concatenate([idx_arange, jnp.array([inf_label])])
-            .at[jnp.where(best < inf_label, label, n)]
+            .at[jnp.where(best < inf_label, label, ng)]
             .min(best)
-        )[:n]
+        )[:ng]
+        parent = _allreduce(parent, "min")
 
         # 4b. global coplanar-overlap pairs on the compact table
         tl_cnt = jnp.where(live, cnt[top_lab], 0.0)
@@ -541,8 +674,10 @@ def segment_planes(
             precision=lax.Precision.HIGHEST)
         )
         ccd = jnp.sum(c_tab * c_tab, -1)
+        # HIGHEST is mandatory here too (same mm-scale cancellation)
         d2 = ccd[:, None] + ccd[None, :] - 2.0 * jnp.dot(
-            c_tab, c_tab.T, preferred_element_type=jnp.float32
+            c_tab, c_tab.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
         inplane2 = jnp.maximum(d2 - nrm_sep * nrm_sep, 0.0)
         reach = 2.0 * (r_tab[:, None] + r_tab[None, :]) + jnp.sqrt(edge_gate2)
@@ -560,26 +695,28 @@ def segment_planes(
             ok_pair & (la != lb), jnp.minimum(la, lb), inf_label
         )
         row_min = jnp.min(pair_lo, axis=1)  # [L]
+        # replicated scatter (global pairs are identical on every shard)
         parent = (
             jnp.concatenate([parent, jnp.array([inf_label])])
-            .at[jnp.where(row_min < inf_label, top_lab, n)]
+            .at[jnp.where(row_min < inf_label, top_lab, ng)]
             .min(row_min)
-        )[:n]
+        )[:ng]
 
-        # 4c. collapse merge chains by jump-doubling over the FULL [n]
-        # label space.  (A compact [L]-space collapse is cheaper per
-        # round but early iterations have ~N live singleton labels, so
-        # capping participation at L slows convergence from ~8 to ~25
-        # iterations — a net loss.)
+        # 4c. collapse merge chains by jump-doubling over the FULL [ng]
+        # label space (replicated when sharded — the table is already
+        # globally consistent after the pmin).  (A compact [L]-space
+        # collapse is cheaper per round but early iterations have ~N
+        # live singleton labels, so capping participation at L slows
+        # convergence from ~8 to ~25 iterations — a net loss.)
         def jump(_, p):
-            return jnp.minimum(p, p[jnp.clip(p, 0, n - 1)])
+            return jnp.minimum(p, p[jnp.clip(p, 0, ng - 1)])
 
         parent_final = lax.fori_loop(0, 8, jump, parent)
 
         # 5. apply: one [N] gather
         return jnp.where(
             new < inf_label,
-            parent_final[jnp.clip(new, 0, n - 1)],
+            parent_final[jnp.clip(new, 0, ng - 1)],
             new,
         )
 
@@ -597,10 +734,14 @@ def segment_planes(
             new = global_merge(new)
         # convergence by change-count tolerance: the final sweeps of an
         # exact fixed point only relabel a handful of stragglers (which
-        # end up culled or absorbed either way) at full per-sweep cost
-        tol_count = jnp.int32(max(1, int(convergence_tol * n)))
-        changed = jnp.sum((new != label).astype(jnp.int32)) >= tol_count
-        return new, changed, it + 1
+        # end up culled or absorbed either way) at full per-sweep cost.
+        # The change count is summed across shards so every shard takes
+        # the same number of sweeps (while_loop must stay collective).
+        tol_count = jnp.int32(max(1, int(convergence_tol * ng)))
+        n_changed = _allreduce(
+            jnp.sum((new != label).astype(jnp.int32)), "sum"
+        )
+        return new, n_changed >= tol_count, it + 1
 
     def cond(state):
         _, changed, it = state
@@ -611,11 +752,13 @@ def segment_planes(
     )
     label = jnp.where(mask, label, inf_label)
 
-    # 5. cull small planes (strict >, my_function.cpp:199)
+    # 5. cull small planes (strict >, my_function.cpp:199) — counts are
+    # global (psum over shards)
     ones = (label < inf_label).astype(jnp.int32)
-    counts = jnp.zeros((n + 1,), jnp.int32).at[jnp.minimum(label, n)].add(ones)
-    surviving = counts[:n] > th_point_count  # indexed by seed label
-    keep = (label < inf_label) & surviving[jnp.clip(label, 0, n - 1)]
+    counts = jnp.zeros((ng + 1,), jnp.int32).at[jnp.minimum(label, ng)].add(ones)
+    counts = _allreduce(counts, "sum")
+    surviving = counts[:ng] > th_point_count  # indexed by seed label
+    keep = (label < inf_label) & surviving[jnp.clip(label, 0, ng - 1)]
     label = jnp.where(keep, label, inf_label)
 
     # 6. dense renumber in ascending seed order → ids 1..P
@@ -624,16 +767,17 @@ def segment_planes(
     is_plane_seed = surviving
     rank = jnp.cumsum(is_plane_seed.astype(jnp.int32))  # inclusive
     plane_id = jnp.where(
-        label < inf_label, rank[jnp.clip(label, 0, n - 1)], 0
+        label < inf_label, rank[jnp.clip(label, 0, ng - 1)], 0
     ).astype(jnp.int32)
     plane_idx = jnp.where(plane_id > 0, plane_id, -1)
     num_planes = jnp.sum(is_plane_seed.astype(jnp.int32))
 
-    # plane table (segment means) — fixed capacity max_planes
+    # plane table (segment means) — fixed capacity max_planes,
+    # psum-combined across shards when sharded
     seg = jnp.where(plane_id > 0, plane_id - 1, max_planes)  # [N]
     def seg_sum(values):
         z = jnp.zeros((max_planes + 1,) + values.shape[1:], values.dtype)
-        return z.at[seg].add(values)[:max_planes]
+        return _allreduce(z.at[seg].add(values)[:max_planes], "sum")
 
     cnt = seg_sum((plane_id > 0).astype(jnp.int32))
     sum_n = seg_sum(jnp.where((plane_id > 0)[:, None], sum_nrm_src, 0.0))

@@ -1,20 +1,38 @@
 """Distributed tests on the fake 8-device CPU mesh (SURVEY.md §4).
 
-The distributed correctness criterion: numerical identity between the
-single-device and 8-shard runs of the same pipeline.
+The distributed correctness criteria:
+  * numerical identity between the single-device and 8-shard runs of
+    the shard_map pipeline, and against the single-device production
+    path (same algorithm, no resharding artifacts);
+  * the compiled HLO of the sweep body contains NO all-gather — the
+    collectives are ppermute halo exchanges and psum/pmin table
+    reductions only (VERDICT round-1 item 2's done criterion).
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from buildingsegment_tpu.config import PipelineConfig
-from buildingsegment_tpu.dist.mesh import make_mesh, point_sharding
-from buildingsegment_tpu.dist.sharded import sharded_pipeline
+from buildingsegment_tpu.dist.mesh import POINTS_AXIS, make_mesh, point_sharding
+from buildingsegment_tpu.dist.sharded import sharded_pipeline, sharded_seg_body
 from buildingsegment_tpu.utils.synthetic import make_building_cloud
 
 CFG = PipelineConfig(normal_radius=1e6, pad_to_multiple=1024)
+# denser scan so walls clear the reference's >400-point cull
+DENSE_CFG = PipelineConfig(
+    normal_radius=1e6, pad_to_multiple=1024, th_point_count=100
+)
+
+
+def _padded(pts, cap):
+    pos = np.full((cap, 3), 2**24, np.int32)
+    pos[: len(pts)] = pts
+    mask = np.zeros(cap, bool)
+    mask[: len(pts)] = True
+    return pos, mask
 
 
 @pytest.fixture(scope="module")
@@ -22,10 +40,7 @@ def cloud():
     pts, truth = make_building_cloud(seed=11, spacing_mm=250.0, noise_mm=10.0)
     n = len(pts)
     cap = CFG.padded_count(n)
-    pos = np.full((cap, 3), 2**24, np.int32)
-    pos[:n] = pts
-    mask = np.zeros(cap, bool)
-    mask[:n] = True
+    pos, mask = _padded(pts, cap)
     return pos, mask, n
 
 
@@ -33,13 +48,36 @@ def test_eight_fake_devices_available():
     assert len(jax.devices()) == 8
 
 
+def test_make_mesh_refuses_truncation():
+    with pytest.raises(RuntimeError, match="9-device"):
+        make_mesh(9)
+
+
+def test_halo_pad_ring():
+    from buildingsegment_tpu.dist.halo import halo_pad
+
+    mesh = make_mesh(4)
+    x = jnp.arange(32, dtype=jnp.int32)
+
+    def body(xl):
+        return halo_pad(xl, 2, POINTS_AXIS)
+
+    out = jax.shard_map(
+        body, mesh=mesh, in_specs=P(POINTS_AXIS), out_specs=P(POINTS_AXIS),
+        check_vma=False,
+    )(x)
+    out = np.asarray(out).reshape(4, 12)
+    # shard 1 local rows 8..15: left halo = 6,7 right halo = 16,17
+    np.testing.assert_array_equal(out[1], [6, 7, *range(8, 16), 16, 17])
+    # global edges zero-filled
+    np.testing.assert_array_equal(out[0][:2], [0, 0])
+    np.testing.assert_array_equal(out[3][-2:], [0, 0])
+
+
 def test_sharded_matches_single_device(cloud):
     pos, mask, n = cloud
-    mesh8 = make_mesh(8)
-    mesh1 = make_mesh(1)
-
-    fn8 = sharded_pipeline(mesh8, CFG)
-    fn1 = sharded_pipeline(mesh1, CFG)
+    fn8 = sharded_pipeline(make_mesh(8), CFG)
+    fn1 = sharded_pipeline(make_mesh(1), CFG)
 
     s8, lo8, seg8 = fn8(jnp.asarray(pos), jnp.asarray(mask))
     s1, lo1, seg1 = fn1(jnp.asarray(pos), jnp.asarray(mask))
@@ -55,36 +93,65 @@ def test_sharded_matches_single_device(cloud):
     )
 
 
+def test_sharded_matches_production_single_device(cloud):
+    # the shard_map path must compute exactly what the single-device
+    # production path (window kNN + multigrid) computes
+    from buildingsegment_tpu.pipeline import run_device_pipeline
+
+    pos, mask, n = cloud
+    fn8 = sharded_pipeline(make_mesh(8), CFG)
+    _, _, seg8 = fn8(jnp.asarray(pos), jnp.asarray(mask))
+    _, _, seg = run_device_pipeline(
+        jnp.asarray(pos), jnp.asarray(mask),
+        k_search=16, knn_k=CFG.knn_k, normal_radius=CFG.normal_radius,
+        normal_max_nn=CFG.normal_max_nn, th_thickness=CFG.th_thickness,
+        th_normal_cos=CFG.th_normal_cos, th_point_count=CFG.th_point_count,
+        max_planes=CFG.max_planes, max_sweeps=CFG.max_sweeps,
+        knn_method="window", knn_window_size=CFG.knn_window,
+        convergence_tol=CFG.seg_convergence_tol,
+        seg_group=CFG.seg_group, seg_levels=CFG.seg_levels,
+        seg_refine_sweeps=CFG.seg_refine_sweeps,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(seg8.plane_idx), np.asarray(seg.plane_idx)
+    )
+    assert int(seg8.num_planes) == int(seg.num_planes)
+
+
 def test_sharded_output_sharding(cloud):
     pos, mask, n = cloud
-    mesh = make_mesh(8)
-    fn = sharded_pipeline(mesh, CFG)
+    fn = sharded_pipeline(make_mesh(8), CFG)
     shifted, lo, seg = fn(jnp.asarray(pos), jnp.asarray(mask))
-    # result is addressable and correct-shaped
     assert shifted.shape == pos.shape
     assert seg.plane_idx.shape == (pos.shape[0],)
 
 
-def test_window_mode_sharded_identity(cloud):
-    # the Morton-window fast path (the production large-scan path) must
-    # also be numerically identical across mesh sizes under GSPMD
-    pos, mask, n = cloud
-    cfg = PipelineConfig(
-        normal_radius=1e6, pad_to_multiple=1024, knn_method="window"
-    )
-    f8 = sharded_pipeline(make_mesh(8), cfg, capacity_hint=pos.shape[0])
-    f1 = sharded_pipeline(make_mesh(1), cfg, capacity_hint=pos.shape[0])
-    _, _, seg8 = f8(jnp.asarray(pos), jnp.asarray(mask))
-    _, _, seg1 = f1(jnp.asarray(pos), jnp.asarray(mask))
-    np.testing.assert_array_equal(
-        np.asarray(seg8.plane_idx), np.asarray(seg1.plane_idx)
-    )
-    assert int(seg8.num_planes) == int(seg1.num_planes)
-
-
-def test_finds_planes_sharded(cloud):
-    pos, mask, n = cloud
-    mesh = make_mesh(8)
-    fn = sharded_pipeline(mesh, CFG)
+def test_finds_planes_sharded():
+    pts, truth = make_building_cloud(seed=3, spacing_mm=150.0, noise_mm=8.0)
+    cap = DENSE_CFG.padded_count(len(pts))
+    pos, mask = _padded(pts, cap)
+    fn = sharded_pipeline(make_mesh(8), DENSE_CFG)
     _, _, seg = fn(jnp.asarray(pos), jnp.asarray(mask))
     assert int(seg.num_planes) >= 5
+
+
+def test_sweep_hlo_has_no_all_gather(cloud):
+    """The done criterion for the distribution layer (VERDICT item 2):
+    the compiled sweep body moves halo rows (collective-permute) and
+    label tables (all-reduce) — never a full-[N] all-gather."""
+    pos, mask, n = cloud
+    mesh = make_mesh(8)
+    body = sharded_seg_body(mesh, CFG)
+    spos = jax.ShapeDtypeStruct(
+        (pos.shape[0], 3), jnp.float32,
+        sharding=NamedSharding(mesh, P(POINTS_AXIS, None)),
+    )
+    smask = jax.ShapeDtypeStruct(
+        (pos.shape[0],), jnp.bool_,
+        sharding=NamedSharding(mesh, P(POINTS_AXIS)),
+    )
+    txt = jax.jit(body).lower(spos, smask).compile().as_text()
+    assert "all-gather" not in txt, "sweep body all-gathers point data"
+    # sanity: the collectives we DO expect are present
+    assert "collective-permute" in txt  # ppermute halo exchange
+    assert "all-reduce" in txt  # psum/pmin label tables
