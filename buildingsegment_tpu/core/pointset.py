@@ -38,12 +38,23 @@ class PointBatch:
         colors: optional uint16[N, 3] in internal (g, b, r) order.
         plane_idx: int32[N] — segmentation label; -1 = unlabeled; padding
             rows hold -1 and are excluded by ``mask``.
+        reflectances: optional uint16[N] (tmc3/PCCPointSet.h:606).
+        frame_idx: optional uint8[N] (tmc3/PCCPointSet.h:608).
+        laser_angles: optional int32[N] (tmc3/PCCPointSet.h:613).
+
+    The attribute arrays ride every gather/reorder so device-side
+    filtering or resorting can never desynchronize them from positions
+    (the reference's SoA container gives the same guarantee via
+    ``swapPoints``/``append``, tmc3/PCCPointSet.h:414-547).
     """
 
     positions: jax.Array
     mask: jax.Array
     colors: Optional[jax.Array] = None
     plane_idx: Optional[jax.Array] = None
+    reflectances: Optional[jax.Array] = None
+    frame_idx: Optional[jax.Array] = None
+    laser_angles: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:
@@ -66,6 +77,9 @@ class PointBatch:
         positions: np.ndarray,
         colors: Optional[np.ndarray] = None,
         capacity: Optional[int] = None,
+        reflectances: Optional[np.ndarray] = None,
+        frame_idx: Optional[np.ndarray] = None,
+        laser_angles: Optional[np.ndarray] = None,
     ) -> "PointBatch":
         """Build a padded batch from host arrays.
 
@@ -80,16 +94,36 @@ class PointBatch:
         pos[:n] = positions.astype(np.int32)
         mask = np.zeros((cap,), dtype=bool)
         mask[:n] = True
-        col = None
-        if colors is not None:
-            col = np.zeros((cap, 3), dtype=np.uint16)
-            col[:n] = colors.astype(np.uint16)
+
+        def _pad1(a, dtype):
+            if a is None:
+                return None
+            out = np.zeros((cap,) + a.shape[1:], dtype=dtype)
+            out[:n] = a.astype(dtype)
+            return jnp.asarray(out)
+
         plane_idx = np.full((cap,), -1, dtype=np.int32)
         return PointBatch(
             positions=jnp.asarray(pos),
             mask=jnp.asarray(mask),
-            colors=None if col is None else jnp.asarray(col),
+            colors=_pad1(colors, np.uint16),
             plane_idx=jnp.asarray(plane_idx),
+            reflectances=_pad1(reflectances, np.uint16),
+            frame_idx=_pad1(frame_idx, np.uint8),
+            laser_angles=_pad1(laser_angles, np.int32),
+        )
+
+    @staticmethod
+    def from_host_cloud(cloud, capacity: Optional[int] = None) -> "PointBatch":
+        """Build from an :class:`io.ply.HostPointCloud`, carrying every
+        attribute onto the device."""
+        return PointBatch.from_numpy(
+            cloud.positions,
+            colors=cloud.colors,
+            capacity=capacity,
+            reflectances=cloud.reflectances,
+            frame_idx=cloud.frame_idx,
+            laser_angles=cloud.laser_angles,
         )
 
     # ------------------------------------------------------------------
@@ -106,12 +140,20 @@ class PointBatch:
         return dataclasses.replace(self, plane_idx=plane_idx)
 
     def gather(self, order: jax.Array) -> "PointBatch":
-        """Reorder all per-point arrays by ``order`` (e.g. a Morton sort)."""
+        """Reorder ALL per-point arrays by ``order`` (e.g. a Morton sort).
+
+        Every optional attribute moves with its point — a reorder can
+        never desynchronize attributes from positions.
+        """
+        g = lambda a: None if a is None else a[order]
         return PointBatch(
             positions=self.positions[order],
             mask=self.mask[order],
-            colors=None if self.colors is None else self.colors[order],
-            plane_idx=None if self.plane_idx is None else self.plane_idx[order],
+            colors=g(self.colors),
+            plane_idx=g(self.plane_idx),
+            reflectances=g(self.reflectances),
+            frame_idx=g(self.frame_idx),
+            laser_angles=g(self.laser_angles),
         )
 
     # ------------------------------------------------------------------
@@ -122,10 +164,13 @@ class PointBatch:
         """Copy the valid prefix back to host numpy arrays."""
         mask = np.asarray(self.mask)
         out = {"positions": np.asarray(self.positions)[mask]}
-        if self.colors is not None:
-            out["colors"] = np.asarray(self.colors)[mask]
-        if self.plane_idx is not None:
-            out["plane_idx"] = np.asarray(self.plane_idx)[mask]
+        for name in (
+            "colors", "plane_idx", "reflectances", "frame_idx",
+            "laser_angles",
+        ):
+            v = getattr(self, name)
+            if v is not None:
+                out[name] = np.asarray(v)[mask]
         return out
 
 

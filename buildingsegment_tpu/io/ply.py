@@ -182,11 +182,24 @@ def read_ply_bytes(
             else:
                 in_vertex_element = False
         elif toks[0] == "property" and in_vertex_element:
+            # robustness extension: vertex-element list properties (from
+            # meshing tools) are tolerated and skipped.  The reference
+            # errors out on them ("corrupted property info",
+            # tmc3/ply.cpp:264-268 requires exactly 3 tokens) — we
+            # accept the file and ignore the data.
+            if len(toks) == 5 and toks[1] == "list":
+                # common meshing-tool aliases accepted here only
+                alias = {"int": "i4", "uint": "u4", "short": "i2",
+                         "ushort": "u2", **_TYPE_MAP}
+                if toks[2] not in alias or toks[3] not in alias:
+                    raise PlyError("unknown list property type")
+                props.append(
+                    (toks[4], ("list", alias[toks[2]], alias[toks[3]]))
+                )
+                continue
             if len(toks) != 3:
                 raise PlyError("corrupted property info")
             type_name, prop_name = toks[1], toks[2]
-            if type_name == "list":
-                raise PlyError("list property in vertex element unsupported")
             if type_name not in _TYPE_MAP:
                 raise PlyError(f"unknown property type {type_name!r}")
             props.append((prop_name, _TYPE_MAP[type_name]))
@@ -196,9 +209,17 @@ def read_ply_bytes(
         raise PlyError("non-supported version")
 
     names = [p[0] for p in props]
+    has_lists = any(isinstance(dt, tuple) for _, dt in props)
+    # scalar column index per property (list props occupy no column)
+    scalar_col = {}
+    for i, (_, dt) in enumerate(props):
+        if not isinstance(dt, tuple):
+            scalar_col[i] = len(scalar_col)
 
     def find(name, pred=lambda dt: True):
         for i, (n, dt) in enumerate(props):
+            if isinstance(dt, tuple):
+                continue  # skipped list property
             if n == name and pred(dt):
                 return i
         return None
@@ -221,8 +242,16 @@ def read_ply_bytes(
     with_colors = ir is not None and ig is not None and ib is not None
 
     if is_ascii:
-        table = _read_ascii_body(stream, point_count, len(props))
-        get = lambda i: table[:, i]
+        if has_lists:
+            table = _read_ascii_body_with_lists(stream, point_count, props)
+        else:
+            table = _read_ascii_body(stream, point_count, len(props))
+        get = lambda i: table[:, scalar_col[i]]
+    elif has_lists:
+        table = _read_binary_body_with_lists(
+            stream.read(), point_count, props, ">" if big_endian else "<"
+        )
+        get = lambda i: table[:, scalar_col[i]]
     else:
         order = ">" if big_endian else "<"
         rec_dtype = np.dtype(
@@ -274,6 +303,72 @@ def read_ply_bytes(
     )
 
 
+def _read_ascii_body_with_lists(
+    stream: _io.BytesIO, point_count: int, props: list
+) -> np.ndarray:
+    """Slow path: per-row token walk skipping list properties.
+
+    Only used for the rare vertex element carrying list properties —
+    a robustness extension beyond the reference (which errors out)."""
+    n_scalar = sum(1 for _, dt in props if not isinstance(dt, tuple))
+    table = np.zeros((point_count, n_scalar), dtype=np.float64)
+    row = 0
+    while row < point_count:
+        line = stream.readline()
+        if not line:
+            break
+        toks = _tokens(line)
+        if not toks:
+            continue
+        t = 0
+        col = 0
+        try:
+            for _, dt in props:
+                if isinstance(dt, tuple):
+                    cnt = int(float(toks[t]))
+                    t += 1 + cnt
+                else:
+                    table[row, col] = float(toks[t])
+                    t += 1
+                    col += 1
+        except IndexError:
+            raise PlyError("short data line") from None
+        row += 1
+    return table
+
+
+def _read_binary_body_with_lists(
+    body: bytes, point_count: int, props: list, order: str
+) -> np.ndarray:
+    """Slow path: per-row offset walk skipping list properties."""
+    n_scalar = sum(1 for _, dt in props if not isinstance(dt, tuple))
+    table = np.zeros((point_count, n_scalar), dtype=np.float64)
+    off = 0
+    size = len(body)
+    for row in range(point_count):
+        col = 0
+        for _, dt in props:
+            if isinstance(dt, tuple):
+                _, cnt_dt, item_dt = dt
+                cnt_np = np.dtype(order + cnt_dt)
+                if off + cnt_np.itemsize > size:
+                    return table  # truncated body tolerated, rest zero
+                cnt = int(
+                    np.frombuffer(body, cnt_np, count=1, offset=off)[0]
+                )
+                off += cnt_np.itemsize + cnt * np.dtype(item_dt).itemsize
+            else:
+                d = np.dtype(order + dt)
+                if off + d.itemsize > size:
+                    return table
+                table[row, col] = np.frombuffer(body, d, count=1, offset=off)[0]
+                off += d.itemsize
+                col += 1
+        if off > size:
+            return table
+    return table
+
+
 def _read_ascii_body(stream: _io.BytesIO, point_count: int, n_props: int) -> np.ndarray:
     rows = []
     while len(rows) < point_count:
@@ -312,6 +407,7 @@ def write_ply(
         and position_names == ("x", "y", "z")
         and cloud.reflectances is None
         and cloud.frame_idx is None
+        and cloud.laser_angles is None
         and not os.environ.get("BST_NO_NATIVE")
     ):
         try:
@@ -340,6 +436,7 @@ def write_ply_bytes(
     has_colors = cloud.colors is not None
     has_refl = cloud.reflectances is not None
     has_frame = cloud.frame_idx is not None
+    has_laser = cloud.laser_angles is not None
 
     header = ["ply"]
     if ascii:
@@ -361,6 +458,12 @@ def write_ply_bytes(
         header.append("property uint16 refc")
     if has_frame:
         header.append("property uint8 frameindex")
+    if has_laser:
+        # extension: the reference CONTAINER round-trips laser angles
+        # (tmc3/PCCPointSet.h:604-613) but its writer drops them
+        # (tmc3/ply.cpp:126-138 emits only colors/refc/frameindex); we
+        # preserve them so a read->write cycle is lossless
+        header.append("property int32 laserangle")
     header.append("element face 0")
     header.append("property list uint8 int32 vertex_index")
     header.append("end_header")
@@ -383,6 +486,9 @@ def write_ply_bytes(
         if has_frame:
             cols += [cloud.frame_idx]
             fmt += ["%d"]
+        if has_laser:
+            cols += [cloud.laser_angles]
+            fmt += ["%d"]
         fmt_str = " ".join(fmt)
         lines = "\n".join(
             fmt_str % tuple(vals) for vals in zip(*cols)
@@ -398,6 +504,8 @@ def write_ply_bytes(
         fields += [("refc", "<u2")]
     if has_frame:
         fields += [("fi", "<u2")]  # uint16 on the wire (tmc3/ply.cpp:178-181)
+    if has_laser:
+        fields += [("la", "<i4")]
     recs = np.zeros(n, dtype=np.dtype(fields))
     recs["x"], recs["y"], recs["z"] = pos[:, 0], pos[:, 1], pos[:, 2]
     if has_colors:
@@ -407,4 +515,6 @@ def write_ply_bytes(
         recs["refc"] = cloud.reflectances
     if has_frame:
         recs["fi"] = cloud.frame_idx.astype(np.uint16)
+    if has_laser:
+        recs["la"] = cloud.laser_angles.astype(np.int32)
     return head + recs.tobytes()

@@ -274,6 +274,7 @@ def segment_cloud(
         colors=colors,
         reflectances=cloud.reflectances,
         frame_idx=cloud.frame_idx,
+        laser_angles=cloud.laser_angles,
     )
     t3 = time.perf_counter()
     timings["colorize_host"] = t3 - t2

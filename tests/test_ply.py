@@ -191,3 +191,72 @@ class TestWrite:
         out = write_ply_bytes(pc)
         rt = read_ply_bytes(out)
         assert rt.count == 0
+
+
+class TestLaserAngleRoundTrip:
+    """laserangle is read AND written (the reference container carries
+    it, tmc3/PCCPointSet.h:604-613; its writer drops it — ours doesn't,
+    documented extension)."""
+
+    def test_binary_roundtrip(self, rng):
+        n = 50
+        cloud = HostPointCloud(
+            positions=rng.integers(-1000, 1000, size=(n, 3)).astype(np.int32),
+            laser_angles=rng.integers(-90, 91, size=(n,)).astype(np.int32),
+        )
+        data = write_ply_bytes(cloud)
+        assert b"property int32 laserangle" in data.split(b"end_header")[0]
+        rt = read_ply_bytes(data)
+        np.testing.assert_array_equal(rt.positions, cloud.positions)
+        np.testing.assert_array_equal(rt.laser_angles, cloud.laser_angles)
+
+    def test_ascii_roundtrip(self, rng):
+        n = 20
+        cloud = HostPointCloud(
+            positions=rng.integers(-100, 100, size=(n, 3)).astype(np.int32),
+            laser_angles=rng.integers(-90, 91, size=(n,)).astype(np.int32),
+        )
+        data = write_ply_bytes(cloud, ascii=True)
+        rt = read_ply_bytes(data)
+        np.testing.assert_array_equal(rt.laser_angles, cloud.laser_angles)
+
+
+class TestVertexListProperties:
+    """Vertex-element list properties are tolerated and skipped — a
+    robustness extension (the reference errors out on them: its header
+    parser requires exactly 3 tokens, tmc3/ply.cpp:264-268)."""
+
+    def test_ascii_list_skipped(self):
+        text = (
+            b"ply\nformat ascii 1.0\nelement vertex 2\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"property list uchar int vertex_samples\n"
+            b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            b"end_header\n"
+            b"1 2 3 2 77 88 10 20 30\n"
+            b"4 5 6 0 40 50 60\n"
+        )
+        pc = read_ply_bytes(text)
+        np.testing.assert_array_equal(pc.positions, [[1, 2, 3], [4, 5, 6]])
+        # colors internal (g, b, r)
+        np.testing.assert_array_equal(pc.colors, [[20, 30, 10], [50, 60, 40]])
+
+    def test_binary_list_skipped(self):
+        import struct
+
+        head = (
+            b"ply\nformat binary_little_endian 1.0\nelement vertex 2\n"
+            b"property float x\nproperty float y\nproperty float z\n"
+            b"property list uchar int32 idx\n"
+            b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            b"end_header\n"
+        )
+        row1 = struct.pack("<3f", 1, 2, 3) + struct.pack(
+            "<B2i", 2, 7, 8
+        ) + bytes([10, 20, 30])
+        row2 = struct.pack("<3f", 4, 5, 6) + struct.pack(
+            "<B", 0
+        ) + bytes([40, 50, 60])
+        pc = read_ply_bytes(head + row1 + row2)
+        np.testing.assert_array_equal(pc.positions, [[1, 2, 3], [4, 5, 6]])
+        np.testing.assert_array_equal(pc.colors, [[20, 30, 10], [50, 60, 40]])

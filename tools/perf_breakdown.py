@@ -1,0 +1,145 @@
+"""Per-stage TPU timing breakdown for the production pipeline.
+
+Times each piece of the window+multigrid path separately (steady-state,
+compile excluded) so optimization effort goes where the milliseconds
+are.  Run on the real chip:  python tools/perf_breakdown.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def timed(fn, reps=5):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from buildingsegment_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    from buildingsegment_tpu.config import PipelineConfig
+    from buildingsegment_tpu.core.morton import morton_argsort
+    from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
+    from buildingsegment_tpu.seg.coarse import segment_planes_multigrid
+    from buildingsegment_tpu.seg.region_grow import (
+        segment_planes,
+        window_seeds,
+    )
+    from buildingsegment_tpu.utils.synthetic import make_building_cloud
+
+    pts, _ = make_building_cloud(
+        seed=0, spacing_mm=25.0, width_mm=12_000.0, depth_mm=9_000.0,
+        wall_h_mm=6_000.0, ridge_h_mm=8_000.0, noise_mm=8.0,
+    )
+    n = len(pts)
+    cfg = PipelineConfig(pad_to_multiple=2048)
+    capacity = cfg.padded_count(n)
+    pos = np.full((capacity, 3), 2**24, np.int32)
+    pos[:n] = pts
+    mask = np.zeros(capacity, bool)
+    mask[:n] = True
+    pos_j, mask_j = jnp.asarray(pos), jnp.asarray(mask)
+    out = {"points": n, "capacity": capacity}
+
+    sort = jax.jit(morton_argsort)
+    out["morton_argsort_ms"] = timed(lambda: sort(pos_j, mask_j)) * 1e3
+    order = sort(pos_j, mask_j)
+
+    gather = jax.jit(lambda o: (pos_j[o].astype(jnp.float32), mask_j[o]))
+    out["sort_gather_ms"] = timed(lambda: gather(order)) * 1e3
+    sposf, smask = gather(order)
+    spos = pos_j[order]
+
+    out["fused_knn_normals_w64_ms"] = timed(
+        lambda: knn_normals_window_sorted(
+            sposf, smask, k=16, window=64, radius=100.0
+        )
+    ) * 1e3
+    nb_i, nb_d, normals, curv = knn_normals_window_sorted(
+        sposf, smask, k=16, window=64, radius=100.0
+    )
+    out["fused_knn_normals_w32_ms"] = timed(
+        lambda: knn_normals_window_sorted(
+            sposf, smask, k=16, window=32, radius=100.0
+        )
+    ) * 1e3
+
+    out["window_seeds_w16_ms"] = timed(
+        lambda: window_seeds(
+            sposf, normals, smask, nb_d[:, 15], window=16
+        )
+    ) * 1e3
+
+    # full multigrid (production: group=4, levels=2, refine=3)
+    def mg(**kw):
+        a = dict(
+            neigh_sq_dist=nb_d[:, :15], max_edge_dist=600.0,
+            th_point_count=400, max_planes=1024, window=16,
+            group=4, levels=2, refine_sweeps=3,
+        )
+        a.update(kw)
+        return segment_planes_multigrid(spos, normals, nb_i[:, :15], smask, **a)
+
+    out["multigrid_g4_l2_r3_ms"] = timed(lambda: mg()) * 1e3
+    res = mg()
+    out["mg_sweeps"] = int(res.num_sweeps)
+    out["mg_planes"] = int(res.num_planes)
+    out["multigrid_r0_ms"] = timed(lambda: mg(refine_sweeps=0)) * 1e3
+    out["multigrid_r1_ms"] = timed(lambda: mg(refine_sweeps=1)) * 1e3
+    out["multigrid_l1_ms"] = timed(lambda: mg(levels=1)) * 1e3
+    out["multigrid_g8_l1_ms"] = timed(lambda: mg(group=8, levels=1)) * 1e3
+    out["multigrid_g8_l2_ms"] = timed(lambda: mg(group=8, levels=2)) * 1e3
+
+    # the coarse solver alone at N/16 (what the recursion bottoms out in)
+    g = 16
+    ngc = capacity // g
+    gpos = (
+        jnp.where(smask[:, None], sposf, 0.0)
+        .reshape(ngc, g, 3)
+        .mean(axis=1)
+        .astype(jnp.int32)
+    )
+    gnrm = normals.reshape(ngc, g, 3).mean(axis=1)
+    gmask = smask.reshape(ngc, g).any(axis=1)
+    rows = jnp.arange(ngc, dtype=jnp.int32)[:, None]
+    gidx = jnp.concatenate([rows, rows], axis=1)
+    gseed = gmask
+
+    def coarse_solve():
+        return segment_planes(
+            gpos, gnrm, gidx, gmask, seed_override=gseed,
+            max_edge_dist=600.0, th_point_count=6, max_planes=1024,
+            propagation="window", window=16,
+        )
+
+    out["coarse_solve_n16_ms"] = timed(coarse_solve) * 1e3
+    out["coarse_solve_sweeps"] = int(coarse_solve().num_sweeps)
+
+    # unsort scatter
+    unsort = jax.jit(
+        lambda lab: jnp.zeros((capacity,), jnp.int32).at[order].set(lab)
+    )
+    out["unsort_scatter_ms"] = timed(lambda: unsort(res.plane_idx)) * 1e3
+
+    for k, v in out.items():
+        if isinstance(v, float):
+            out[k] = round(v, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
