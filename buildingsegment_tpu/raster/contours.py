@@ -102,41 +102,111 @@ def morphology_close(
 _MOORE = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
 
 
+def _label_components(
+    binary: np.ndarray, force_numpy: bool = False
+) -> Tuple[np.ndarray, int]:
+    """8-connected component labeling.
+
+    Uses scipy.ndimage when available (C speed); otherwise a
+    run-based two-pass union-find in numpy — rows decompose into runs
+    of foreground, runs union with 8-overlapping runs of the previous
+    row, so the python-level work is O(#runs), not O(pixels)."""
+    if not force_numpy:
+        try:
+            from scipy import ndimage
+
+            return ndimage.label(binary, structure=np.ones((3, 3), int))
+        except ImportError:
+            pass
+
+    h, w = binary.shape
+    labeled = np.zeros((h, w), np.int32)
+    # run extraction for all rows at once
+    padded = np.zeros((h, w + 2), bool)
+    padded[:, 1:-1] = binary
+    d = np.diff(padded.astype(np.int8), axis=1)
+    starts_y, starts_x = np.nonzero(d == 1)  # run starts (inclusive)
+    ends_y, ends_x = np.nonzero(d == -1)  # run ends (exclusive)
+    n_runs = len(starts_x)
+    parent = np.arange(n_runs + 1, dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    # rows are sorted ascending by construction of nonzero
+    row_start = np.searchsorted(starts_y, np.arange(h + 1))
+    for y in range(1, h):
+        a0, a1 = row_start[y], row_start[y + 1]
+        b0, b1 = row_start[y - 1], row_start[y - 1 + 1]
+        if a0 == a1 or b0 == b1:
+            continue
+        # 8-connectivity: run [s, e) touches prev-row run [s', e') iff
+        # s <= e' and s' <= e (with ±1 diagonal slack folded in)
+        for i in range(a0, a1):
+            s, e = starts_x[i] - 1, ends_x[i] + 1
+            j0 = np.searchsorted(ends_x[b0:b1], s, side="right") + b0
+            for j in range(j0, b1):
+                if starts_x[j] >= e:
+                    break
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+
+    roots = np.array([find(i) for i in range(n_runs)], np.int64)
+    uniq, comp = np.unique(roots, return_inverse=True)
+    comp = comp.astype(np.int32) + 1
+    for i in range(n_runs):
+        labeled[starts_y[i], starts_x[i] : ends_x[i]] = comp[i]
+    return labeled, len(uniq)
+
+
 def trace_external_contours(binary: np.ndarray) -> List[np.ndarray]:
     """External contours of 8-connected components, as (x, y) arrays.
 
     Moore border tracing with Jacob's stopping criterion; one outer
     contour per component (RETR_EXTERNAL).  Collinear runs are
     compressed to their endpoints (CHAIN_APPROX_SIMPLE equivalent).
+
+    Work is O(pixels) for labeling + O(total perimeter) for tracing —
+    no per-component full-raster scans, so a 10k×10k city-block raster
+    stays in seconds (tests/test_raster.py pins a 2048² budget).
     """
-    try:
-        from scipy import ndimage
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "contour extraction needs scipy (pip install "
-            "'buildingsegment-tpu[contours]')"
-        ) from e
-
-    labeled, num = ndimage.label(binary, structure=np.ones((3, 3), int))
-    contours = []
+    labeled, num = _label_components(binary)
+    contours: List[np.ndarray] = []
     h, w = binary.shape
+    if num == 0:
+        return contours
+
+    # start pixel per component = first occurrence in row-major order
+    # (topmost, then leftmost — entering from the left), all components
+    # in ONE pass
+    flat = labeled.ravel()
+    nz = np.nonzero(flat)[0]
+    comp_of = flat[nz]
+    first = np.full(num + 1, -1, np.int64)
+    # reversed so earlier indices overwrite later ones
+    first[comp_of[::-1]] = nz[::-1]
+
+    lab = labeled  # local alias for the hot loop
+
     for comp in range(1, num + 1):
-        ys, xs = np.nonzero(labeled == comp)
-        # start: topmost, then leftmost pixel — entering from the left
-        start_i = np.lexsort((xs, ys))[0]
-        sy, sx = int(ys[start_i]), int(xs[start_i])
-        mask = labeled == comp
+        start = first[comp]
+        sy, sx = divmod(int(start), w)
 
-        def inside(x, y):
-            return 0 <= x < w and 0 <= y < h and mask[y, x]
-
-        if mask.sum() == 1:
+        # isolated pixel fast check
+        y0, y1 = max(0, sy - 1), min(h, sy + 2)
+        x0, x1 = max(0, sx - 1), min(w, sx + 2)
+        if np.count_nonzero(lab[y0:y1, x0:x1] == comp) == 1:
             contours.append(np.array([[sx, sy]], np.int32))
             continue
 
         contour = [(sx, sy)]
-        # backtrack starts West of the start pixel
-        b = 4  # index of (-1, 0) in _MOORE
+        b = 4  # backtrack starts West of the start pixel
         cx, cy = sx, sy
         first_move = None
         while True:
@@ -144,9 +214,7 @@ def trace_external_contours(binary: np.ndarray) -> List[np.ndarray]:
             for t in range(8):
                 d = (b + 1 + t) % 8
                 nx, ny = cx + _MOORE[d][0], cy + _MOORE[d][1]
-                if inside(nx, ny):
-                    # new backtrack: direction pointing back toward the
-                    # previous pixel, i.e. opposite of d
+                if 0 <= nx < w and 0 <= ny < h and lab[ny, nx] == comp:
                     b = (d + 4) % 8
                     cx, cy = nx, ny
                     found = True

@@ -144,3 +144,73 @@ class TestContours:
         assert len(cs) == 1
         # compressed: far fewer points than boundary pixels
         assert len(cs[0]) <= 6
+
+
+class TestContourScaling:
+    """Contour extraction must stay O(pixels + perimeter) — a city-block
+    raster cannot afford per-component full-raster scans (round-1
+    VERDICT weak #8)."""
+
+    def _blob_image(self, size=2048, blobs=300, seed=0):
+        rng = np.random.default_rng(seed)
+        img = np.zeros((size, size), bool)
+        for _ in range(blobs):
+            y = rng.integers(0, size - 40)
+            x = rng.integers(0, size - 40)
+            h = rng.integers(8, 40)
+            w = rng.integers(8, 40)
+            img[y : y + h, x : x + w] = True
+        return img
+
+    def test_2048_raster_perf_guard(self):
+        import time
+
+        from buildingsegment_tpu.raster.contours import (
+            trace_external_contours,
+        )
+
+        binary = self._blob_image()
+        t0 = time.perf_counter()
+        contours = trace_external_contours(binary)
+        dt = time.perf_counter() - t0
+        assert len(contours) >= 100
+        # generous CI budget; the old per-component-mask version took
+        # O(components × pixels) ≈ minutes at this size
+        assert dt < 10.0, f"contour tracing took {dt:.1f}s on 2048²"
+
+    def test_fallback_ccl_matches_scipy(self):
+        from scipy import ndimage
+
+        from buildingsegment_tpu.raster.contours import _label_components
+
+        binary = self._blob_image(size=256, blobs=40, seed=3)
+        # diagonal touches exercise 8-connectivity
+        binary[10, 10] = binary[11, 11] = binary[12, 10] = True
+        labeled, num = _label_components(binary, force_numpy=True)
+        ref, ref_num = ndimage.label(binary, structure=np.ones((3, 3), int))
+        assert num == ref_num
+        # same partition up to renumbering
+        mapping = {}
+        ys, xs = np.nonzero(binary)
+        for y, x in zip(ys, xs):
+            a, b = labeled[y, x], ref[y, x]
+            assert a != 0 and b != 0
+            assert mapping.setdefault(a, b) == b
+
+    def test_fallback_traces_same_contours(self, monkeypatch):
+        import functools
+
+        import buildingsegment_tpu.raster.contours as cmod
+
+        binary = self._blob_image(size=300, blobs=25, seed=7)
+        ref = cmod.trace_external_contours(binary)
+        real = cmod._label_components
+        monkeypatch.setattr(
+            cmod, "_label_components",
+            functools.partial(real, force_numpy=True),
+        )
+        ours = cmod.trace_external_contours(binary)
+        assert len(ours) == len(ref)
+        ref_set = {tuple(map(tuple, c)) for c in ref}
+        our_set = {tuple(map(tuple, c)) for c in ours}
+        assert ref_set == our_set
