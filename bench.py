@@ -21,16 +21,27 @@ import time
 import numpy as np
 
 
-def _timed(fn, *args, reps=3, **kw):
+def _sync(out):
+    """Force completion.  jax.block_until_ready is a NO-OP through the
+    axon TPU tunnel (verified: a 512 MB transpose 'completes' in
+    0.04 ms under it), so synchronize by fetching one element."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+
+
+def _timed(fn, *args, reps=3, **kw):
+    """Pipelined steady-state timing: dispatch ``reps`` calls back to
+    back, one host sync at the end (the ~30-100 ms tunnel-sync
+    overhead amortizes as 1/reps)."""
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps, out
+    _sync(out)
+    return (time.perf_counter() - t0) / reps, out, out
 
 
 def main():
