@@ -70,7 +70,8 @@ def sharded_seg_body(mesh: Mesh, config: PipelineConfig, *,
     def local_body(spos, smask):
         neigh_idx, neigh_d, normals, curv = knn_normals_window_sorted(
             spos, smask, k=k_q, window=config.knn_window,
-            radius=config.normal_radius, axis_name=ax,
+            radius=config.normal_radius, max_nn=config.normal_max_nn,
+            axis_name=ax,
         )
         seg_kwargs = dict(
             neigh_sq_dist=neigh_d[:, :knn_k],

@@ -28,7 +28,9 @@ __all__ = ["knn_normals_window_sorted"]
 _INF = jnp.float32(jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "window", "axis_name"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "window", "axis_name", "max_nn")
+)
 def knn_normals_window_sorted(
     spos: jax.Array,
     smask: jax.Array,
@@ -38,6 +40,7 @@ def knn_normals_window_sorted(
     radius: float = 100.0,
     orient_z: bool = True,
     axis_name: str = None,
+    max_nn: int = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One fused sweep → (neigh_idx, neigh_sq_dist, normals, curvature).
 
@@ -51,6 +54,11 @@ def knn_normals_window_sorted(
             shards, the mesh axis — window padding comes from a
             ppermute halo exchange instead of constant sentinels, and
             neighbor indices are returned in the GLOBAL sorted frame.
+        max_nn: Open3D-hybrid cap — normal moments use the ``max_nn``
+            nearest candidates (incl. self) within ``radius``, not all
+            in-radius candidates (tmc3/my_function.h:63:
+            KDTreeSearchParamHybrid(radius=100, max_nn=50)).  None (or a
+            cap wider than the window) keeps the all-in-radius behavior.
 
     Returns sorted-frame neighbor indices/distances (slot 0 = self) and
     unit normals (+Z oriented) with curvature.
@@ -81,8 +89,12 @@ def knn_normals_window_sorted(
         row_base = jnp.int32(0)
     base = spos.astype(jnp.float32)
     r2 = jnp.float32(radius) * jnp.float32(radius)
+    # the Open3D-hybrid cap binds only when it is tighter than the
+    # window itself (max_nn includes self; the window candidates don't)
+    cap_active = max_nn is not None and (max_nn - 1) < w2
+    unroll = 8 if w2 % 8 == 0 else 1
 
-    def one_offset(slot, carry):
+    def one_offset(slot, carry, with_moments, r_eff2):
         d_all, s0, s1, s2 = carry
         off = jnp.where(slot < window, slot - window, slot - window + 1)
         start = off + window
@@ -91,44 +103,61 @@ def knn_normals_window_sorted(
         diff = cand - base
         d = jnp.sum(diff * diff, axis=-1)
         valid = cmask & smask
-        d_all = lax.dynamic_update_slice(
-            d_all, jnp.where(valid, d, _INF)[None, :], (slot, 0)
-        )
-        use = valid & (d <= r2)
-        uw = use.astype(jnp.float32)
-        s0 = s0 + uw
-        s1 = s1 + diff * uw[:, None]
-        s2 = s2 + jnp.stack(
-            [
-                diff[:, 0] * diff[:, 0],
-                diff[:, 1] * diff[:, 1],
-                diff[:, 2] * diff[:, 2],
-                diff[:, 0] * diff[:, 1],
-                diff[:, 0] * diff[:, 2],
-                diff[:, 1] * diff[:, 2],
-            ],
-            axis=-1,
-        ) * uw[:, None]
+        if d_all is not None:
+            d_all = lax.dynamic_update_slice(
+                d_all, jnp.where(valid, d, _INF)[None, :], (slot, 0)
+            )
+        if with_moments:
+            use = valid & (d <= r_eff2)
+            uw = use.astype(jnp.float32)
+            s0 = s0 + uw
+            s1 = s1 + diff * uw[:, None]
+            s2 = s2 + jnp.stack(
+                [
+                    diff[:, 0] * diff[:, 0],
+                    diff[:, 1] * diff[:, 1],
+                    diff[:, 2] * diff[:, 2],
+                    diff[:, 0] * diff[:, 1],
+                    diff[:, 0] * diff[:, 2],
+                    diff[:, 1] * diff[:, 2],
+                ],
+                axis=-1,
+            ) * uw[:, None]
         return d_all, s0, s1, s2
 
-    unroll = 8 if w2 % 8 == 0 else 1
+    def sweep(with_d_all, with_moments, r_eff2):
+        def chunk(ci, carry):
+            for u in range(unroll):
+                carry = one_offset(
+                    ci * unroll + u, carry, with_moments, r_eff2
+                )
+            return carry
 
-    def chunk(ci, carry):
-        for u in range(unroll):
-            carry = one_offset(ci * unroll + u, carry)
-        return carry
+        init = (
+            jnp.full((w2, n), _INF, jnp.float32) if with_d_all else None,
+            # the self offset contributes weight 1 at distance 0
+            smask.astype(jnp.float32),
+            jnp.zeros((n, 3), jnp.float32),
+            jnp.zeros((n, 6), jnp.float32),
+        )
+        return lax.fori_loop(0, w2 // unroll, chunk, init)
 
-    init = (
-        jnp.full((w2, n), _INF, jnp.float32),
-        # the self offset contributes weight 1 at distance 0
-        smask.astype(jnp.float32),
-        jnp.zeros((n, 3), jnp.float32),
-        jnp.zeros((n, 6), jnp.float32),
-    )
-    d_all, s0, s1, s2 = lax.fori_loop(0, w2 // unroll, chunk, init)
+    if cap_active:
+        # pass 1: distances only; one top_k serves both the kNN slots
+        # and the hybrid cap radius (the (max_nn-1)-th nearest other)
+        d_all, _, _, _ = sweep(True, False, r2)
+        kk = max(k - 1, max_nn - 1)
+        neg_all, arg_all = lax.top_k(-d_all.T, kk)
+        neg_top, arg = neg_all[:, : k - 1], arg_all[:, : k - 1]
+        r_cap = -neg_all[:, max_nn - 2]  # inf when fewer candidates
+        r_eff2 = jnp.minimum(r2, r_cap)
+        # pass 2: moments gated by the per-point hybrid radius
+        _, s0, s1, s2 = sweep(False, True, r_eff2)
+    else:
+        d_all, s0, s1, s2 = sweep(True, True, r2)
+        neg_top, arg = lax.top_k(-d_all.T, k - 1)
 
     # ---- kNN finish (identical to knn_window_sorted) ----
-    neg_top, arg = lax.top_k(-d_all.T, k - 1)
     nb_d = -neg_top
     off = jnp.where(arg < window, arg - window, arg - window + 1)
     rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0) + row_base

@@ -142,7 +142,7 @@ def run_device_pipeline(
         # same ±W slices — one pass instead of two
         neigh_idx, neigh_d, normals, curv = knn_normals_window_sorted(
             sposf, smask, k=max(knn_k, 16), window=knn_window_size,
-            radius=normal_radius,
+            radius=normal_radius, max_nn=normal_max_nn,
         )
         seg_kwargs = dict(
             neigh_sq_dist=neigh_d[:, :knn_k],
@@ -397,7 +397,7 @@ def dump_stages(
         idx, d, nrm, curv = knn_normals_window_sorted(
             pos[order].astype(jnp.float32), mask[order],
             k=max(config.knn_k, 16), window=config.knn_window,
-            radius=config.normal_radius,
+            radius=config.normal_radius, max_nn=config.normal_max_nn,
         )
         onp = np.asarray(order)
         inv = np.empty(cap, np.int64)

@@ -100,11 +100,60 @@ def main():
         report.append(entry)
         print(json.dumps(entry), flush=True)
 
+    # --- the BASELINE correctness scene: UNMODIFIED DEFAULT_CONFIG at
+    # reference-like density (~50 mm spacing; reference constants
+    # radius=100/max_nn=50/K=15/th=300/0.88/400) through the PRODUCTION
+    # window+multigrid pipeline vs the golden oracle ---
+    from buildingsegment_tpu.config import DEFAULT_CONFIG
+    from buildingsegment_tpu.pipeline import run_device_pipeline
+
+    pts, truth = make_building_cloud(
+        seed=6, spacing_mm=50.0, width_mm=4000.0, depth_mm=3000.0,
+        wall_h_mm=2500.0, ridge_h_mm=3200.0, noise_mm=5.0, walls=False,
+    )
+    n = len(pts)
+    cap = ((n + 1023) // 1024) * 1024
+    pos = np.full((cap, 3), 2**24, np.int32)
+    pos[:n] = pts
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    pj, mj = jnp.asarray(pos), jnp.asarray(mask)
+    idx, d = knn(pj, mj, k=51)
+    normals, _ = estimate_normals(pj, mj, idx, d, radius=100.0, max_nn=50)
+    g_idx, g_planes = golden_segment(
+        np.asarray(pts), np.asarray(normals)[:n].astype(np.float64),
+        np.asarray(idx)[:n, :15],
+    )
+    cfg = DEFAULT_CONFIG
+    _, _, seg = run_device_pipeline(
+        pj, mj, k_search=max(cfg.knn_k_pad, cfg.normal_max_nn),
+        knn_k=cfg.knn_k, normal_radius=cfg.normal_radius,
+        normal_max_nn=cfg.normal_max_nn, th_thickness=cfg.th_thickness,
+        th_normal_cos=cfg.th_normal_cos, th_point_count=cfg.th_point_count,
+        max_planes=cfg.max_planes, max_sweeps=cfg.max_sweeps,
+        knn_method="window", knn_window_size=cfg.knn_window,
+        convergence_tol=cfg.seg_convergence_tol, seg_group=cfg.seg_group,
+        seg_levels=cfg.seg_levels, seg_refine_sweeps=cfg.seg_refine_sweeps,
+    )
+    d_idx = np.asarray(seg.plane_idx)[:n]
+    ref_entry = {
+        "scene": "reference_default_50mm",
+        "points": n,
+        "golden_planes": len(g_planes),
+        "device_planes": int(seg.num_planes),
+        "production_agreement": round(_best_bijection_agreement(g_idx, d_idx), 4),
+        "production_truth_agreement": round(
+            _best_bijection_agreement(truth, d_idx), 4
+        ),
+    }
+    report.append(ref_entry)
+    print(json.dumps(ref_entry), flush=True)
+
     ok = all(
         e.get("signed_agreement_on_golden_labeled", 0) > 0.9
         for e in report
         if e["scene"].endswith("ground") or e["scene"].startswith("dense")
-    )
+    ) and ref_entry["production_agreement"] >= 0.9
     print(json.dumps({"summary": "PASS" if ok else "CHECK", "scenes": len(report)}))
     return 0 if ok else 1
 
