@@ -87,28 +87,67 @@ def knn_normals_window_sorted(
             [jnp.zeros(window, bool), smask, jnp.zeros(window, bool)]
         )
         row_base = jnp.int32(0)
-    base = spos.astype(jnp.float32)
     r2 = jnp.float32(radius) * jnp.float32(radius)
     # the Open3D-hybrid cap binds only when it is tighter than the
     # window itself (max_nn includes self; the window candidates don't)
     cap_active = max_nn is not None and (max_nn - 1) < w2
-    unroll = 8 if w2 % 8 == 0 else 1
+    kk = max(k - 1, max_nn - 1) if cap_active else k - 1
 
-    def one_offset(slot, carry, with_moments, r_eff2):
-        d_all, s0, s1, s2 = carry
-        off = jnp.where(slot < window, slot - window, slot - window + 1)
-        start = off + window
-        cand = lax.dynamic_slice(ppos, (start, 0), (n, 3))
-        cmask = lax.dynamic_slice(pmask, (start,), (n,))
-        diff = cand - base
-        d = jnp.sum(diff * diff, axis=-1)
-        valid = cmask & smask
-        if d_all is not None:
-            d_all = lax.dynamic_update_slice(
-                d_all, jnp.where(valid, d, _INF)[None, :], (slot, 0)
-            )
-        if with_moments:
-            use = valid & (d <= r_eff2)
+    # Point-tiled sweep: process T rows at a time so the [2W, T]
+    # distance block, its top_k, the hybrid cap and the moment
+    # accumulation all stay tile-resident — the [2W, N] block is never
+    # materialized in HBM (at 1M points it alone is 0.5 GB, and the
+    # XLA layouts of its skinny row updates padded it 128×: OOM).
+    # Within a tile the offset loop is FULLY unrolled with STATIC
+    # slices: a fori_loop + dynamic_slice version pays a thunk launch
+    # and a slice copy per offset (kernel-launch-bound).
+    tile = min(n, 32768)
+    while n % tile:
+        tile //= 2
+    ntiles = n // tile
+
+    def tile_fn(ti):
+        s = ti * tile  # padded arrays lead with `window` halo rows
+        tpos = lax.dynamic_slice(ppos, (s, 0), (tile + w2, 3))
+        tmask = lax.dynamic_slice(pmask, (s,), (tile + w2,))
+        tbase = lax.slice(tpos, (window, 0), (window + tile, 3))
+        tsmask = lax.slice(tmask, (window,), (window + tile,))
+
+        def offset_rows():
+            # 1-D concat then reshape: jnp.stack of [T] rows would go
+            # through [1, T] intermediates whose TPU layout puts the
+            # 128-lane axis on the unit dimension (128× padding — the
+            # OOM we hit at 1M points); 1-D concatenation is layout-safe
+            rows = []
+            for slot in range(w2):
+                start = slot if slot < window else slot + 1
+                cand = lax.slice(tpos, (start, 0), (start + tile, 3))
+                cmask = lax.slice(tmask, (start,), (start + tile,))
+                diff = cand - tbase
+                d = jnp.sum(diff * diff, axis=-1)
+                rows.append(jnp.where(cmask & tsmask, d, _INF))
+            return jnp.concatenate(rows).reshape(w2, tile)
+
+        d_block = offset_rows()
+        neg_all, arg_all = lax.top_k(-d_block.T, kk)
+        if cap_active:
+            # hybrid cap: the (max_nn-1)-th nearest other (inf when
+            # fewer candidates exist)
+            r_eff2 = jnp.minimum(r2, -neg_all[:, max_nn - 2])
+        else:
+            r_eff2 = r2
+
+        # moment pass over the same tile-resident slices
+        s0 = tsmask.astype(jnp.float32)  # self: weight 1, distance 0
+        s1 = jnp.zeros((tile, 3), jnp.float32)
+        s2 = jnp.zeros((tile, 6), jnp.float32)
+        for slot in range(w2):
+            start = slot if slot < window else slot + 1
+            cand = lax.slice(tpos, (start, 0), (start + tile, 3))
+            cmask = lax.slice(tmask, (start,), (start + tile,))
+            diff = cand - tbase
+            d = jnp.sum(diff * diff, axis=-1)
+            use = cmask & tsmask & (d <= r_eff2)
             uw = use.astype(jnp.float32)
             s0 = s0 + uw
             s1 = s1 + diff * uw[:, None]
@@ -123,39 +162,14 @@ def knn_normals_window_sorted(
                 ],
                 axis=-1,
             ) * uw[:, None]
-        return d_all, s0, s1, s2
+        return neg_all[:, : k - 1], arg_all[:, : k - 1], s0, s1, s2
 
-    def sweep(with_d_all, with_moments, r_eff2):
-        def chunk(ci, carry):
-            for u in range(unroll):
-                carry = one_offset(
-                    ci * unroll + u, carry, with_moments, r_eff2
-                )
-            return carry
-
-        init = (
-            jnp.full((w2, n), _INF, jnp.float32) if with_d_all else None,
-            # the self offset contributes weight 1 at distance 0
-            smask.astype(jnp.float32),
-            jnp.zeros((n, 3), jnp.float32),
-            jnp.zeros((n, 6), jnp.float32),
-        )
-        return lax.fori_loop(0, w2 // unroll, chunk, init)
-
-    if cap_active:
-        # pass 1: distances only; one top_k serves both the kNN slots
-        # and the hybrid cap radius (the (max_nn-1)-th nearest other)
-        d_all, _, _, _ = sweep(True, False, r2)
-        kk = max(k - 1, max_nn - 1)
-        neg_all, arg_all = lax.top_k(-d_all.T, kk)
-        neg_top, arg = neg_all[:, : k - 1], arg_all[:, : k - 1]
-        r_cap = -neg_all[:, max_nn - 2]  # inf when fewer candidates
-        r_eff2 = jnp.minimum(r2, r_cap)
-        # pass 2: moments gated by the per-point hybrid radius
-        _, s0, s1, s2 = sweep(False, True, r_eff2)
-    else:
-        d_all, s0, s1, s2 = sweep(True, True, r2)
-        neg_top, arg = lax.top_k(-d_all.T, k - 1)
+    neg_top, arg, s0, s1, s2 = lax.map(tile_fn, jnp.arange(ntiles))
+    neg_top = neg_top.reshape(n, k - 1)
+    arg = arg.reshape(n, k - 1)
+    s0 = s0.reshape(n)
+    s1 = s1.reshape(n, 3)
+    s2 = s2.reshape(n, 6)
 
     # ---- kNN finish (identical to knn_window_sorted) ----
     nb_d = -neg_top

@@ -106,30 +106,22 @@ def knn_window_sorted(
 
     base = spos.astype(jnp.float32)
 
-    # unrolled by several slots per loop step: the per-step work is tiny
-    # relative to dispatch/loop overhead, so one-slot fori steps are
-    # latency-bound
-    unroll = 8 if w2 % 8 == 0 else 1
-
-    def one_chunk(chunk, d_all):
-        for u in range(unroll):
-            slot = chunk * unroll + u
-            off = jnp.where(slot < window, slot - window, slot - window + 1)
-            start = off + window  # index into padded arrays
-            cand = lax.dynamic_slice(ppos, (start, 0), (n, 3))
-            cmask = lax.dynamic_slice(pmask, (start,), (n,))
-            diff = cand - base
-            d = jnp.sum(diff * diff, axis=-1)
-            d = jnp.where(cmask & smask, d, _INF)
-            d_all = lax.dynamic_update_slice(d_all, d[None, :], (slot, 0))
-        return d_all
-
-    d_all = lax.fori_loop(
-        0,
-        w2 // unroll,
-        one_chunk,
-        jnp.full((w2, n), _INF, jnp.float32),
-    )
+    # fully unrolled static slices: a fori_loop + dynamic_slice version
+    # pays a thunk launch and a slice copy per offset (kernel-launch
+    # bound); static slices of the one padded array fuse into a few
+    # big elementwise kernels
+    # 1-D concat then reshape: jnp.stack of [n] rows would go through
+    # [1, n] intermediates whose TPU layout puts the 128-lane axis on
+    # the unit dimension (128× padding → OOM at 1M points)
+    rows_d = []
+    for slot in range(w2):
+        start = slot if slot < window else slot + 1
+        cand = lax.slice(ppos, (start, 0), (start + n, 3))
+        cmask = lax.slice(pmask, (start,), (start + n,))
+        diff = cand - base
+        d = jnp.sum(diff * diff, axis=-1)
+        rows_d.append(jnp.where(cmask & smask, d, _INF))
+    d_all = jnp.concatenate(rows_d).reshape(w2, n)
     neg_top, arg = lax.top_k(-d_all.T, k - 1)  # [N, k-1]
     nb_d = -neg_top
     # slot index → signed offset, arithmetically (no table gather)

@@ -75,11 +75,14 @@ def estimate_normals_window(
     base = spos.astype(jnp.float32)
     r2 = jnp.float32(radius) * jnp.float32(radius)
 
-    def one_offset(slot, acc):
-        s0, s1, s2 = acc
-        start = slot  # offset = slot - w ∈ [-w, w], includes self
-        cand = lax.dynamic_slice(ppos, (start, 0), (n, 3))
-        cmask = lax.dynamic_slice(pmask, (start,), (n,))
+    # fully unrolled static slices (fori+dynamic_slice is kernel-launch
+    # bound — see ops/fused.py sweep comment); 2w+1 offsets incl. self
+    s0 = jnp.zeros((n,), jnp.float32)
+    s1 = jnp.zeros((n, 3), jnp.float32)
+    s2 = jnp.zeros((n, 6), jnp.float32)
+    for slot in range(2 * w + 1):
+        cand = lax.slice(ppos, (slot, 0), (slot + n, 3))
+        cmask = lax.slice(pmask, (slot,), (slot + n,))
         d = cand - base  # centered on the query point
         dist2 = jnp.sum(d * d, axis=-1)
         use = cmask & smask & (dist2 <= r2)
@@ -98,27 +101,6 @@ def estimate_normals_window(
             ],
             axis=-1,
         ) * uw[:, None]
-        return s0, s1, s2
-
-    acc0 = (
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n, 3), jnp.float32),
-        jnp.zeros((n, 6), jnp.float32),
-    )
-    # unroll several offsets per loop step (one-offset steps are
-    # dispatch-latency-bound); 2w+1 offsets = unrolled chunks + a tail
-    total = 2 * w + 1
-    unroll = 8
-
-    def chunk(ci, acc):
-        for u in range(unroll):
-            acc = one_offset(ci * unroll + u, acc)
-        return acc
-
-    acc = lax.fori_loop(0, total // unroll, chunk, acc0)
-    for slot in range((total // unroll) * unroll, total):
-        acc = one_offset(slot, acc)
-    s0, s1, s2 = acc
 
     safe = jnp.maximum(s0, 1.0)
     mean = s1 / safe[:, None]

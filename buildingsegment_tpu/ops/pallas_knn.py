@@ -1,27 +1,35 @@
-"""Pallas brute-force kNN kernel — fused distances + running top-k.
+"""Pallas brute-force kNN kernel — exact, bbox-pruned, VMEM-resident.
 
 The scored brute-force configuration (BASELINE config 2: exact kNN,
-k=16, ~1M points) is hopeless as a composition of XLA ops: materializing
-N×N distance blocks to HBM and merging with ``lax.top_k`` is
-bandwidth- and sort-bound (the pure-JAX tiled version runs minutes at
-1M).  This kernel keeps everything in VMEM:
+k=16, ~1M points) is hopeless as a composition of XLA ops (N×N distance
+blocks through HBM).  Kernel design:
 
-  * grid (query_tile × candidate_tile), candidate dimension innermost
-    and sequential, so the per-query running top-k lives in VMEM
-    scratch across the whole candidate sweep;
-  * positions are laid out transposed [3, N] so distance blocks are
-    outer differences over lanes — pure VPU, no awkward [*, 3] tiles;
-  * **banded candidate ordering**: each query tile visits candidate
-    tiles nearest-first in Morton order (home tile, then ±1, ±2, …).
-    After the first few tiles the running k-th best distance τ is
-    tight, and
-  * **threshold skip**: a tile that cannot improve τ costs only the
-    distance block and one compare (`@pl.when` guards the expensive
-    K-round selection merge), so the common case streams at VPU speed.
+  * 1-D grid over query tiles; candidate tiles are an INNER loop with a
+    manual HBM→VMEM DMA — so a skipped candidate tile costs a handful
+    of scalar ops, not a block DMA + distance block.  (The previous
+    2-D-grid version paid ~1 µs of grid/pipeline overhead for every one
+    of the N²/(qt·ct) blocks — 8.4 M blocks ≈ the entire 10 s runtime.)
+  * **bbox pruning, exact**: per-candidate-tile bounding boxes are
+    precomputed host-side ([num_c, 8] table); a tile is visited only
+    when the box-to-box distance lower bound beats τ = the worst
+    current k-th distance over the query tile.  Morton order makes
+    tiles spatially coherent, so τ is tight after the home tile and
+    almost every far tile prunes — effectively O(N·k) like a KD-tree,
+    but data-parallel and exact (the bound is conservative).
+  * **banded candidate ordering**: home tile first, then ±1, ±2, …
+    (tmc3 reference layout: slot 0 = self, my_function.h:71-78).
+  * positions are laid out transposed [3, N]; validity is encoded as
+    the −3e7 sentinel coordinate (no separate mask array or DMA).
 
 Exactness: distances are computed in the diff form (no catastrophic
-|q|²−2q·c cancellation) over every candidate, so results match the
-oracle bit-for-bit up to ties.
+|q|²−2q·c cancellation) over every unpruned candidate, so results match
+the oracle bit-for-bit up to ties; pruning never drops a true neighbor
+because the box bound is a true lower bound on every pair distance.
+
+Mosaic gotchas honored (learned round 1): `%` on possibly-negative ints
+biased non-negative first; no argmin/argmax on tied values (equality +
+first-occurrence instead); refs initialized unconditionally before the
+read-modify-write loop.
 """
 
 from __future__ import annotations
@@ -40,8 +48,11 @@ __all__ = ["knn_pallas"]
 # plain Python floats — jnp scalars at module level would be captured
 # as constants by the Pallas kernel trace, which is disallowed
 _INF = float("inf")
-# sentinel distance: padded rows sit at coord -3e7; any distance to one
-# exceeds this, while real mm-scale distances stay far below
+# sentinel coordinate for invalid rows (far outside any real scan)
+_SENTINEL = -3e7
+# validity test threshold (real centered coords are mm-scale)
+_VALID_GT = -1e7
+# sentinel distance for the empty-slot fixup after the kernel
 _SENTINEL_D = 1e14
 
 
@@ -49,99 +60,119 @@ def _banded(ci: jax.Array, home: jax.Array, num_c: int) -> jax.Array:
     """Visit order home, home+1, home-1, home+2, … (mod num_c).
 
     The modulo operand is biased non-negative first: lowered index
-    arithmetic uses C-style srem where (-1) % 4 == -1, unlike jnp's
-    3 — a negative block index silently clamps and half the candidate
-    tiles are never visited (observed compiled-vs-interpret divergence).
+    arithmetic uses C-style srem where (-1) % 4 == -1, unlike jnp's 3.
     """
     step = (ci + 1) // 2
     sign = jnp.where(ci % 2 == 1, 1, -1)
     return (home + sign * step + num_c) % num_c
 
 
-def _kernel(q_ref, c_ref, qv_ref, cv_ref, best_d_ref, best_i_ref, k: int,
-            qt: int, ct: int, n: int):
+def _kernel(bbox_ref, q_ref, pos_hbm, best_d_ref, best_i_ref, cbuf, sem,
+            *, kk: int, qt: int, ct: int, n: int):
     qi = pl.program_id(0)
-    ci = pl.program_id(1)
-    num_c = pl.num_programs(1)
-
+    num_c = n // ct
     home = (qi * qt) // ct
-    actual_ci = _banded(ci, home, num_c)
-
     q_start = qi * qt
-    c_start = actual_ci * ct
 
-    # [3, qt] query / [3, ct] candidate blocks (streamed to VMEM by the
-    # BlockSpec pipeline; the candidate index_map applies the banded
-    # visit order).  Rows read individually — integer indexing into a
-    # loaded array lowers to an unsupported gather in Mosaic.
     qx = q_ref[0, :]
     qy = q_ref[1, :]
     qz = q_ref[2, :]
-    cx = c_ref[0, :]
-    cy = c_ref[1, :]
-    cz = c_ref[2, :]
-    qv = qv_ref[0, :]
-    cv = cv_ref[0, :]
+    qvalid = qx > _VALID_GT
+    big = jnp.float32(3e37)
+    qxmin = jnp.min(jnp.where(qvalid, qx, big))
+    qymin = jnp.min(jnp.where(qvalid, qy, big))
+    qzmin = jnp.min(jnp.where(qvalid, qz, big))
+    qxmax = jnp.max(jnp.where(qvalid, qx, -big))
+    qymax = jnp.max(jnp.where(qvalid, qy, -big))
+    qzmax = jnp.max(jnp.where(qvalid, qz, -big))
 
-    # distance block [qt, ct] via outer differences (diff form — exact)
-    dx = qx[:, None] - cx[None, :]
-    dy = qy[:, None] - cy[None, :]
-    dz = qz[:, None] - cz[None, :]
-    d = dx * dx + dy * dy + dz * dz
+    # unconditional init so every later read is defined
+    best_d_ref[...] = jnp.full((qt, kk), _INF, jnp.float32)
+    best_i_ref[...] = jnp.zeros((qt, kk), jnp.int32)
 
-    q_idx = q_start + lax.broadcasted_iota(jnp.int32, (qt, ct), 0)
-    c_idx = c_start + lax.broadcasted_iota(jnp.int32, (qt, ct), 1)
-    invalid = (
-        (c_idx == q_idx)
-        | (cv[None, :] == 0)
-        | (qv[:, None] == 0)
-        | (c_idx >= n)
-    )
-    d = jnp.where(invalid, _INF, d)
+    iota_c = lax.broadcasted_iota(jnp.int32, (qt, ct), 1)
+    iota_q = lax.broadcasted_iota(jnp.int32, (qt, ct), 0)
+    iota_k = lax.broadcasted_iota(jnp.int32, (qt, kk), 1)
 
-    # Initialization by read+select instead of a conditional first-step
-    # write: reading a ref after a `@pl.when` write is an ordering
-    # hazard the Mosaic compiler is free to break (observed: compiled
-    # results diverged from interpret mode until this was restructured).
-    first = ci == 0
-    bd0 = jnp.where(first, _INF, best_d_ref[...])
-    bi0 = jnp.where(first, 0, best_i_ref[...])
+    def body(ci, _):
+        actual = _banded(ci, home, num_c)
+        # read-modify-write state (read unconditionally, before when)
+        bd0 = best_d_ref[...]
+        bi0 = best_i_ref[...]
+        worst_rows = jnp.max(bd0, axis=1)  # [qt]
+        # τ over the tile: invalid query rows excluded (they stay inf)
+        tau = jnp.max(jnp.where(qvalid, worst_rows, 0.0))
 
-    tau = jnp.max(bd0, axis=1)  # current worst of the best
-    improves = jnp.any(d < tau[:, None]) | first
+        # conservative box-to-box lower bound vs the candidate tile
+        # (one dynamic ROW read from the ref, then static lane extracts
+        # — vectorized dynamic gathers don't lower in Mosaic)
+        brow = bbox_ref[actual, :]
+        bx0, by0, bz0 = brow[0], brow[1], brow[2]
+        bx1, by1, bz1 = brow[3], brow[4], brow[5]
+        ddx = jnp.maximum(jnp.maximum(bx0 - qxmax, qxmin - bx1), 0.0)
+        ddy = jnp.maximum(jnp.maximum(by0 - qymax, qymin - by1), 0.0)
+        ddz = jnp.maximum(jnp.maximum(bz0 - qzmax, qzmin - bz1), 0.0)
+        box_d2 = ddx * ddx + ddy * ddy + ddz * ddz
 
-    @pl.when(improves)
-    def _merge():
-        # K rounds of extract-min / replace-max.  No argmin/argmax:
-        # arg extraction over tied values (the all-inf initial rows)
-        # is exactly where compiled Mosaic and the interpreter can
-        # disagree, so min/max slots are located by equality plus a
-        # cumsum first-occurrence mask instead.
-        dd = d
-        bd = bd0
-        bi = bi0
-        iota_c = lax.broadcasted_iota(jnp.int32, (qt, ct), 1)
-        iota_k = lax.broadcasted_iota(jnp.int32, (qt, k), 1)
-        for _ in range(k):
-            dmin = jnp.min(dd, axis=1)
-            worst = jnp.max(bd, axis=1)
-            take = dmin < worst
-            # first occurrence = min column index among equal entries
-            # (cumsum is not lowered by Mosaic)
-            c_hit = jnp.min(
-                jnp.where(dd == dmin[:, None], iota_c, ct), axis=1
+        @pl.when((ci == 0) | (box_d2 < tau))
+        def _visit():
+            dma = pltpu.make_async_copy(
+                pos_hbm.at[:, pl.ds(actual * ct, ct)], cbuf, sem
             )
-            first_c = iota_c == c_hit[:, None]
-            gidx = c_start + c_hit
-            k_hit = jnp.min(
-                jnp.where(bd == worst[:, None], iota_k, k), axis=1
+            dma.start()
+            dma.wait()
+            cx = cbuf[0, :]
+            cy = cbuf[1, :]
+            cz = cbuf[2, :]
+            cvalid = cx > _VALID_GT
+
+            dx = qx[:, None] - cx[None, :]
+            dy = qy[:, None] - cy[None, :]
+            dz = qz[:, None] - cz[None, :]
+            d = dx * dx + dy * dy + dz * dz
+            c_idx = actual * ct + iota_c
+            q_idx = q_start + iota_q
+            invalid = (
+                (c_idx == q_idx)
+                | (~cvalid)[None, :]
+                | (~qvalid)[:, None]
             )
-            first_k = (iota_k == k_hit[:, None]) & take[:, None]
-            bd = jnp.where(first_k, dmin[:, None], bd)
-            bi = jnp.where(first_k, gidx[:, None], bi)
-            dd = jnp.where(first_c & take[:, None], _INF, dd)
-        best_d_ref[...] = bd
-        best_i_ref[...] = bi
+            d = jnp.where(invalid, _INF, d)
+
+            improves = jnp.any(d < worst_rows[:, None])
+
+            @pl.when(improves)
+            def _merge():
+                # kk rounds of extract-min / replace-max.  No
+                # argmin/argmax: arg extraction over tied values is
+                # where compiled Mosaic and the interpreter disagree,
+                # so min/max slots are located by equality plus a
+                # first-occurrence mask instead.
+                dd = d
+                bd = bd0
+                bi = bi0
+                for _ in range(kk):
+                    dmin = jnp.min(dd, axis=1)
+                    worst = jnp.max(bd, axis=1)
+                    take = dmin < worst
+                    c_hit = jnp.min(
+                        jnp.where(dd == dmin[:, None], iota_c, ct), axis=1
+                    )
+                    first_c = iota_c == c_hit[:, None]
+                    gidx = actual * ct + c_hit
+                    k_hit = jnp.min(
+                        jnp.where(bd == worst[:, None], iota_k, kk), axis=1
+                    )
+                    first_k = (iota_k == k_hit[:, None]) & take[:, None]
+                    bd = jnp.where(first_k, dmin[:, None], bd)
+                    bi = jnp.where(first_k, gidx[:, None], bi)
+                    dd = jnp.where(first_c & take[:, None], _INF, dd)
+                best_d_ref[...] = bd
+                best_i_ref[...] = bi
+
+        return 0
+
+    lax.fori_loop(0, num_c, body, 0)
 
 
 @functools.partial(
@@ -153,10 +184,10 @@ def knn_pallas(
     k: int,
     *,
     query_tile: int = 256,
-    cand_tile: int = 512,
+    cand_tile: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact brute-force kNN via the fused Pallas kernel.
+    """Exact brute-force kNN via the bbox-pruned Pallas kernel.
 
     Args:
         positions: int32/float [N, 3]; N must be a multiple of both
@@ -170,58 +201,59 @@ def knn_pallas(
         ascending by distance; empty slots fall back to self.
     """
     n = positions.shape[0]
+    while query_tile > 8 and n % query_tile:
+        query_tile //= 2
+    while cand_tile > 8 and n % cand_tile:
+        cand_tile //= 2
     if n % query_tile or n % cand_tile:
         raise ValueError(
             f"N={n} must be a multiple of query_tile={query_tile} and "
             f"cand_tile={cand_tile}"
         )
     kk = k - 1
+    num_q = n // query_tile
+    num_c = n // cand_tile
 
     center = jnp.sum(
         jnp.where(mask[:, None], positions, 0).astype(jnp.float32), axis=0
     ) / jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     pos = positions.astype(jnp.float32) - center
-    pos = jnp.where(mask[:, None], pos, jnp.float32(-3e7))
+    pos = jnp.where(mask[:, None], pos, jnp.float32(_SENTINEL))
     posT = pos.T  # [3, N] — lanes along points
-    valid = mask.astype(jnp.int32)[None, :]  # [1, N]
 
-    num_q = n // query_tile
-    num_c = n // cand_tile
+    # per-candidate-tile bounding boxes over VALID rows (invalid-only
+    # tiles get an empty box that always prunes)
+    pt = pos.reshape(num_c, cand_tile, 3)
+    mt = mask.reshape(num_c, cand_tile, 1)
+    big = jnp.float32(3e37)
+    mins = jnp.min(jnp.where(mt, pt, big), axis=1)
+    maxs = jnp.max(jnp.where(mt, pt, -big), axis=1)
+    bbox = jnp.concatenate(
+        [mins, maxs, jnp.zeros((num_c, 2), jnp.float32)], axis=1
+    )  # [num_c, 8]
 
     kernel = functools.partial(
-        _kernel, k=kk, qt=query_tile, ct=cand_tile, n=n
+        _kernel, kk=kk, qt=query_tile, ct=cand_tile, n=n
     )
-
-    def cand_map(qi, ci):
-        home = (qi * query_tile) // cand_tile
-        return (0, _banded(ci, home, num_c))
 
     best_d, best_i = pl.pallas_call(
         kernel,
-        grid=(num_q, num_c),
+        grid=(num_q,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bbox table, whole
             pl.BlockSpec(
-                (3, query_tile), lambda qi, ci: (0, qi),
+                (3, query_tile), lambda qi: (0, qi),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (3, cand_tile), cand_map, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, query_tile), lambda qi, ci: (0, qi),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, cand_tile), cand_map, memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # positions stay in HBM
         ],
         out_specs=(
             pl.BlockSpec(
-                (query_tile, kk), lambda qi, ci: (qi, 0),
+                (query_tile, kk), lambda qi: (qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (query_tile, kk), lambda qi, ci: (qi, 0),
+                (query_tile, kk), lambda qi: (qi, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -229,11 +261,15 @@ def knn_pallas(
             jax.ShapeDtypeStruct((n, kk), jnp.float32),
             jax.ShapeDtypeStruct((n, kk), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((3, cand_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(posT, posT, valid, valid)
+    )(bbox, posT, posT)
 
     # sort ascending, fix empty slots, prepend self
     neg, arg = lax.top_k(-best_d, kk)

@@ -250,10 +250,16 @@ def segment_planes_multigrid(
 
     pid = jnp.where(accepts(pid0), pid0, 0)
 
-    # windowized sweeps: adopt the min accepting plane id of nearby rows
+    # windowized sweeps: adopt the min accepting plane id of nearby rows.
+    # All sweep operands are padded 1-D COMPONENT arrays ([n,3] slices
+    # lane-pad 128/3× per unrolled copy; 1-D slices fuse).
     ws = window
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    nx_, ny_, nz_ = nrm[:, 0], nrm[:, 1], nrm[:, 2]
     pmask_w = _pad_rows(mask, False, ws)
-    ppos_w = _pad_rows(pos, -3e7, ws)
+    ppx = _pad_rows(px, -3e7, ws)
+    ppy = _pad_rows(py, -3e7, ws)
+    ppz = _pad_rows(pz, -3e7, ws)
     big_pid = jnp.int32(max_planes + 1)
 
     def sweep(pid):
@@ -265,20 +271,32 @@ def segment_planes_multigrid(
         mcp = jnp.where(has[:, None], pc[t], 0.0)
         mnp = jnp.where(has[:, None], pn[t], 0.0)
         ppid = _pad_rows(pid, 0, ws)
-        pmcp = _pad_rows(mcp, 0.0, ws)
-        pmnp = _pad_rows(mnp, 0.0, ws)
+        pmcx = _pad_rows(mcp[:, 0], 0.0, ws)
+        pmcy = _pad_rows(mcp[:, 1], 0.0, ws)
+        pmcz = _pad_rows(mcp[:, 2], 0.0, ws)
+        pmnx = _pad_rows(mnp[:, 0], 0.0, ws)
+        pmny = _pad_rows(mnp[:, 1], 0.0, ws)
+        pmnz = _pad_rows(mnp[:, 2], 0.0, ws)
 
-        def one_offset(slot, best):
-            start = jnp.where(slot < ws, slot, slot + 1)
-            cpid = lax.dynamic_slice(ppid, (start,), (n,))
-            cpos = lax.dynamic_slice(ppos_w, (start, 0), (n, 3))
-            cmask_ = lax.dynamic_slice(pmask_w, (start,), (n,))
-            cmcp = lax.dynamic_slice(pmcp, (start, 0), (n, 3))
-            cmnp = lax.dynamic_slice(pmnp, (start, 0), (n, 3))
-            diff = pos - cpos
-            near = jnp.sum(diff * diff, -1) <= edge_gate * edge_gate
-            d = jnp.abs(jnp.sum((pos - cmcp) * cmnp, -1))
-            c = cmag(jnp.sum(nrm * cmnp, -1))
+        # fully unrolled static 1-D slices (fori+dynamic_slice is
+        # kernel-launch bound — see ops/fused.py sweep comment)
+        best = jnp.full((n,), big_pid, jnp.int32)
+        for slot in range(2 * ws):
+            start = slot if slot < ws else slot + 1
+            sl = lambda a: lax.slice(a, (start,), (start + n,))
+            cpid = sl(ppid)
+            cmask_ = sl(pmask_w)
+            dx = px - sl(ppx)
+            dy = py - sl(ppy)
+            dz = pz - sl(ppz)
+            near = dx * dx + dy * dy + dz * dz <= edge_gate * edge_gate
+            cmnx, cmny, cmnz = sl(pmnx), sl(pmny), sl(pmnz)
+            d = jnp.abs(
+                (px - sl(pmcx)) * cmnx
+                + (py - sl(pmcy)) * cmny
+                + (pz - sl(pmcz)) * cmnz
+            )
+            c = cmag(nx_ * cmnx + ny_ * cmny + nz_ * cmnz)
             ok = (
                 (cpid > 0)
                 & near
@@ -287,19 +305,7 @@ def segment_planes_multigrid(
                 & (d <= th_thickness)
                 & (c >= th_normal_cos)
             )
-            return jnp.minimum(best, jnp.where(ok, cpid, big_pid))
-
-        r_unroll = 8 if (2 * ws) % 8 == 0 else 1
-
-        def r_chunk(ci, best):
-            for u in range(r_unroll):
-                best = one_offset(ci * r_unroll + u, best)
-            return best
-
-        best = lax.fori_loop(
-            0, (2 * ws) // r_unroll, r_chunk,
-            jnp.full((n,), big_pid, jnp.int32),
-        )
+            best = jnp.minimum(best, jnp.where(ok, cpid, big_pid))
         return jnp.where(pid > 0, pid, jnp.where(best < big_pid, best, 0))
 
     for _ in range(refine_sweeps):

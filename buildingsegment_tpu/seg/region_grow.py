@@ -96,44 +96,43 @@ def window_seeds(
     cmag = (lambda x: x) if signed_normals else jnp.abs
     ws = window
 
+    # padded 1-D COMPONENT arrays: [n,3] slices lane-pad 128/3× per
+    # unrolled copy; 1-D static slices are pure fusable views
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    nx_, ny_, nz_ = nrm[:, 0], nrm[:, 1], nrm[:, 2]
     if axis_name is not None:
         from buildingsegment_tpu.dist.halo import halo_pad
 
-        spos_p = halo_pad(pos, ws, axis_name)
-        snrm_p = halo_pad(nrm, ws, axis_name)
-        smask_p = halo_pad(mask, ws, axis_name)
+        def _pad1(a, fill):
+            return halo_pad(a, ws, axis_name)
+
     else:
-        pad3 = jnp.full((ws, 3), -3e7, jnp.float32)
-        spos_p = jnp.concatenate([pad3, pos, pad3])
-        z3 = jnp.zeros((ws, 3), jnp.float32)
-        snrm_p = jnp.concatenate([z3, nrm, z3])
-        smask_p = jnp.concatenate(
-            [jnp.zeros(ws, bool), mask, jnp.zeros(ws, bool)]
-        )
 
-    def seed_offset(slot, bad):
-        start = jnp.where(slot < ws, slot, slot + 1)
-        cpos = lax.dynamic_slice(spos_p, (start, 0), (n, 3))
-        cnrm = lax.dynamic_slice(snrm_p, (start, 0), (n, 3))
-        cmask_ = lax.dynamic_slice(smask_p, (start,), (n,))
-        diff = cpos - pos
-        d2 = jnp.sum(diff * diff, -1)
+        def _pad1(a, fill):
+            f = jnp.full((ws,), fill, a.dtype)
+            return jnp.concatenate([f, a, f])
+
+    ppx, ppy, ppz = _pad1(px, -3e7), _pad1(py, -3e7), _pad1(pz, -3e7)
+    pnx, pny, pnz = _pad1(nx_, 0.0), _pad1(ny_, 0.0), _pad1(nz_, 0.0)
+    smask_p = _pad1(mask, False)
+
+    # fully unrolled static slices (fori+dynamic_slice is kernel-launch
+    # bound — see ops/fused.py sweep comment)
+    bad = jnp.zeros((n,), bool)
+    for slot in range(2 * ws):
+        start = slot if slot < ws else slot + 1
+        sl = lambda a: lax.slice(a, (start,), (start + n,))
+        cmask_ = sl(smask_p)
+        dx = sl(ppx) - px
+        dy = sl(ppy) - py
+        dz = sl(ppz) - pz
+        d2 = dx * dx + dy * dy + dz * dz
         in_ball = (d2 <= kth_sq_dist) & cmask_ & mask
-        pd = jnp.abs(jnp.sum(diff * nrm, -1))
-        pc_ = cmag(jnp.sum(cnrm * nrm, -1))
-        fails = in_ball & ~((pd <= th_thickness) & (pc_ >= th_normal_cos))
-        return bad | fails
-
-    unroll = 8 if (2 * ws) % 8 == 0 else 1
-
-    def seed_chunk(ci, bad):
-        for u in range(unroll):
-            bad = seed_offset(ci * unroll + u, bad)
-        return bad
-
-    bad = lax.fori_loop(
-        0, (2 * ws) // unroll, seed_chunk, jnp.zeros((n,), bool)
-    )
+        pd = jnp.abs(dx * nx_ + dy * ny_ + dz * nz_)
+        pc_ = cmag(sl(pnx) * nx_ + sl(pny) * ny_ + sl(pnz) * nz_)
+        bad = bad | (
+            in_ball & ~((pd <= th_thickness) & (pc_ >= th_normal_cos))
+        )
     return mask & ~bad
 
 
@@ -525,8 +524,14 @@ def segment_planes(
             f = jnp.full(padshape, fill, a.dtype)
             return jnp.concatenate([f, a, f])
 
-    ppos_w = _pad_rows(pos, -3e7)
-    pnrm_w = _pad_rows(nrm, 0.0)
+    # padded 1-D COMPONENT arrays: slicing an [n, 3] array lane-pads the
+    # 3-wide axis 128/3× per unrolled copy (measured 4× slowdown);
+    # 1-D static slices are pure fusable views
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    nx_, ny_, nz_ = nrm[:, 0], nrm[:, 1], nrm[:, 2]
+    ppx = _pad_rows(px, -3e7)
+    ppy = _pad_rows(py, -3e7)
+    ppz = _pad_rows(pz, -3e7)
     pmask_w = _pad_rows(mask, False)
 
     L = min(max_planes, ng)  # ng is static (lax.axis_size is an int)
@@ -593,51 +598,50 @@ def segment_planes(
         has = label < inf_label
         mpn = jnp.where(has[:, None], model_n[safe], 0.0)
         mpc = jnp.where(has[:, None], model_c[safe], 0.0)
+        mnx, mny, mnz = mpn[:, 0], mpn[:, 1], mpn[:, 2]
+        mcx, mcy, mcz = mpc[:, 0], mpc[:, 1], mpc[:, 2]
         plab = _pad_rows(label, inf_label)
-        pmpn = _pad_rows(mpn, 0.0)
-        pmpc = _pad_rows(mpc, 0.0)
+        pmnx = _pad_rows(mnx, 0.0)
+        pmny = _pad_rows(mny, 0.0)
+        pmnz = _pad_rows(mnz, 0.0)
+        pmcx = _pad_rows(mcx, 0.0)
+        pmcy = _pad_rows(mcy, 0.0)
+        pmcz = _pad_rows(mcz, 0.0)
 
-        def one_offset(slot, carry):
-            new, best = carry
-            start = jnp.where(slot < ws, slot, slot + 1)  # skip offset 0
-            cpos = lax.dynamic_slice(ppos_w, (start, 0), (n, 3))
-            cmask = lax.dynamic_slice(pmask_w, (start,), (n,))
-            clab = lax.dynamic_slice(plab, (start,), (n,))
-            cmpn = lax.dynamic_slice(pmpn, (start, 0), (n, 3))
-            cmpc = lax.dynamic_slice(pmpc, (start, 0), (n, 3))
-            diff = pos - cpos
-            near = (jnp.sum(diff * diff, -1) <= edge_gate2) & cmask & mask
+        # fully unrolled static 1-D slices (fori+dynamic_slice is
+        # kernel-launch bound; [n,3] slices lane-pad — see above)
+        new = label
+        best = jnp.full((n,), inf_label, jnp.int32)
+        for slot in range(2 * ws):
+            start = slot if slot < ws else slot + 1  # skip offset 0
+            sl = lambda a: lax.slice(a, (start,), (start + n,))
+            cmask = sl(pmask_w)
+            clab = sl(plab)
+            dx = px - sl(ppx)
+            dy = py - sl(ppy)
+            dz = pz - sl(ppz)
+            near = (dx * dx + dy * dy + dz * dz <= edge_gate2) & cmask & mask
             cl_ok = clab < inf_label
+            cmnx, cmny, cmnz = sl(pmnx), sl(pmny), sl(pmnz)
+            cmcx, cmcy, cmcz = sl(pmcx), sl(pmcy), sl(pmcz)
             # hop: does the neighbor's region model accept this point?
-            d = jnp.abs(jnp.sum((pos - cmpc) * cmpn, -1))
-            c = cmag(jnp.sum(nrm * cmpn, -1))
+            d = jnp.abs(
+                (px - cmcx) * cmnx + (py - cmcy) * cmny + (pz - cmcz) * cmnz
+            )
+            c = cmag(nx_ * cmnx + ny_ * cmny + nz_ * cmnz)
             hop_ok = cl_ok & near & (d <= th_thickness) & (c >= th_normal_cos)
             new = jnp.minimum(new, jnp.where(hop_ok, clab, inf_label))
             # merge hook: mutual model acceptance between the regions
-            dc = cmpc - mpc
+            dcx = cmcx - mcx
+            dcy = cmcy - mcy
+            dcz = cmcz - mcz
             mutual = (
-                (jnp.abs(jnp.sum(dc * mpn, -1)) <= th_thickness)
-                & (jnp.abs(jnp.sum(dc * cmpn, -1)) <= th_thickness)
-                & (cmag(jnp.sum(mpn * cmpn, -1)) >= th_normal_cos)
+                (jnp.abs(dcx * mnx + dcy * mny + dcz * mnz) <= th_thickness)
+                & (jnp.abs(dcx * cmnx + dcy * cmny + dcz * cmnz) <= th_thickness)
+                & (cmag(mnx * cmnx + mny * cmny + mnz * cmnz) >= th_normal_cos)
             )
             mrg_ok = has & (clab < label) & near & mutual
             best = jnp.minimum(best, jnp.where(mrg_ok, clab, inf_label))
-            return new, best
-
-        # unroll offsets per step (one-offset steps are latency-bound)
-        unroll = 8 if (2 * ws) % 8 == 0 else 1
-
-        def one_chunk(ci, carry):
-            for u in range(unroll):
-                carry = one_offset(ci * unroll + u, carry)
-            return carry
-
-        new, best = lax.fori_loop(
-            0,
-            (2 * ws) // unroll,
-            one_chunk,
-            (label, jnp.full((n,), inf_label, jnp.int32)),
-        )
 
         # 4a. hook window merges: parent[label] min= best — per-shard
         # partial scatter into the global parent table, one pmin
