@@ -41,7 +41,7 @@ def _timed(fn, *args, reps=3, **kw):
     for _ in range(reps):
         out = fn(*args, **kw)
     _sync(out)
-    return (time.perf_counter() - t0) / reps, out, out
+    return (time.perf_counter() - t0) / reps, out
 
 
 def main():
@@ -116,6 +116,7 @@ def main():
             neigh_sq_dist=nb_d[:, :15], max_edge_dist=600.0,
             th_point_count=400, max_planes=1024,
             propagation="window", window=16,
+            convergence_tol=cfg.seg_convergence_tol,
         )
     )
     extras["segmentation_mpts"] = round(n / dt / 1e6, 2)
@@ -129,6 +130,7 @@ def main():
             th_point_count=400, max_planes=1024,
             window=16, group=cfg.seg_group, levels=cfg.seg_levels,
             refine_sweeps=cfg.seg_refine_sweeps,
+            convergence_tol=cfg.seg_convergence_tol,
         )
     )
     extras["segmentation_multigrid_mpts"] = round(n / dt / 1e6, 2)

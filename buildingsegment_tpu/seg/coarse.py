@@ -200,7 +200,10 @@ def segment_planes_multigrid(
             th_point_count=coarse_th,
             max_planes=max_planes,
             max_sweeps=max_sweeps,
-            convergence_tol=convergence_tol,
+            # tol is in fine-point units: one coarse row stands for
+            # `group` fine points, so the change-count threshold keeps
+            # its absolute meaning down the hierarchy
+            convergence_tol=convergence_tol * group,
             signed_normals=signed_normals,
             window=window,
             group=group,
@@ -222,7 +225,7 @@ def segment_planes_multigrid(
             th_point_count=coarse_th,
             max_planes=max_planes,
             max_sweeps=max_sweeps,
-            convergence_tol=convergence_tol,
+            convergence_tol=convergence_tol * group,
             signed_normals=signed_normals,
             propagation="window",
             window=window,

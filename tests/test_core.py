@@ -231,3 +231,30 @@ class TestPointBatchAttributes:
         np.testing.assert_array_equal(out["reflectances"], cloud.reflectances)
         np.testing.assert_array_equal(out["laser_angles"], cloud.laser_angles)
         assert b.frame_idx is None and b.colors is None
+
+
+class TestMortonSortPayload:
+    def test_matches_argsort_gather(self, rng):
+        import jax.numpy as jnp
+
+        from buildingsegment_tpu.core.morton import (
+            morton_argsort,
+            morton_sort,
+        )
+
+        n, cap = 3000, 3072
+        pos = np.full((cap, 3), 2**24, np.int32)
+        pos[:n] = rng.integers(0, 500_000, size=(n, 3))
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        pj, mj = jnp.asarray(pos), jnp.asarray(mask)
+        order = morton_argsort(pj, mj)
+        spos, smask, order2 = morton_sort(pj, mj)
+        # valid prefix must be identical (padded-row tie order may vary)
+        np.testing.assert_array_equal(
+            np.asarray(spos)[:n], np.asarray(pj[order])[:n]
+        )
+        np.testing.assert_array_equal(np.asarray(smask), np.asarray(mj[order]))
+        np.testing.assert_array_equal(
+            np.asarray(order2)[:n], np.asarray(order)[:n]
+        )
