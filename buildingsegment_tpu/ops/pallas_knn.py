@@ -67,64 +67,70 @@ def _banded(ci: jax.Array, home: jax.Array, num_c: int) -> jax.Array:
     return (home + sign * step + num_c) % num_c
 
 
-def _kernel(bbox_ref, q_ref, pos_hbm, best_d_ref, best_i_ref, cbuf, sem,
-            *, kk: int, qt: int, ct: int, n: int):
+def _kernel(count_ref, meta_ref, q_ref, pos_hbm, best_d_ref,
+            best_i_ref, cbuf, sem, tau_ref, *, kk: int, qt: int, ct: int,
+            n: int):
     qi = pl.program_id(0)
-    num_c = n // ct
-    home = (qi * qt) // ct
     q_start = qi * qt
 
     qx = q_ref[0, :]
     qy = q_ref[1, :]
     qz = q_ref[2, :]
     qvalid = qx > _VALID_GT
-    big = jnp.float32(3e37)
-    qxmin = jnp.min(jnp.where(qvalid, qx, big))
-    qymin = jnp.min(jnp.where(qvalid, qy, big))
-    qzmin = jnp.min(jnp.where(qvalid, qz, big))
-    qxmax = jnp.max(jnp.where(qvalid, qx, -big))
-    qymax = jnp.max(jnp.where(qvalid, qy, -big))
-    qzmax = jnp.max(jnp.where(qvalid, qz, -big))
 
     # unconditional init so every later read is defined
     best_d_ref[...] = jnp.full((qt, kk), _INF, jnp.float32)
     best_i_ref[...] = jnp.zeros((qt, kk), jnp.int32)
+    tau_ref[0, 0] = jnp.float32(_INF)
+
+    count = count_ref[qi]
+
+    def tile_dma(ci, slot):
+        row = meta_ref[0, ci, :]
+        t = row[0].astype(jnp.int32)
+        return pltpu.make_async_copy(
+            pos_hbm.at[:, pl.ds(t * ct, ct)], cbuf.at[slot], sem.at[slot]
+        )
+
+    # warm up the double buffer: tile 0 in flight before the loop
+    tile_dma(0, 0).start()
 
     iota_c = lax.broadcasted_iota(jnp.int32, (qt, ct), 1)
     iota_q = lax.broadcasted_iota(jnp.int32, (qt, ct), 0)
     iota_k = lax.broadcasted_iota(jnp.int32, (qt, kk), 1)
 
     def body(ci, _):
-        actual = _banded(ci, home, num_c)
-        # read-modify-write state (read unconditionally, before when)
-        bd0 = best_d_ref[...]
-        bi0 = best_i_ref[...]
-        worst_rows = jnp.max(bd0, axis=1)  # [qt]
-        # τ over the tile: invalid query rows excluded (they stay inf)
-        tau = jnp.max(jnp.where(qvalid, worst_rows, 0.0))
+        # visit list is sorted ascending by precomputed box distance,
+        # so the count-bounded loop runs ~#needed-tiles times (mean ~9
+        # at 1M); each iteration reads ONE meta row: (tile index,
+        # box-distance lower bound).  τ (the worst current k-th
+        # distance over the tile) lives in an SMEM scalar updated only
+        # when a merge runs — once τ beats the sorted box distance,
+        # every later iteration prunes on the one compare.  Tile DMAs
+        # are double-buffered: the next tile is prefetched while this
+        # one computes (the over-fetch when the next tile prunes is a
+        # 32 KB no-op).
+        row = meta_ref[0, ci, :]
+        actual = row[0].astype(jnp.int32)
+        box_d2 = row[1]
+        slot = ci % 2
 
-        # conservative box-to-box lower bound vs the candidate tile
-        # (one dynamic ROW read from the ref, then static lane extracts
-        # — vectorized dynamic gathers don't lower in Mosaic)
-        brow = bbox_ref[actual, :]
-        bx0, by0, bz0 = brow[0], brow[1], brow[2]
-        bx1, by1, bz1 = brow[3], brow[4], brow[5]
-        ddx = jnp.maximum(jnp.maximum(bx0 - qxmax, qxmin - bx1), 0.0)
-        ddy = jnp.maximum(jnp.maximum(by0 - qymax, qymin - by1), 0.0)
-        ddz = jnp.maximum(jnp.maximum(bz0 - qzmax, qzmin - bz1), 0.0)
-        box_d2 = ddx * ddx + ddy * ddy + ddz * ddz
+        @pl.when(ci + 1 < count)
+        def _prefetch():
+            tile_dma(ci + 1, 1 - slot).start()
 
-        @pl.when((ci == 0) | (box_d2 < tau))
+        do_visit = (ci == 0) | (box_d2 <= tau_ref[0, 0])
+
+        @pl.when(do_visit)
         def _visit():
-            dma = pltpu.make_async_copy(
-                pos_hbm.at[:, pl.ds(actual * ct, ct)], cbuf, sem
-            )
-            dma.start()
-            dma.wait()
-            cx = cbuf[0, :]
-            cy = cbuf[1, :]
-            cz = cbuf[2, :]
-            cvalid = cx > _VALID_GT
+            # read-modify-write state while the DMA flies
+            bd0 = best_d_ref[...]
+            bi0 = best_i_ref[...]
+            worst_rows = jnp.max(bd0, axis=1)  # [qt]
+            tile_dma(ci, slot).wait()
+            cx = cbuf[slot, 0, :]
+            cy = cbuf[slot, 1, :]
+            cz = cbuf[slot, 2, :]
 
             dx = qx[:, None] - cx[None, :]
             dy = qy[:, None] - cy[None, :]
@@ -132,10 +138,12 @@ def _kernel(bbox_ref, q_ref, pos_hbm, best_d_ref, best_i_ref, cbuf, sem,
             d = dx * dx + dy * dy + dz * dz
             c_idx = actual * ct + iota_c
             q_idx = q_start + iota_q
+            # validity compared in 2-D on the f32 coords: a minor-dim
+            # insert of an i1 vector does not lower in Mosaic
             invalid = (
                 (c_idx == q_idx)
-                | (~cvalid)[None, :]
-                | (~qvalid)[:, None]
+                | (cx[None, :] <= _VALID_GT)
+                | (qx[:, None] <= _VALID_GT)
             )
             d = jnp.where(invalid, _INF, d)
 
@@ -143,18 +151,29 @@ def _kernel(bbox_ref, q_ref, pos_hbm, best_d_ref, best_i_ref, cbuf, sem,
 
             @pl.when(improves)
             def _merge():
-                # kk rounds of extract-min / replace-max.  No
-                # argmin/argmax: arg extraction over tied values is
-                # where compiled Mosaic and the interpreter disagree,
-                # so min/max slots are located by equality plus a
-                # first-occurrence mask instead.
-                dd = d
-                bd = bd0
-                bi = bi0
-                for _ in range(kk):
+                # Extract-min / replace-max rounds.  The round count is
+                # DYNAMIC: no row can take more candidates than it has
+                # below its current worst (worst only shrinks), so
+                # max-over-rows of that count bounds the work — later
+                # tiles improve 1-2 slots, not kk (home tiles pay the
+                # full kk to fill).  No argmin/argmax: arg extraction
+                # over tied values is where compiled Mosaic and the
+                # interpreter disagree, so min/max slots are located by
+                # equality plus a first-occurrence mask instead.
+                cnt_below = jnp.sum(
+                    jnp.where(d < worst_rows[:, None], 1.0, 0.0), axis=1
+                )
+                rounds = jnp.minimum(
+                    jnp.max(cnt_below), float(kk)
+                ).astype(jnp.int32)
+
+                def mround(_, carry):
+                    dd, bd, bi = carry
                     dmin = jnp.min(dd, axis=1)
                     worst = jnp.max(bd, axis=1)
-                    take = dmin < worst
+                    # "take" as a 2-D f32 compare (i1 minor-dim inserts
+                    # don't lower in Mosaic)
+                    take_k = dmin[:, None] < worst[:, None]
                     c_hit = jnp.min(
                         jnp.where(dd == dmin[:, None], iota_c, ct), axis=1
                     )
@@ -163,16 +182,36 @@ def _kernel(bbox_ref, q_ref, pos_hbm, best_d_ref, best_i_ref, cbuf, sem,
                     k_hit = jnp.min(
                         jnp.where(bd == worst[:, None], iota_k, kk), axis=1
                     )
-                    first_k = (iota_k == k_hit[:, None]) & take[:, None]
+                    first_k = (iota_k == k_hit[:, None]) & take_k
                     bd = jnp.where(first_k, dmin[:, None], bd)
                     bi = jnp.where(first_k, gidx[:, None], bi)
-                    dd = jnp.where(first_c & take[:, None], _INF, dd)
+                    take_c = dmin[:, None] < worst[:, None]
+                    dd = jnp.where(first_c & take_c, _INF, dd)
+                    return dd, bd, bi
+
+                _, bd, bi = lax.fori_loop(
+                    0, rounds, mround, (d, bd0, bi0)
+                )
                 best_d_ref[...] = bd
                 best_i_ref[...] = bi
+                tau_ref[0, 0] = jnp.max(
+                    jnp.where(qvalid, jnp.max(bd, axis=1), 0.0)
+                )
+
+        @pl.when(~do_visit)
+        def _drain():
+            # the DMA for this (pruned) tile was prefetched by the
+            # previous iteration; it must complete before slot reuse
+            # (do_visit was evaluated ONCE above — _visit shrinks τ, so
+            # re-reading it here would double-wait the semaphore)
+            tile_dma(ci, slot).wait()
 
         return 0
 
-    lax.fori_loop(0, num_c, body, 0)
+    # exactly `count` sorted tiles suffice (precomputed from the
+    # window-kNN upper bound on every query's k-th distance — see
+    # knn_pallas)
+    lax.fori_loop(0, count, body, 0)
 
 
 @functools.partial(
@@ -219,57 +258,120 @@ def knn_pallas(
     ) / jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     pos = positions.astype(jnp.float32) - center
     pos = jnp.where(mask[:, None], pos, jnp.float32(_SENTINEL))
-    posT = pos.T  # [3, N] — lanes along points
+    # transposed layout, padded to 4 rows: DMA slices must be aligned
+    # to the sublane tiling along dim 0 (Mosaic rejects a 3-row slice)
+    posT = jnp.concatenate(
+        [pos.T, jnp.zeros((1, n), jnp.float32)], axis=0
+    )  # [4, N] — lanes along points
 
-    # per-candidate-tile bounding boxes over VALID rows (invalid-only
-    # tiles get an empty box that always prunes)
-    pt = pos.reshape(num_c, cand_tile, 3)
-    mt = mask.reshape(num_c, cand_tile, 1)
+    # --- exact visit counts from a provable τ upper bound -------------
+    # The window kNN's k-th distance is the k-th best over a SUBSET of
+    # candidates, hence an upper bound on the true k-th distance.  A
+    # candidate tile whose box-to-box lower bound exceeds the max such
+    # bound over a query tile can never contribute — so the kernel only
+    # needs the banded prefix up to the last tile under the bound.
+    from buildingsegment_tpu.ops.knn import knn_window_sorted
+
+    wk_i, wk_d = knn_window_sorted(pos, mask, k, window=max(32, k))
+    self_idx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    # rows with fewer than k-1 real candidates pad with self → the
+    # window bound is invalid there; fall back to +inf (visit all)
+    kth_ub = jnp.where(wk_i[:, k - 1] == self_idx[:, 0], jnp.inf, wk_d[:, k - 1])
+    kth_ub = jnp.where(mask, kth_ub, 0.0)  # invalid rows never bind
+
+    # per-tile bounding boxes over VALID rows
     big = jnp.float32(3e37)
-    mins = jnp.min(jnp.where(mt, pt, big), axis=1)
-    maxs = jnp.max(jnp.where(mt, pt, -big), axis=1)
-    bbox = jnp.concatenate(
-        [mins, maxs, jnp.zeros((num_c, 2), jnp.float32)], axis=1
-    )  # [num_c, 8]
+
+    def tile_bbox(t):
+        pt = pos.reshape(-1, t, 3)
+        mt = mask.reshape(-1, t, 1)
+        return (
+            jnp.min(jnp.where(mt, pt, big), axis=1),
+            jnp.max(jnp.where(mt, pt, -big), axis=1),
+        )
+
+    qmin, qmax = tile_bbox(query_tile)  # [num_q, 3]
+    cmin, cmax = tile_bbox(cand_tile)  # [num_c, 3]
+    dd = jnp.maximum(
+        jnp.maximum(cmin[None, :, :] - qmax[:, None, :],
+                    qmin[:, None, :] - cmax[None, :, :]),
+        0.0,
+    )
+    boxd2 = jnp.sum(dd * dd, axis=-1)  # [num_q, num_c]
+
+    # visit candidate tiles in increasing box-distance order: the
+    # needed tiles (box ≤ τ̂) then form an exact prefix, so the kernel
+    # loop length equals the needed count (mean ~9 at 1M, vs ~142 for
+    # a banded order whose needed tiles hide deep in the band)
+    order_c = jnp.argsort(boxd2, axis=1).astype(jnp.int32)  # [num_q, num_c]
+    sorted_d2 = jnp.take_along_axis(boxd2, order_c, axis=1)
+    tau_hat = jnp.max(
+        jnp.where(mask, kth_ub, 0.0).reshape(num_q, query_tile), axis=1
+    )
+    # <= so a neighbor sitting exactly on a tile-bbox corner at the
+    # final k-th distance can never be skipped (ties stay exact)
+    counts = jnp.maximum(
+        jnp.sum((sorted_d2 <= tau_hat[:, None]).astype(jnp.int32), axis=1),
+        1,
+    )
+    # per-query-tile visit metadata rows: (tile index as f32 — exact
+    # below 2^24 — and its box-distance bound), lane-padded to 8
+    meta = jnp.concatenate(
+        [
+            order_c.astype(jnp.float32)[..., None],
+            sorted_d2[..., None],
+            jnp.zeros((num_q, num_c, 6), jnp.float32),
+        ],
+        axis=-1,
+    )  # [num_q, num_c, 8]
 
     kernel = functools.partial(
         _kernel, kk=kk, qt=query_tile, ct=cand_tile, n=n
     )
 
-    best_d, best_i = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(num_q,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bbox table, whole
             pl.BlockSpec(
-                (3, query_tile), lambda qi: (0, qi),
+                (1, num_c, 8), lambda qi, *_: (qi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # this query tile's sorted visit metadata
+            pl.BlockSpec(
+                (4, query_tile), lambda qi, *_: (0, qi),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # positions stay in HBM
         ],
         out_specs=(
             pl.BlockSpec(
-                (query_tile, kk), lambda qi: (qi, 0),
+                (query_tile, kk), lambda qi, *_: (qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (query_tile, kk), lambda qi: (qi, 0),
+                (query_tile, kk), lambda qi, *_: (qi, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, cand_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+    )
+
+    best_d, best_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n, kk), jnp.float32),
             jax.ShapeDtypeStruct((n, kk), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((3, cand_tile), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(bbox, posT, posT)
+    )(counts, meta, posT, posT)
 
     # sort ascending, fix empty slots, prepend self
     neg, arg = lax.top_k(-best_d, kk)
