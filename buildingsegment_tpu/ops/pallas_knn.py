@@ -222,8 +222,8 @@ def knn_pallas(
     mask: jax.Array,
     k: int,
     *,
-    query_tile: int = 256,
-    cand_tile: int = 2048,
+    query_tile: int = 128,
+    cand_tile: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact brute-force kNN via the bbox-pruned Pallas kernel.

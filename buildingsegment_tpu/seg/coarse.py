@@ -281,6 +281,39 @@ def segment_planes_multigrid(
         pmny = _pad_rows(mnp[:, 1], 0.0, ws)
         pmnz = _pad_rows(mnp[:, 2], 0.0, ws)
 
+        # Pallas mega-kernel on TPU: the whole ±window loop runs on a
+        # VMEM-resident slab (XLA re-reads every operand per offset —
+        # ~2W× the HBM traffic).  CPU keeps the XLA path (bit-identical
+        # math; kernel equality is pinned by tests/test_window_sweep.py)
+        from buildingsegment_tpu.ops.window_sweep import (
+            pick_tile,
+            refine_sweep,
+        )
+
+        tile = pick_tile(n)
+        if jax.devices()[0].platform != "cpu" and tile:
+            best_f = refine_sweep(
+                ppx, ppy, ppz,
+                _pad_rows(nx_, 0.0, ws), _pad_rows(ny_, 0.0, ws),
+                _pad_rows(nz_, 0.0, ws),
+                pmcx, pmcy, pmcz, pmnx, pmny, pmnz,
+                ppid.astype(jnp.float32),
+                _pad_rows(mask, False, ws).astype(jnp.float32),
+                w=ws, tile=tile,
+                th_thickness=float(th_thickness),
+                th_normal_cos=float(th_normal_cos),
+                edge_gate2=float(
+                    max_edge_dist if max_edge_dist is not None
+                    else 2.0 * th_thickness
+                ) ** 2,
+                big_pid=float(max_planes + 1),
+                signed=signed_normals,
+            )
+            best = best_f.astype(jnp.int32)
+            return jnp.where(
+                pid > 0, pid, jnp.where(best < big_pid, best, 0)
+            )
+
         # fully unrolled static 1-D slices (fori+dynamic_slice is
         # kernel-launch bound — see ops/fused.py sweep comment)
         best = jnp.full((n,), big_pid, jnp.int32)

@@ -116,6 +116,23 @@ def window_seeds(
     pnx, pny, pnz = _pad1(nx_, 0.0), _pad1(ny_, 0.0), _pad1(nz_, 0.0)
     smask_p = _pad1(mask, False)
 
+    # Pallas mega-kernel on TPU (VMEM-resident slab; see
+    # ops/window_sweep.py); CPU keeps the XLA path
+    from buildingsegment_tpu.ops.window_sweep import pick_tile, seed_sweep
+
+    tile = pick_tile(n)
+    if jax.devices()[0].platform != "cpu" and tile:
+        bad_f = seed_sweep(
+            ppx, ppy, ppz, pnx, pny, pnz,
+            _pad1(kth_sq_dist.astype(jnp.float32), 0.0),
+            smask_p.astype(jnp.float32),
+            w=ws, tile=tile,
+            th_thickness=float(th_thickness),
+            th_normal_cos=float(th_normal_cos),
+            signed=signed_normals,
+        )
+        return mask & (bad_f < 0.5)
+
     # fully unrolled static slices (fori+dynamic_slice is kernel-launch
     # bound — see ops/fused.py sweep comment)
     bad = jnp.zeros((n,), bool)
@@ -534,6 +551,18 @@ def segment_planes(
     ppz = _pad_rows(pz, -3e7)
     pmask_w = _pad_rows(mask, False)
 
+    # Pallas mega-kernel on TPU (VMEM-resident slab; kernel↔XLA
+    # equality pinned by tests/test_window_sweep.py); CPU keeps XLA
+    from buildingsegment_tpu.ops.window_sweep import label_sweep, pick_tile
+
+    _sweep_tile = pick_tile(n)
+    _use_kernel = jax.devices()[0].platform != "cpu" and bool(_sweep_tile)
+    if _use_kernel:
+        pnx_w = _pad_rows(nx_, 0.0)
+        pny_w = _pad_rows(ny_, 0.0)
+        pnz_w = _pad_rows(nz_, 0.0)
+        pmask_f = pmask_w.astype(jnp.float32)
+
     # Per-sweep global-merge table capacity.  Capped independently of
     # max_planes (the OUTPUT capacity): the [L, L] pair tests cost
     # ~L²·40 B of traffic per sweep, and labels beyond the cap simply
@@ -614,40 +643,58 @@ def segment_planes(
         pmcy = _pad_rows(mcy, 0.0)
         pmcz = _pad_rows(mcz, 0.0)
 
-        # fully unrolled static 1-D slices (fori+dynamic_slice is
-        # kernel-launch bound; [n,3] slices lane-pad — see above)
-        new = label
-        best = jnp.full((n,), inf_label, jnp.int32)
-        for slot in range(2 * ws):
-            start = slot if slot < ws else slot + 1  # skip offset 0
-            sl = lambda a: lax.slice(a, (start,), (start + n,))
-            cmask = sl(pmask_w)
-            clab = sl(plab)
-            dx = px - sl(ppx)
-            dy = py - sl(ppy)
-            dz = pz - sl(ppz)
-            near = (dx * dx + dy * dy + dz * dz <= edge_gate2) & cmask & mask
-            cl_ok = clab < inf_label
-            cmnx, cmny, cmnz = sl(pmnx), sl(pmny), sl(pmnz)
-            cmcx, cmcy, cmcz = sl(pmcx), sl(pmcy), sl(pmcz)
-            # hop: does the neighbor's region model accept this point?
-            d = jnp.abs(
-                (px - cmcx) * cmnx + (py - cmcy) * cmny + (pz - cmcz) * cmnz
+        if _use_kernel:
+            new_f, best_f = label_sweep(
+                ppx, ppy, ppz, pnx_w, pny_w, pnz_w,
+                pmnx, pmny, pmnz, pmcx, pmcy, pmcz,
+                plab.astype(jnp.float32), pmask_f,
+                w=ws, tile=_sweep_tile,
+                th_thickness=float(th_thickness),
+                th_normal_cos=float(th_normal_cos),
+                edge_gate2=float(
+                    max_edge_dist if max_edge_dist is not None
+                    else 2 * th_thickness
+                ) ** 2,
+                inf_label=float(ng),
+                signed=signed_normals,
             )
-            c = cmag(nx_ * cmnx + ny_ * cmny + nz_ * cmnz)
-            hop_ok = cl_ok & near & (d <= th_thickness) & (c >= th_normal_cos)
-            new = jnp.minimum(new, jnp.where(hop_ok, clab, inf_label))
-            # merge hook: mutual model acceptance between the regions
-            dcx = cmcx - mcx
-            dcy = cmcy - mcy
-            dcz = cmcz - mcz
-            mutual = (
-                (jnp.abs(dcx * mnx + dcy * mny + dcz * mnz) <= th_thickness)
-                & (jnp.abs(dcx * cmnx + dcy * cmny + dcz * cmnz) <= th_thickness)
-                & (cmag(mnx * cmnx + mny * cmny + mnz * cmnz) >= th_normal_cos)
-            )
-            mrg_ok = has & (clab < label) & near & mutual
-            best = jnp.minimum(best, jnp.where(mrg_ok, clab, inf_label))
+            new = new_f.astype(jnp.int32)
+            best = best_f.astype(jnp.int32)
+        else:
+            # fully unrolled static 1-D slices (fori+dynamic_slice is
+            # kernel-launch bound; [n,3] slices lane-pad — see above)
+            new = label
+            best = jnp.full((n,), inf_label, jnp.int32)
+            for slot in range(2 * ws):
+                start = slot if slot < ws else slot + 1  # skip offset 0
+                sl = lambda a: lax.slice(a, (start,), (start + n,))
+                cmask = sl(pmask_w)
+                clab = sl(plab)
+                dx = px - sl(ppx)
+                dy = py - sl(ppy)
+                dz = pz - sl(ppz)
+                near = (dx * dx + dy * dy + dz * dz <= edge_gate2) & cmask & mask
+                cl_ok = clab < inf_label
+                cmnx, cmny, cmnz = sl(pmnx), sl(pmny), sl(pmnz)
+                cmcx, cmcy, cmcz = sl(pmcx), sl(pmcy), sl(pmcz)
+                # hop: does the neighbor's region model accept this point?
+                d = jnp.abs(
+                    (px - cmcx) * cmnx + (py - cmcy) * cmny + (pz - cmcz) * cmnz
+                )
+                c = cmag(nx_ * cmnx + ny_ * cmny + nz_ * cmnz)
+                hop_ok = cl_ok & near & (d <= th_thickness) & (c >= th_normal_cos)
+                new = jnp.minimum(new, jnp.where(hop_ok, clab, inf_label))
+                # merge hook: mutual model acceptance between the regions
+                dcx = cmcx - mcx
+                dcy = cmcy - mcy
+                dcz = cmcz - mcz
+                mutual = (
+                    (jnp.abs(dcx * mnx + dcy * mny + dcz * mnz) <= th_thickness)
+                    & (jnp.abs(dcx * cmnx + dcy * cmny + dcz * cmnz) <= th_thickness)
+                    & (cmag(mnx * cmnx + mny * cmny + mnz * cmnz) >= th_normal_cos)
+                )
+                mrg_ok = has & (clab < label) & near & mutual
+                best = jnp.minimum(best, jnp.where(mrg_ok, clab, inf_label))
 
         # 4a. hook window merges: parent[label] min= best — per-shard
         # partial scatter into the global parent table, one pmin
