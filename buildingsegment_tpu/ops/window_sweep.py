@@ -42,18 +42,26 @@ _ROWS = 16
 
 
 def pick_tile(n: int, target: int = 8192) -> int:
-    """Largest power-of-two divisor of n up to target (≥ 128 or 0)."""
-    t = target
-    while t >= 128:
-        if n % t == 0:
-            return t
-        t //= 2
-    return 0
+    """Row-tile size for an n-point sweep: ``target`` capped to the
+    next power of two ≥ n.  Wrappers pad n up to a tile multiple
+    internally, so divisibility is not required (tests with tiny n
+    still exercise multi-tile grids by passing a smaller target)."""
+    t = 128
+    while t < min(n, target):
+        t *= 2
+    return t
 
 
-def _pack(rows, n_pad):
-    """Stack component rows into the [16, n_pad] slab."""
-    slab = jnp.zeros((_ROWS, n_pad), jnp.float32)
+def _lane_pad(tile, w):
+    """Extra zero columns so the per-tile DMA width (tile + 2w + pad)
+    is lane-aligned — Mosaic requires DMA slice shapes to be multiples
+    of the 128-lane tiling on the minor dimension."""
+    return (-(tile + 2 * w)) % 128
+
+
+def _pack(rows, width):
+    """Stack component rows into the [16, width] slab (zero tail)."""
+    slab = jnp.zeros((_ROWS, width), jnp.float32)
     for i, r in enumerate(rows):
         slab = lax.dynamic_update_slice(
             slab, r.astype(jnp.float32)[None, :], (i, 0)
@@ -61,10 +69,21 @@ def _pack(rows, n_pad):
     return slab
 
 
-def _sweep_call(kernel, slab, n, w, tile, interpret, n_out=1):
-    grid = (n // tile,)
+def _sweep_call(kernel, rows, n, w, tile, interpret, n_out=1):
+    """Pack rows (each [n + 2w]) and run ``kernel`` over row tiles.
+
+    n is padded up to a tile multiple so every tile's DMA window and
+    the 1-D output block stay aligned for any caller n; the pad tail
+    is masked out (zero mask rows) and sliced off the result.  The
+    output block (a power-of-two ≥ 1024 for production sizes) is a
+    multiple of any 1-D tiling XLA assigns to the [n_pad] result.
+    """
+    n_pad = -(-n // tile) * tile
+    width = n_pad + 2 * w + _lane_pad(tile, w)
+    slab = _pack(rows, width)
+    grid = (n_pad // tile,)
     out_shape = tuple(
-        jax.ShapeDtypeStruct((n,), jnp.float32) for _ in range(n_out)
+        jax.ShapeDtypeStruct((n_pad,), jnp.float32) for _ in range(n_out)
     )
     out_specs = tuple(
         pl.BlockSpec((tile,), lambda ti: (ti,), memory_space=pltpu.VMEM)
@@ -73,14 +92,15 @@ def _sweep_call(kernel, slab, n, w, tile, interpret, n_out=1):
     if n_out == 1:
         out_shape = out_shape[0]
         out_specs = out_specs[0]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((_ROWS, tile + 2 * w), jnp.float32),
+            pltpu.VMEM((_ROWS, tile + 2 * w + _lane_pad(tile, w)),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -88,6 +108,11 @@ def _sweep_call(kernel, slab, n, w, tile, interpret, n_out=1):
         ),
         interpret=interpret,
     )(slab)
+    if n_pad == n:
+        return out
+    if n_out == 1:
+        return lax.slice(out, (0,), (n,))
+    return tuple(lax.slice(o, (0,), (n,)) for o in out)
 
 
 def _interpret_default() -> bool:
@@ -106,7 +131,8 @@ def _refine_kernel(slab_hbm, out_ref, slab, sem, *, tile, w,
                    signed):
     ti = pl.program_id(0)
     dma = pltpu.make_async_copy(
-        slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w)], slab, sem
+        slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w + _lane_pad(tile, w))],
+        slab, sem,
     )
     dma.start()
     dma.wait()
@@ -163,11 +189,8 @@ def refine_sweep(
     Returns float32[n] best plane id (big_pid where none accepted).
     """
     n = ppx.shape[0] - 2 * w
-    slab = _pack(
-        [ppx, ppy, ppz, pnx, pny, pnz, pmcx, pmcy, pmcz, pmnx, pmny,
-         pmnz, ppid, pmask],
-        n + 2 * w,
-    )
+    rows = [ppx, ppy, ppz, pnx, pny, pnz, pmcx, pmcy, pmcz, pmnx, pmny,
+            pmnz, ppid, pmask]
     kernel = functools.partial(
         _refine_kernel, tile=tile, w=w, th_thickness=th_thickness,
         th_normal_cos=th_normal_cos, edge_gate2=edge_gate2,
@@ -175,7 +198,7 @@ def refine_sweep(
     )
     if interpret is None:
         interpret = _interpret_default()
-    return _sweep_call(kernel, slab, n, w, tile, interpret)
+    return _sweep_call(kernel, rows, n, w, tile, interpret)
 
 
 # ----------------------------------------------------------------------
@@ -189,7 +212,8 @@ def _seed_kernel(slab_hbm, out_ref, slab, sem, *, tile, w,
                  th_thickness, th_normal_cos, signed):
     ti = pl.program_id(0)
     dma = pltpu.make_async_copy(
-        slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w)], slab, sem
+        slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w + _lane_pad(tile, w))],
+        slab, sem,
     )
     dma.start()
     dma.wait()
@@ -236,17 +260,14 @@ def seed_sweep(
     """Window seed-failure sweep; returns float32[n] (1.0 = bad)."""
     n = ppx.shape[0] - 2 * w
     z = jnp.zeros_like(ppx)
-    slab = _pack(
-        [ppx, ppy, ppz, pnx, pny, pnz, z, z, z, z, z, z, z, pmask, pdk],
-        n + 2 * w,
-    )
+    rows = [ppx, ppy, ppz, pnx, pny, pnz, z, z, z, z, z, z, z, pmask, pdk]
     kernel = functools.partial(
         _seed_kernel, tile=tile, w=w, th_thickness=th_thickness,
         th_normal_cos=th_normal_cos, signed=signed,
     )
     if interpret is None:
         interpret = _interpret_default()
-    return _sweep_call(kernel, slab, n, w, tile, interpret)
+    return _sweep_call(kernel, rows, n, w, tile, interpret)
 
 
 # ----------------------------------------------------------------------
@@ -263,7 +284,8 @@ def _label_kernel(slab_hbm, new_ref, best_ref, slab, sem, *, tile, w,
                   signed):
     ti = pl.program_id(0)
     dma = pltpu.make_async_copy(
-        slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w)], slab, sem
+        slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w + _lane_pad(tile, w))],
+        slab, sem,
     )
     dma.start()
     dma.wait()
@@ -337,11 +359,8 @@ def label_sweep(
 ):
     """One label-propagation sweep; returns (new f32[n], best f32[n])."""
     n = ppx.shape[0] - 2 * w
-    slab = _pack(
-        [ppx, ppy, ppz, pnx, pny, pnz, pmnx, pmny, pmnz, pmcx, pmcy,
-         pmcz, plab, pmask],
-        n + 2 * w,
-    )
+    rows = [ppx, ppy, ppz, pnx, pny, pnz, pmnx, pmny, pmnz, pmcx, pmcy,
+            pmcz, plab, pmask]
     kernel = functools.partial(
         _label_kernel, tile=tile, w=w, th_thickness=th_thickness,
         th_normal_cos=th_normal_cos, edge_gate2=edge_gate2,
@@ -349,4 +368,4 @@ def label_sweep(
     )
     if interpret is None:
         interpret = _interpret_default()
-    return _sweep_call(kernel, slab, n, w, tile, interpret, n_out=2)
+    return _sweep_call(kernel, rows, n, w, tile, interpret, n_out=2)

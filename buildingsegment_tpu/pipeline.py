@@ -85,6 +85,8 @@ class PipelineOutput:
         "k_search",
         "knn_k",
         "normal_max_nn",
+        "th_thickness",
+        "th_normal_cos",
         "th_point_count",
         "max_planes",
         "max_sweeps",

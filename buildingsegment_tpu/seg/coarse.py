@@ -60,6 +60,8 @@ __all__ = ["segment_planes_multigrid"]
         "convergence_tol",
         "levels",
         "axis_name",
+        # static so the TPU Pallas branch can bake them into the kernel
+        "th_thickness", "th_normal_cos", "max_edge_dist",
     ),
 )
 def segment_planes_multigrid(

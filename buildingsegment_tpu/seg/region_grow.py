@@ -58,7 +58,11 @@ __all__ = ["segment_planes", "window_seeds", "SegmentationResult"]
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "signed_normals", "axis_name"),
+    static_argnames=(
+        "window", "signed_normals", "axis_name",
+        # static so the TPU Pallas branch can bake them into the kernel
+        "th_thickness", "th_normal_cos",
+    ),
 )
 def window_seeds(
     positions: jax.Array,
@@ -180,6 +184,8 @@ class SegmentationResult:
     static_argnames=(
         "th_point_count", "max_planes", "max_sweeps", "signed_normals",
         "propagation", "window", "convergence_tol", "axis_name",
+        # static so the TPU Pallas branch can bake them into the kernel
+        "th_thickness", "th_normal_cos", "max_edge_dist",
     ),
 )
 def segment_planes(
