@@ -68,15 +68,8 @@ def sharded_seg_body(mesh: Mesh, config: PipelineConfig, *,
     k_q = max(knn_k, 16)
 
     def local_body(spos, smask):
-        neigh_idx, neigh_d, normals, curv = knn_normals_window_sorted(
-            spos, smask, k=k_q, window=config.knn_window,
-            radius=config.normal_radius, max_nn=config.normal_max_nn,
-            axis_name=ax,
-        )
         seg_kwargs = dict(
-            neigh_sq_dist=neigh_d[:, :knn_k],
             max_edge_dist=2.0 * config.th_thickness,
-            curvature=curv,
             th_seed_curvature=config.th_seed_curvature,
             th_thickness=config.th_thickness,
             th_normal_cos=config.th_normal_cos,
@@ -90,12 +83,31 @@ def sharded_seg_body(mesh: Mesh, config: PipelineConfig, *,
         if config.seg_group > 1 and s % (
             config.seg_group ** config.seg_levels
         ) == 0:
+            # production: only the k-th-NN distance is consumed — the
+            # stats sweep skips the top_k sort (see pipeline.py)
+            from buildingsegment_tpu.ops.stats_sweep import (
+                knn_normals_window_stats,
+            )
+
+            dk, normals, curv = knn_normals_window_stats(
+                spos, smask, k=knn_k, window=config.knn_window,
+                radius=config.normal_radius,
+                max_nn=config.normal_max_nn, axis_name=ax,
+            )
+            rows_i = jnp.arange(s, dtype=jnp.int32)
+            g_idx = jnp.stack([rows_i, rows_i], axis=1)
             return segment_planes_multigrid(
-                spos, normals, neigh_idx[:, :knn_k], smask,
+                spos, normals, g_idx, smask,
+                kth_sq_dist=dk, curvature=curv,
                 group=config.seg_group, levels=config.seg_levels,
                 refine_sweeps=config.seg_refine_sweeps,
                 axis_name=ax, **seg_kwargs,
             )
+        neigh_idx, neigh_d, normals, curv = knn_normals_window_sorted(
+            spos, smask, k=k_q, window=config.knn_window,
+            radius=config.normal_radius, max_nn=config.normal_max_nn,
+            axis_name=ax,
+        )
         seeds = window_seeds(
             spos, normals, smask, neigh_d[:, knn_k - 1],
             window=config.knn_window,
@@ -106,6 +118,7 @@ def sharded_seg_body(mesh: Mesh, config: PipelineConfig, *,
         )
         return segment_planes(
             spos, normals, neigh_idx[:, :knn_k], smask,
+            neigh_sq_dist=neigh_d[:, :knn_k], curvature=curv,
             seed_override=seeds, propagation="window",
             axis_name=ax, **seg_kwargs,
         )

@@ -23,13 +23,52 @@ from jax import lax
 
 from buildingsegment_tpu.ops.normals import eigh3x3_smallest
 
-__all__ = ["knn_normals_window_sorted"]
+__all__ = ["knn_normals_window_sorted", "finish_normals"]
 
 _INF = jnp.float32(jnp.inf)
 
 
+def finish_normals(s0, s1, s2, *, orient_z=True):
+    """Moment sums → (unit normals, curvature).
+
+    s0 f32[N] neighborhood count (incl. self), s1 f32[N, 3] offset sum,
+    s2 f32[N, 6] second moments (xx, yy, zz, xy, xz, yz) about the
+    point.  The covariance eigensolve half of the fused sweep, shared
+    with the Pallas stats sweep (ops/stats_sweep.py).
+    """
+    safe = jnp.maximum(s0, 1.0)
+    mean = s1 / safe[:, None]
+    m = s2 / safe[:, None]
+    c00 = m[:, 0] - mean[:, 0] * mean[:, 0]
+    c11 = m[:, 1] - mean[:, 1] * mean[:, 1]
+    c22 = m[:, 2] - mean[:, 2] * mean[:, 2]
+    c01 = m[:, 3] - mean[:, 0] * mean[:, 1]
+    c02 = m[:, 4] - mean[:, 0] * mean[:, 2]
+    c12 = m[:, 5] - mean[:, 1] * mean[:, 2]
+    cov = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c01, c11, c12], -1),
+            jnp.stack([c02, c12, c22], -1),
+        ],
+        axis=-2,
+    )
+    v, eigvals = eigh3x3_smallest(cov)
+    z = jnp.zeros_like(v).at[..., 2].set(1.0)
+    v = jnp.where((s0 < 3.0)[:, None], z, v)
+    if orient_z:
+        v = jnp.where((v[..., 2] < 0.0)[..., None], -v, v)
+    total = jnp.sum(eigvals, axis=-1)
+    curvature = jnp.where(
+        total > 0, eigvals[..., 0] / jnp.where(total > 0, total, 1.0), 0.0
+    )
+    curvature = jnp.where(s0 < 3.0, 0.0, curvature)
+    return v, curvature
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "window", "axis_name", "max_nn")
+    jax.jit,
+    static_argnames=("k", "window", "axis_name", "max_nn", "orient_z"),
 )
 def knn_normals_window_sorted(
     spos: jax.Array,
@@ -185,31 +224,5 @@ def knn_normals_window_sorted(
     nb_d = jnp.where(smask[:, None], nb_d, 0.0)
 
     # ---- normals finish (identical to estimate_normals_window) ----
-    safe = jnp.maximum(s0, 1.0)
-    mean = s1 / safe[:, None]
-    m = s2 / safe[:, None]
-    c00 = m[:, 0] - mean[:, 0] * mean[:, 0]
-    c11 = m[:, 1] - mean[:, 1] * mean[:, 1]
-    c22 = m[:, 2] - mean[:, 2] * mean[:, 2]
-    c01 = m[:, 3] - mean[:, 0] * mean[:, 1]
-    c02 = m[:, 4] - mean[:, 0] * mean[:, 2]
-    c12 = m[:, 5] - mean[:, 1] * mean[:, 2]
-    cov = jnp.stack(
-        [
-            jnp.stack([c00, c01, c02], -1),
-            jnp.stack([c01, c11, c12], -1),
-            jnp.stack([c02, c12, c22], -1),
-        ],
-        axis=-2,
-    )
-    v, eigvals = eigh3x3_smallest(cov)
-    z = jnp.zeros_like(v).at[..., 2].set(1.0)
-    v = jnp.where((s0 < 3.0)[:, None], z, v)
-    if orient_z:
-        v = jnp.where((v[..., 2] < 0.0)[..., None], -v, v)
-    total = jnp.sum(eigvals, axis=-1)
-    curvature = jnp.where(
-        total > 0, eigvals[..., 0] / jnp.where(total > 0, total, 1.0), 0.0
-    )
-    curvature = jnp.where(s0 < 3.0, 0.0, curvature)
+    v, curvature = finish_normals(s0, s1, s2, orient_z=orient_z)
     return nb_i, nb_d, v, curvature

@@ -1,0 +1,293 @@
+"""Pallas fused stats sweep: k-th-NN distance + normal moments, no top-k.
+
+The production windowized pipeline never consumes sorted kNN index
+lists: segmentation needs only
+
+  (a) the squared k-th-NN distance per point — the seed ball of the
+      depth-0 strictness rule (tmc3/my_function.cpp:238 re-expressed in
+      ``seg.region_grow.window_seeds``), and
+  (b) the Open3D-hybrid moment cap — the distance of the ``max_nn``-th
+      nearest candidate, which truncates the normal-estimation
+      neighborhood (tmc3/my_function.h:63,
+      KDTreeSearchParamHybrid(radius=100, max_nn=50)).
+
+Both are ORDER STATISTICS of the ±W candidate distance row.  The
+general fused sweep (ops/fused.py) ranks candidates with ``lax.top_k``
+over 2W=128 entries, which XLA lowers to a complete per-row sort —
+~25 ms of the ~30 ms sweep at 1M points.  This kernel instead computes
+the two order statistics exactly with a vectorized binary search on the
+float32 bit patterns (non-negative floats order identically to their
+int32 bit patterns), entirely on a VMEM-resident distance block:
+
+  phase 1  compute the [2W, T] squared-distance block into VMEM
+           (invalid candidates = +inf)
+  phase 2  31-step bisection on bit patterns for the rank-(k-1) and
+           rank-(max_nn-1) statistics (both searches share the loop)
+  phase 3  radius ∩ hybrid-cap masked moment accumulation (count,
+           first and second moments of the neighbor offsets) — the
+           same running sums the XLA sweep produces
+
+HBM traffic is one 16-B/point slab read + 11 f32 outputs; everything
+else stays in VMEM.  The moment finish (covariance eigensolve →
+normals + curvature) remains in XLA — it is [N]-elementwise and fuses.
+
+Exactness: the bisection returns the exact bit pattern of the r-th
+smallest entry (smallest t with count(d ≤ t) ≥ r), which is exactly
+``lax.top_k``'s value; ties behave identically because only the VALUE
+is consumed.  Fewer than r finite candidates → +inf, mapped to the
+XLA path's conventions (k-th distance → 0.0, cap → no-op).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["knn_normals_window_stats", "fused_stats_sweep"]
+
+_ROWS = 8  # px py pz mask (4 used; 8 for DMA sublane alignment)
+_INF_BITS = 0x7F800000
+
+
+def _lane_pad(tile, w):
+    return (-(tile + 2 * w)) % 128
+
+
+def _stats_kernel(slab_hbm, dk_ref, s0_ref, s1x_ref, s1y_ref, s1z_ref,
+                  sxx_ref, syy_ref, szz_ref, sxy_ref, sxz_ref, syz_ref,
+                  slab, dbits, sem, *, tile, w, r_k, r_cap, r2):
+    ti = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w + _lane_pad(tile, w))],
+        slab, sem,
+    )
+    dma.start()
+    dma.wait()
+
+    def row(i, s):
+        return slab[i, pl.ds(s, tile)]
+
+    px, py, pz = row(0, w), row(1, w), row(2, w)
+    mask0 = row(3, w)
+    inf = jnp.float32(jnp.inf)
+
+    # ---- phase 1: [2W, tile] squared-distance block (invalid → inf)
+    for slot in range(2 * w):
+        start = slot if slot < w else slot + 1
+        dx = row(0, start) - px
+        dy = row(1, start) - py
+        dz = row(2, start) - pz
+        d2 = dx * dx + dy * dy + dz * dz
+        valid = (row(3, start) > 0.5) & (mask0 > 0.5)
+        dbits[slot, :] = lax.bitcast_convert_type(
+            jnp.where(valid, d2, inf), jnp.int32
+        )
+
+    # ---- phase 2: bisection for the two order statistics.
+    # Non-negative f32 order == int32 bit-pattern order; find the
+    # smallest t with count(bits ≤ t) ≥ r — exactly the r-th smallest.
+    def bisect(i, st):
+        lo1, hi1, lo2, hi2 = st
+        mid1 = lo1 + ((hi1 - lo1) >> 1)
+        mid2 = lo2 + ((hi2 - lo2) >> 1)
+        db = dbits[...]
+        c1 = jnp.sum((db <= mid1[None, :]).astype(jnp.int32), axis=0)
+        ge1 = c1 >= r_k
+        lo1 = jnp.where(ge1, lo1, mid1 + 1)
+        hi1 = jnp.where(ge1, mid1, hi1)
+        if r_cap:
+            c2 = jnp.sum((db <= mid2[None, :]).astype(jnp.int32), axis=0)
+            ge2 = c2 >= r_cap
+            lo2 = jnp.where(ge2, lo2, mid2 + 1)
+            hi2 = jnp.where(ge2, mid2, hi2)
+        return lo1, hi1, lo2, hi2
+
+    zeros = jnp.zeros((tile,), jnp.int32)
+    tops = jnp.full((tile,), _INF_BITS, jnp.int32)
+    _, dk_bits, _, cap_bits = lax.fori_loop(
+        0, 31, bisect, (zeros, tops, zeros, tops)
+    )
+    dk_f = lax.bitcast_convert_type(dk_bits, jnp.float32)
+    # fewer than r_k finite candidates → the XLA kNN path reports 0.0
+    dk_ref[...] = jnp.where(dk_bits >= _INF_BITS, 0.0, dk_f)
+    if r_cap:
+        cap_f = lax.bitcast_convert_type(cap_bits, jnp.float32)
+        r_eff2 = jnp.minimum(jnp.float32(r2), cap_f)
+    else:
+        r_eff2 = jnp.full((tile,), jnp.float32(r2), jnp.float32)
+
+    # ---- phase 3: moments over radius ∩ cap (self: weight 1, offset 0)
+    s0 = mask0
+    s1x = jnp.zeros((tile,), jnp.float32)
+    s1y = jnp.zeros((tile,), jnp.float32)
+    s1z = jnp.zeros((tile,), jnp.float32)
+    sxx = jnp.zeros((tile,), jnp.float32)
+    syy = jnp.zeros((tile,), jnp.float32)
+    szz = jnp.zeros((tile,), jnp.float32)
+    sxy = jnp.zeros((tile,), jnp.float32)
+    sxz = jnp.zeros((tile,), jnp.float32)
+    syz = jnp.zeros((tile,), jnp.float32)
+    for slot in range(2 * w):
+        start = slot if slot < w else slot + 1
+        dx = row(0, start) - px
+        dy = row(1, start) - py
+        dz = row(2, start) - pz
+        d2 = lax.bitcast_convert_type(dbits[slot, :], jnp.float32)
+        # invalid candidates carry +inf and fail the (finite) cap
+        uw = jnp.where(d2 <= r_eff2, 1.0, 0.0).astype(jnp.float32)
+        s0 = s0 + uw
+        s1x = s1x + dx * uw
+        s1y = s1y + dy * uw
+        s1z = s1z + dz * uw
+        sxx = sxx + dx * dx * uw
+        syy = syy + dy * dy * uw
+        szz = szz + dz * dz * uw
+        sxy = sxy + dx * dy * uw
+        sxz = sxz + dx * dz * uw
+        syz = syz + dy * dz * uw
+    s0_ref[...] = s0
+    s1x_ref[...] = s1x
+    s1y_ref[...] = s1y
+    s1z_ref[...] = s1z
+    sxx_ref[...] = sxx
+    syy_ref[...] = syy
+    szz_ref[...] = szz
+    sxy_ref[...] = sxy
+    sxz_ref[...] = sxz
+    syz_ref[...] = syz
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "tile", "max_nn", "radius", "interpret"),
+)
+def fused_stats_sweep(ppx, ppy, ppz, pmask, *, k, w, tile, radius,
+                      max_nn=None, interpret=False):
+    """Run the stats kernel over pre-padded [n + 2w] component rows.
+
+    Returns (kth_sq_dist f32[n], s0 f32[n], s1 f32[n,3], s2 f32[n,6]);
+    s2 rows are (xx, yy, zz, xy, xz, yz) about the point itself —
+    identical to the accumulation of ops/fused.py's sweep.
+    """
+    n = ppx.shape[0] - 2 * w
+    n_pad = -(-n // tile) * tile
+    width = n_pad + 2 * w + _lane_pad(tile, w)
+    slab = jnp.zeros((_ROWS, width), jnp.float32)
+    for i, r in enumerate([ppx, ppy, ppz, pmask]):
+        slab = lax.dynamic_update_slice(
+            slab, r.astype(jnp.float32)[None, :], (i, 0)
+        )
+    w2 = 2 * w
+    cap_active = max_nn is not None and (max_nn - 1) < w2
+    kernel = functools.partial(
+        _stats_kernel, tile=tile, w=w, r_k=k - 1,
+        r_cap=(max_nn - 1) if cap_active else 0,
+        r2=float(radius) * float(radius),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=tuple(
+            pl.BlockSpec((tile,), lambda ti: (ti,),
+                         memory_space=pltpu.VMEM)
+            for _ in range(11)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32) for _ in range(11)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS, tile + 2 * w + _lane_pad(tile, w)),
+                       jnp.float32),
+            pltpu.VMEM((w2, tile), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(slab)
+    if n_pad != n:
+        out = tuple(lax.slice(o, (0,), (n,)) for o in out)
+    dk, s0 = out[0], out[1]
+    s1 = jnp.stack(out[2:5], axis=-1)
+    s2 = jnp.stack(out[5:11], axis=-1)
+    return dk, s0, s1, s2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "window", "radius", "max_nn", "orient_z",
+                     "axis_name", "use_kernel"),
+)
+def knn_normals_window_stats(
+    spos: jax.Array,
+    smask: jax.Array,
+    k: int,
+    *,
+    window: int = 64,
+    radius: float = 100.0,
+    orient_z: bool = True,
+    axis_name: str = None,
+    max_nn: int = None,
+    use_kernel: bool = None,
+):
+    """Stats-only fused sweep → (kth_sq_dist, normals, curvature).
+
+    Production replacement for :func:`ops.fused.knn_normals_window_sorted`
+    when the sorted neighbor lists are not consumed:
+    ``kth_sq_dist[i]`` equals that op's ``neigh_sq_dist[i, k-1]`` and
+    normals/curvature match its outputs (same moment accumulation).
+    Default: the Pallas kernel on TPU, the XLA fused op (stats derived
+    from its outputs — the same contract) on CPU.
+    """
+    n = spos.shape[0]
+    if use_kernel is None:
+        use_kernel = jax.devices()[0].platform != "cpu"
+    if not use_kernel:
+        from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
+
+        _, nb_d, normals, curv = knn_normals_window_sorted(
+            spos, smask, k, window=window, radius=radius,
+            orient_z=orient_z, axis_name=axis_name, max_nn=max_nn,
+        )
+        return nb_d[:, k - 1], normals, curv
+
+    if axis_name is not None:
+        from buildingsegment_tpu.dist.halo import halo_pad
+
+        def _pad1(a, fill):
+            return halo_pad(a, window, axis_name)
+
+    else:
+
+        def _pad1(a, fill):
+            f = jnp.full((window,), fill, a.dtype)
+            return jnp.concatenate([f, a, f])
+
+    posf = spos.astype(jnp.float32)
+    ppx = _pad1(posf[:, 0], jnp.float32(-3e7))
+    ppy = _pad1(posf[:, 1], jnp.float32(-3e7))
+    ppz = _pad1(posf[:, 2], jnp.float32(-3e7))
+    pmask = _pad1(smask.astype(jnp.float32), jnp.float32(0.0))
+
+    from buildingsegment_tpu.ops.window_sweep import pick_tile
+
+    # tile 2048 keeps the [2W, T] distance block + the bisection's
+    # compare temporaries inside the 16 MB VMEM scoped-stack budget
+    tile = pick_tile(n, 2048)
+    dk, s0, s1, s2 = fused_stats_sweep(
+        ppx, ppy, ppz, pmask, k=k, w=window, tile=tile, radius=radius,
+        max_nn=max_nn, interpret=False,
+    )
+    from buildingsegment_tpu.ops.fused import finish_normals
+
+    normals, curvature = finish_normals(s0, s1, s2, orient_z=orient_z)
+    # masked points: mirror the fused op (zero ball, +Z normal)
+    dk = jnp.where(smask, dk, 0.0)
+    return dk, normals, curvature

@@ -84,6 +84,7 @@ class PipelineOutput:
     static_argnames=(
         "k_search",
         "knn_k",
+        "normal_radius",
         "normal_max_nn",
         "th_thickness",
         "th_normal_cos",
@@ -139,16 +140,8 @@ def run_device_pipeline(
         # contiguous slice instead of a (slow) XLA gather.
         spos, smask, order = morton_sort(shifted, mask)
         sposf = spos.astype(jnp.float32)
-        # fused sweep: kNN candidates and normal moments share the
-        # same ±W slices — one pass instead of two
-        neigh_idx, neigh_d, normals, curv = knn_normals_window_sorted(
-            sposf, smask, k=max(knn_k, 16), window=knn_window_size,
-            radius=normal_radius, max_nn=normal_max_nn,
-        )
         seg_kwargs = dict(
-            neigh_sq_dist=neigh_d[:, :knn_k],
             max_edge_dist=2.0 * th_thickness,
-            curvature=curv,
             th_seed_curvature=th_seed_curvature,
             th_thickness=th_thickness,
             th_normal_cos=th_normal_cos,
@@ -159,14 +152,37 @@ def run_device_pipeline(
             signed_normals=signed_normals,
         )
         if seg_group > 1 and positions.shape[0] % (seg_group ** seg_levels) == 0:
+            # production: the multigrid solver consumes only the k-th-NN
+            # distance (the seed ball), never the sorted neighbor lists
+            # — the stats sweep computes exactly that, skipping the
+            # top_k full sort (Pallas kernel on TPU, XLA fused on CPU)
+            from buildingsegment_tpu.ops.stats_sweep import (
+                knn_normals_window_stats,
+            )
+
+            dk, normals, curv = knn_normals_window_stats(
+                sposf, smask, k=knn_k, window=knn_window_size,
+                radius=normal_radius, max_nn=normal_max_nn,
+            )
+            rows_i = jnp.arange(positions.shape[0], dtype=jnp.int32)
+            g_idx = jnp.stack([rows_i, rows_i], axis=1)
             seg = segment_planes_multigrid(
-                spos, normals, neigh_idx[:, :knn_k], smask,
+                spos, normals, g_idx, smask,
+                kth_sq_dist=dk, curvature=curv,
                 group=seg_group, levels=seg_levels,
                 refine_sweeps=seg_refine_sweeps, **seg_kwargs,
             )
         else:
+            # fused sweep: kNN candidates and normal moments share the
+            # same ±W slices — one pass instead of two
+            neigh_idx, neigh_d, normals, curv = knn_normals_window_sorted(
+                sposf, smask, k=max(knn_k, 16), window=knn_window_size,
+                radius=normal_radius, max_nn=normal_max_nn,
+            )
             seg = segment_planes(
                 spos, normals, neigh_idx[:, :knn_k], smask,
+                neigh_sq_dist=neigh_d[:, :knn_k],
+                curvature=curv,
                 propagation="window", **seg_kwargs,
             )
         n = positions.shape[0]

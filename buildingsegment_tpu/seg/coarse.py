@@ -71,6 +71,7 @@ def segment_planes_multigrid(
     mask: jax.Array,
     *,
     neigh_sq_dist: Optional[jax.Array] = None,
+    kth_sq_dist: Optional[jax.Array] = None,
     max_edge_dist: Optional[float] = None,
     curvature: Optional[jax.Array] = None,
     th_seed_curvature: Optional[float] = None,
@@ -161,7 +162,9 @@ def segment_planes_multigrid(
 
     # coarse seed rule: the group contains a strict fine-level seed
     # (the gather-free windowized depth-0 rule — see window_seeds)
-    if neigh_sq_dist is not None:
+    if kth_sq_dist is not None:
+        dk = kth_sq_dist  # f32[N] squared k-th NN distance, direct
+    elif neigh_sq_dist is not None:
         dk = neigh_sq_dist[:, k - 1]  # squared k-th NN distance
     else:
         dk = jnp.full((n,), edge_gate * edge_gate, jnp.float32)

@@ -97,6 +97,16 @@ def main():
         )
     ) * 1e3
 
+    from buildingsegment_tpu.ops.stats_sweep import (
+        knn_normals_window_stats,
+    )
+
+    out["stats_sweep_w64_ms"] = timed(
+        lambda: knn_normals_window_stats(
+            sposf, smask, k=15, window=64, radius=100.0, max_nn=50
+        )
+    ) * 1e3
+
     # full multigrid (production: group=4, levels=2, refine=3)
     def mg(**kw):
         a = dict(
