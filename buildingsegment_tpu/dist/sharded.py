@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from buildingsegment_tpu.config import DEFAULT_CONFIG, PipelineConfig
-from buildingsegment_tpu.core.morton import morton_sort
+from buildingsegment_tpu.core.morton import morton_sort, unsort_by
 from buildingsegment_tpu.core.quantize import shift_to_origin
 from buildingsegment_tpu.dist.mesh import POINTS_AXIS, point_sharding
 from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
@@ -172,8 +172,7 @@ def sharded_pipeline(
         sorted_pos, smask, order = morton_sort(shifted, mask)
         spos = sorted_pos.astype(jnp.float32)
         seg = body(spos, smask)
-        n = positions.shape[0]
-        plane_idx = jnp.zeros((n,), jnp.int32).at[order].set(seg.plane_idx)
+        plane_idx = unsort_by(order, seg.plane_idx)
         return shifted, lo, dataclasses.replace(seg, plane_idx=plane_idx)
 
     return fn

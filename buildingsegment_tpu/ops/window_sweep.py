@@ -36,7 +36,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["refine_sweep", "seed_sweep", "label_sweep", "pick_tile"]
+__all__ = [
+    "refine_table_sweep", "build_plane_table", "seed_sweep",
+    "label_sweep", "pick_tile",
+]
 
 _ROWS = 16
 
@@ -120,85 +123,213 @@ def _interpret_default() -> bool:
 
 
 # ----------------------------------------------------------------------
-# refinement sweep (seg/coarse.py): adopt the min accepting plane id of
-# nearby rows — slab rows 6-8 = model center, 9-11 = model normal,
-# 12 = plane id (0 = none)
+# table-based refinement sweep (seg/coarse.py): adopt the min accepting
+# plane id of nearby rows.  The plane models live in a SMALL table
+# ([max_planes] normals + plane offsets b = n·c); per-candidate model
+# rows are produced IN-KERNEL by a one-hot matmul over the live plane
+# chunks — an XLA table gather at [N] scale runs ~2 GB/s and cost
+# ~13 ms/sweep at 1M points, the in-kernel matmul is ~0.5 ms.
+#
+# The plane-band test uses the offset form |p·n_t − b_t| ≤ th (b_t
+# precomputed as n_t·c_t): algebraically identical to |(p−c_t)·n_t|,
+# different f32 rounding (~1e-3 mm at mm scale — far below th).  The
+# XLA fallback in seg/coarse.py uses the same form, so kernel↔XLA stay
+# bit-identical.
+#
+# ``clean=True`` additionally fuses the reference pass that drops
+# points whose own plane no longer accepts them (seg/coarse.py used to
+# run it as a separate gather pass): a candidate counts only if its OWN
+# plane accepts it, and the center keeps its id only under the same
+# test.  slab rows: 0-2 pos, 3-5 normal, 6 plane id (0 = none), 7 mask.
 # ----------------------------------------------------------------------
 
+_RROWS = 8  # refine slab rows
+_PCHUNK = 128
 
-def _refine_kernel(slab_hbm, out_ref, slab, sem, *, tile, w,
-                   th_thickness, th_normal_cos, edge_gate2, big_pid,
-                   signed):
+
+def build_plane_table(plane_normal, plane_center):
+    """Pack plane models into the refine kernel's [C, 8, 128] table.
+
+    Component rows: 0-2 = unit normal, 3 = b = n·c, 4-7 zero.  Row p-1
+    holds plane id p.
+    """
+    p = plane_normal.shape[0]
+    cap = -(-p // _PCHUNK) * _PCHUNK
+    b = jnp.sum(
+        plane_normal.astype(jnp.float32) * plane_center.astype(jnp.float32),
+        axis=-1,
+    )
+    comp = jnp.zeros((8, cap), jnp.float32)
+    comp = comp.at[0, :p].set(plane_normal[:, 0])
+    comp = comp.at[1, :p].set(plane_normal[:, 1])
+    comp = comp.at[2, :p].set(plane_normal[:, 2])
+    comp = comp.at[3, :p].set(b)
+    return jnp.transpose(
+        comp.reshape(8, cap // _PCHUNK, _PCHUNK), (1, 0, 2)
+    )
+
+
+def _refine_table_kernel(nchunk_ref, slab_hbm, table_ref, out_ref, slab,
+                         sem, *, tile, w, th_thickness, th_normal_cos,
+                         edge_gate2, big_pid, signed, clean, adopt):
     ti = pl.program_id(0)
+    width = tile + 2 * w + _lane_pad(tile, w)
     dma = pltpu.make_async_copy(
-        slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w + _lane_pad(tile, w))],
-        slab, sem,
+        slab_hbm.at[:, pl.ds(ti * tile, width)], slab, sem,
     )
     dma.start()
     dma.wait()
 
-    def row(i, s):
+    pidrow = slab[6, :]
+
+    def chunk(c, macc):
+        base = (c * _PCHUNK).astype(jnp.float32) + 1.0  # id p ↔ row p-1
+        # Mosaic iota must be integer-typed; convert after
+        tgt = base + lax.broadcasted_iota(
+            jnp.int32, (_PCHUNK, width), 0
+        ).astype(jnp.float32)
+        eqT = jnp.where(tgt == pidrow[None, :], 1.0, 0.0)
+        tc = table_ref[c]  # [8, 128]
+        return macc + lax.dot_general(
+            tc, eqT, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    macc = lax.fori_loop(
+        0, nchunk_ref[0], chunk, jnp.zeros((_RROWS, width), jnp.float32)
+    )
+
+    def srow(i, s):
         return slab[i, pl.ds(s, tile)]
 
-    px, py, pz = row(0, w), row(1, w), row(2, w)
-    nx, ny, nz = row(3, w), row(4, w), row(5, w)
-    cmask0 = row(13, w)
+    def cmag(x):
+        return x if signed else jnp.abs(x)
+
+    # self test over the FULL padded range (candidates need it too when
+    # cleaning): does the row's own plane still accept it?
+    prx, pry, prz = slab[0, :], slab[1, :], slab[2, :]
+    nrx, nry, nrz = slab[3, :], slab[4, :], slab[5, :]
+    mrow = slab[7, :]
+    mnx_f, mny_f, mnz_f, mb_f = macc[0], macc[1], macc[2], macc[3]
+    d_self = jnp.abs(prx * mnx_f + pry * mny_f + prz * mnz_f - mb_f)
+    c_self = cmag(nrx * mnx_f + nry * mny_f + nrz * mnz_f)
+    has_f = (pidrow > 0.5) & (mrow > 0.5)
+    self_ok_f = (
+        has_f & (d_self <= th_thickness) & (c_self >= th_normal_cos)
+    )
+    eff_pid_f = jnp.where(
+        self_ok_f if clean else has_f, pidrow, 0.0
+    )
+
+    def vrow(v, s):
+        # static-start slice of an in-register value (Mosaic has no
+        # dynamic_slice lowering for values; starts here are Python ints)
+        return lax.slice(v, (s,), (s + tile,))
+
+    px, py, pz = srow(0, w), srow(1, w), srow(2, w)
+    nx, ny, nz = srow(3, w), srow(4, w), srow(5, w)
+    mask0 = srow(7, w)
+    keep0 = vrow(eff_pid_f, w)
+
     best = jnp.full((tile,), big_pid, jnp.float32)
-    for slot in range(2 * w):
-        start = slot if slot < w else slot + 1
-        dx = px - row(0, start)
-        dy = py - row(1, start)
-        dz = pz - row(2, start)
-        near = dx * dx + dy * dy + dz * dz <= edge_gate2
-        cmnx, cmny, cmnz = row(9, start), row(10, start), row(11, start)
-        d = jnp.abs(
-            (px - row(6, start)) * cmnx
-            + (py - row(7, start)) * cmny
-            + (pz - row(8, start)) * cmnz
-        )
-        c = nx * cmnx + ny * cmny + nz * cmnz
-        if not signed:
-            c = jnp.abs(c)
-        cpid = row(12, start)
-        ok = (
-            (cpid > 0.5)
-            & near
-            & (row(13, start) > 0.5)
-            & (cmask0 > 0.5)
-            & (d <= th_thickness)
-            & (c >= th_normal_cos)
-        )
-        best = jnp.minimum(best, jnp.where(ok, cpid, big_pid))
-    out_ref[...] = best
+    if adopt:
+        for slot in range(2 * w):
+            start = slot if slot < w else slot + 1
+            dx = px - vrow(prx, start)
+            dy = py - vrow(pry, start)
+            dz = pz - vrow(prz, start)
+            near = dx * dx + dy * dy + dz * dz <= edge_gate2
+            cmnx = vrow(mnx_f, start)
+            cmny = vrow(mny_f, start)
+            cmnz = vrow(mnz_f, start)
+            d = jnp.abs(
+                px * cmnx + py * cmny + pz * cmnz - vrow(mb_f, start)
+            )
+            c = cmag(nx * cmnx + ny * cmny + nz * cmnz)
+            cpid = vrow(eff_pid_f, start)
+            ok = (
+                (cpid > 0.5)
+                & near
+                & (mask0 > 0.5)
+                & (d <= th_thickness)
+                & (c >= th_normal_cos)
+            )
+            best = jnp.minimum(best, jnp.where(ok, cpid, big_pid))
+    out_ref[...] = jnp.where(
+        keep0 > 0.5, keep0, jnp.where(best < big_pid, best, 0.0)
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "w", "tile", "th_thickness", "th_normal_cos", "edge_gate2",
-        "big_pid", "signed", "interpret",
+        "big_pid", "signed", "clean", "adopt", "interpret",
     ),
 )
-def refine_sweep(
-    ppx, ppy, ppz, pnx, pny, pnz, pmcx, pmcy, pmcz, pmnx, pmny, pmnz,
-    ppid, pmask, *, w, tile, th_thickness, th_normal_cos, edge_gate2,
-    big_pid, signed=False, interpret=None,
+def refine_table_sweep(
+    ppx, ppy, ppz, pnx, pny, pnz, ppid, pmask, table, n_live, *, w,
+    tile, th_thickness, th_normal_cos, edge_gate2, big_pid,
+    signed=False, clean=False, adopt=True, interpret=None,
 ):
-    """One refinement sweep over pre-padded [n+2w] component rows.
+    """One table-based refinement sweep over pre-padded [n+2w] rows.
 
-    Returns float32[n] best plane id (big_pid where none accepted).
+    Args:
+        ppid: f32[n+2w] plane id per row (0 = none), pad 0.
+        table: f32[C, 8, 128] from :func:`build_plane_table`.
+        n_live: scalar int32 number of live planes (may be traced);
+            only ceil(n_live/128) table chunks are matched.
+        clean: fuse the self-accept cleaning pass (drop rows whose own
+            plane rejects them) into this sweep.
+        adopt: run the ±w adoption loop (False = cleaning only).
+
+    Returns f32[n] new plane id (0 where none).
     """
     n = ppx.shape[0] - 2 * w
-    rows = [ppx, ppy, ppz, pnx, pny, pnz, pmcx, pmcy, pmcz, pmnx, pmny,
-            pmnz, ppid, pmask]
+    n_pad = -(-n // tile) * tile
+    width = n_pad + 2 * w + _lane_pad(tile, w)
+    slab = jnp.zeros((_RROWS, width), jnp.float32)
+    for i, r in enumerate([ppx, ppy, ppz, pnx, pny, pnz, ppid, pmask]):
+        slab = lax.dynamic_update_slice(
+            slab, r.astype(jnp.float32)[None, :], (i, 0)
+        )
+    n_chunk_cap = table.shape[0]
+    n_chunks = jnp.minimum(
+        (n_live.astype(jnp.int32) + _PCHUNK - 1) // _PCHUNK, n_chunk_cap
+    ).reshape((1,))
     kernel = functools.partial(
-        _refine_kernel, tile=tile, w=w, th_thickness=th_thickness,
+        _refine_table_kernel, tile=tile, w=w, th_thickness=th_thickness,
         th_normal_cos=th_normal_cos, edge_gate2=edge_gate2,
-        big_pid=big_pid, signed=signed,
+        big_pid=big_pid, signed=signed, clean=clean, adopt=adopt,
     )
     if interpret is None:
         interpret = _interpret_default()
-    return _sweep_call(kernel, rows, n, w, tile, interpret)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((n_chunk_cap, 8, _PCHUNK), lambda ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda ti: (ti,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_RROWS, tile + 2 * w + _lane_pad(tile, w)),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(n_chunks, slab, table)
+    if n_pad != n:
+        out = lax.slice(out, (0,), (n,))
+    return out
 
 
 # ----------------------------------------------------------------------

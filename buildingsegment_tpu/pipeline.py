@@ -30,7 +30,11 @@ import numpy as np
 
 from buildingsegment_tpu.config import DEFAULT_CONFIG, PipelineConfig
 from buildingsegment_tpu.core.pointset import PointBatch
-from buildingsegment_tpu.core.morton import morton_argsort, morton_sort
+from buildingsegment_tpu.core.morton import (
+    morton_argsort,
+    morton_sort,
+    unsort_by,
+)
 from buildingsegment_tpu.core.quantize import shift_to_origin
 from buildingsegment_tpu.io.ply import HostPointCloud, read_ply, write_ply
 from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
@@ -185,10 +189,9 @@ def run_device_pipeline(
                 curvature=curv,
                 propagation="window", **seg_kwargs,
             )
-        n = positions.shape[0]
-        plane_idx = (
-            jnp.zeros((n,), jnp.int32).at[order].set(seg.plane_idx)
-        )
+        # unsort via the sorting network (a scatter hides a full sort
+        # AND random-access writes — ~11 ms vs ~4 ms at 1M rows)
+        plane_idx = unsort_by(order, seg.plane_idx)
         seg = dataclasses.replace(seg, plane_idx=plane_idx)
         return shifted, lo, seg
 

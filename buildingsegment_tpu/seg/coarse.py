@@ -242,152 +242,196 @@ def segment_planes_multigrid(
     # ------------------------------------------------------------------
     pn = coarse.plane_normal  # [P, 3]
     pc = coarse.plane_center
+    n_live = coarse.num_planes
     plane_id_g = jnp.maximum(coarse.plane_idx, 0)  # [ng], 0 = none
     pid0 = jnp.repeat(plane_id_g, group)  # expand to points
 
-    def accepts(pid):
-        t = jnp.clip(pid - 1, 0, max_planes - 1)
-        d = jnp.abs(jnp.sum((pos - pc[t]) * pn[t], axis=-1))
-        c = cmag(jnp.sum(nrm * pn[t], axis=-1))
-        return (
-            (pid > 0)
-            & (d <= th_thickness)
-            & (c >= th_normal_cos)
-            & mask
-        )
-
-    pid = jnp.where(accepts(pid0), pid0, 0)
-
-    # windowized sweeps: adopt the min accepting plane id of nearby rows.
-    # All sweep operands are padded 1-D COMPONENT arrays ([n,3] slices
-    # lane-pad 128/3× per unrolled copy; 1-D slices fuse).
+    # plane-band test in offset form: |p·n_t − b_t| ≤ th with
+    # b_t = n_t·c_t — algebraically |(p−c_t)·n_t|, and the form the
+    # Pallas kernel uses (in-kernel one-hot table matmul instead of the
+    # ~13 ms/sweep [N,3] XLA table gathers)
+    b_tab = jnp.sum(
+        pn.astype(jnp.float32) * pc.astype(jnp.float32), axis=-1
+    )
     ws = window
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
     nx_, ny_, nz_ = nrm[:, 0], nrm[:, 1], nrm[:, 2]
-    pmask_w = _pad_rows(mask, False, ws)
-    ppx = _pad_rows(px, -3e7, ws)
-    ppy = _pad_rows(py, -3e7, ws)
-    ppz = _pad_rows(pz, -3e7, ws)
-    big_pid = jnp.int32(max_planes + 1)
+    edge_gate2 = float(
+        max_edge_dist if max_edge_dist is not None else 2.0 * th_thickness
+    ) ** 2
 
-    def sweep(pid):
-        # hoist the plane-table lookups: two [N,3] gathers per sweep,
-        # then slice-shift the per-point model arrays per offset (a
-        # gather inside the offset loop would run 2·ws times per sweep)
-        has = pid > 0
-        t = jnp.clip(pid - 1, 0, max_planes - 1)
-        mcp = jnp.where(has[:, None], pc[t], 0.0)
-        mnp = jnp.where(has[:, None], pn[t], 0.0)
-        ppid = _pad_rows(pid, 0, ws)
-        pmcx = _pad_rows(mcp[:, 0], 0.0, ws)
-        pmcy = _pad_rows(mcp[:, 1], 0.0, ws)
-        pmcz = _pad_rows(mcp[:, 2], 0.0, ws)
-        pmnx = _pad_rows(mnp[:, 0], 0.0, ws)
-        pmny = _pad_rows(mnp[:, 1], 0.0, ws)
-        pmnz = _pad_rows(mnp[:, 2], 0.0, ws)
+    from buildingsegment_tpu.ops.window_sweep import (
+        build_plane_table,
+        pick_tile,
+        refine_table_sweep,
+    )
 
-        # Pallas mega-kernel on TPU: the whole ±window loop runs on a
-        # VMEM-resident slab (XLA re-reads every operand per offset —
-        # ~2W× the HBM traffic).  CPU keeps the XLA path (bit-identical
-        # math; kernel equality is pinned by tests/test_window_sweep.py)
-        from buildingsegment_tpu.ops.window_sweep import (
-            pick_tile,
-            refine_sweep,
-        )
-
-        tile = pick_tile(n)
-        if jax.devices()[0].platform != "cpu" and tile:
-            best_f = refine_sweep(
-                ppx, ppy, ppz,
-                _pad_rows(nx_, 0.0, ws), _pad_rows(ny_, 0.0, ws),
-                _pad_rows(nz_, 0.0, ws),
-                pmcx, pmcy, pmcz, pmnx, pmny, pmnz,
-                ppid.astype(jnp.float32),
-                _pad_rows(mask, False, ws).astype(jnp.float32),
+    tile = pick_tile(n)
+    on_tpu = jax.devices()[0].platform != "cpu" and tile
+    if on_tpu:
+        table = build_plane_table(pn, pc)
+        ppx = _pad_rows(px, -3e7, ws)
+        ppy = _pad_rows(py, -3e7, ws)
+        ppz = _pad_rows(pz, -3e7, ws)
+        pnx = _pad_rows(nx_, 0.0, ws)
+        pny = _pad_rows(ny_, 0.0, ws)
+        pnz = _pad_rows(nz_, 0.0, ws)
+        pmask_f = _pad_rows(mask, False, ws).astype(jnp.float32)
+        pid = pid0
+        for s in range(max(1, refine_sweeps)):
+            pid_f = refine_table_sweep(
+                ppx, ppy, ppz, pnx, pny, pnz,
+                _pad_rows(pid, 0, ws).astype(jnp.float32), pmask_f,
+                table, n_live,
                 w=ws, tile=tile,
                 th_thickness=float(th_thickness),
                 th_normal_cos=float(th_normal_cos),
-                edge_gate2=float(
-                    max_edge_dist if max_edge_dist is not None
-                    else 2.0 * th_thickness
-                ) ** 2,
+                edge_gate2=edge_gate2,
                 big_pid=float(max_planes + 1),
                 signed=signed_normals,
+                clean=(s == 0),  # fuse the self-accept cleaning pass
+                adopt=refine_sweeps > 0,
             )
-            best = best_f.astype(jnp.int32)
+            pid = pid_f.astype(jnp.int32)
+    else:
+        # XLA path (CPU): same math, same offset-form plane test
+        def model_of(pid):
+            t = jnp.clip(pid - 1, 0, max_planes - 1)
+            has = (pid > 0) & mask
+            mnp = jnp.where(has[:, None], pn[t], 0.0)
+            mb = jnp.where(has, b_tab[t], 0.0)
+            return mnp, mb
+
+        mnp0, mb0 = model_of(pid0)
+        self_ok = (
+            (pid0 > 0)
+            & mask
+            & (
+                jnp.abs(px * mnp0[:, 0] + py * mnp0[:, 1]
+                        + pz * mnp0[:, 2] - mb0)
+                <= th_thickness
+            )
+            & (
+                cmag(nx_ * mnp0[:, 0] + ny_ * mnp0[:, 1]
+                     + nz_ * mnp0[:, 2])
+                >= th_normal_cos
+            )
+        )
+        pid = jnp.where(self_ok, pid0, 0)
+
+        pmask_w = _pad_rows(mask, False, ws)
+        ppx = _pad_rows(px, -3e7, ws)
+        ppy = _pad_rows(py, -3e7, ws)
+        ppz = _pad_rows(pz, -3e7, ws)
+        big_pid = jnp.int32(max_planes + 1)
+
+        def sweep(pid):
+            mnp_, mb_ = model_of(pid)
+            ppid = _pad_rows(pid, 0, ws)
+            pmnx = _pad_rows(mnp_[:, 0], 0.0, ws)
+            pmny = _pad_rows(mnp_[:, 1], 0.0, ws)
+            pmnz = _pad_rows(mnp_[:, 2], 0.0, ws)
+            pmb = _pad_rows(mb_, 0.0, ws)
+            # fully unrolled static 1-D slices (fori+dynamic_slice is
+            # kernel-launch bound — see ops/fused.py sweep comment)
+            best = jnp.full((n,), big_pid, jnp.int32)
+            for slot in range(2 * ws):
+                start = slot if slot < ws else slot + 1
+                sl = lambda a: lax.slice(a, (start,), (start + n,))
+                cpid = sl(ppid)
+                cmask_ = sl(pmask_w)
+                dx = px - sl(ppx)
+                dy = py - sl(ppy)
+                dz = pz - sl(ppz)
+                near = dx * dx + dy * dy + dz * dz <= edge_gate2
+                cmnx, cmny, cmnz = sl(pmnx), sl(pmny), sl(pmnz)
+                d = jnp.abs(
+                    px * cmnx + py * cmny + pz * cmnz - sl(pmb)
+                )
+                c = cmag(nx_ * cmnx + ny_ * cmny + nz_ * cmnz)
+                ok = (
+                    (cpid > 0)
+                    & near
+                    & cmask_
+                    & mask
+                    & (d <= th_thickness)
+                    & (c >= th_normal_cos)
+                )
+                best = jnp.minimum(best, jnp.where(ok, cpid, big_pid))
             return jnp.where(
                 pid > 0, pid, jnp.where(best < big_pid, best, 0)
             )
 
-        # fully unrolled static 1-D slices (fori+dynamic_slice is
-        # kernel-launch bound — see ops/fused.py sweep comment)
-        best = jnp.full((n,), big_pid, jnp.int32)
-        for slot in range(2 * ws):
-            start = slot if slot < ws else slot + 1
-            sl = lambda a: lax.slice(a, (start,), (start + n,))
-            cpid = sl(ppid)
-            cmask_ = sl(pmask_w)
-            dx = px - sl(ppx)
-            dy = py - sl(ppy)
-            dz = pz - sl(ppz)
-            near = dx * dx + dy * dy + dz * dz <= edge_gate * edge_gate
-            cmnx, cmny, cmnz = sl(pmnx), sl(pmny), sl(pmnz)
-            d = jnp.abs(
-                (px - sl(pmcx)) * cmnx
-                + (py - sl(pmcy)) * cmny
-                + (pz - sl(pmcz)) * cmnz
-            )
-            c = cmag(nx_ * cmnx + ny_ * cmny + nz_ * cmnz)
-            ok = (
-                (cpid > 0)
-                & near
-                & cmask_
-                & mask
-                & (d <= th_thickness)
-                & (c >= th_normal_cos)
-            )
-            best = jnp.minimum(best, jnp.where(ok, cpid, big_pid))
-        return jnp.where(pid > 0, pid, jnp.where(best < big_pid, best, 0))
-
-    for _ in range(refine_sweeps):
-        pid = sweep(pid)
+        for _ in range(refine_sweeps):
+            pid = sweep(pid)
 
     # ------------------------------------------------------------------
-    # 4. finalize: recount, cull (> th_point_count), renumber densely
+    # 4. finalize: recount, cull (> th_point_count), renumber densely.
+    # One combined segment stats pass over OLD ids; the new (dense)
+    # table is a permutation of its kept rows.  On TPU the stats use
+    # the sort-free one-hot segsum kernel (each XLA scatter-add hides a
+    # full N-row sort, ~10 ms at 1M rows).
     # ------------------------------------------------------------------
-    counts = jnp.zeros((max_planes + 1,), jnp.int32).at[
-        jnp.where(mask, pid, 0)
-    ].add(jnp.where(mask, 1, 0))
-    counts = _psum(counts)  # global member counts when sharded
-    keep = counts > th_point_count  # by old plane id; id 0 irrelevant
-    keep = keep.at[0].set(False)
-    rank = jnp.cumsum(keep.astype(jnp.int32))  # inclusive, over old ids
-    new_id = jnp.where(keep[pid], rank[pid], 0)
-    plane_idx = jnp.where(new_id > 0, new_id, -1).astype(jnp.int32)
-    num_planes = rank[max_planes]
-
-    # rebuild the plane table from final membership — ONE combined
-    # [N,7] scatter-add (each separate scatter-add hides a full N-row
-    # sort on TPU)
-    seg = jnp.where(new_id > 0, new_id - 1, max_planes)
     payload = jnp.concatenate(
         [jnp.ones((n, 1), jnp.float32), cn, pos], axis=1
-    )
-    acc2 = _psum(
-        (
-            jnp.zeros((max_planes + 1, 7), jnp.float32)
-            .at[seg]
-            .add(jnp.where((new_id > 0)[:, None], payload, 0.0))
+    )  # [n, 7]
+    member = mask & (pid > 0)
+    if on_tpu:
+        from buildingsegment_tpu.ops.segsum import plane_sums, table_lookup
+
+        cap128 = -(-max_planes // 128) * 128
+        old_row = jnp.where(member, pid - 1, cap128)
+        acc = plane_sums(
+            old_row,
+            jnp.concatenate(
+                [payload, jnp.zeros((n, 1), jnp.float32)], axis=1
+            ),
+            n_live, table_cap=max_planes,
         )[:max_planes]
-    )
-    cnt2 = acc2[:, 0].astype(jnp.int32)
-    sum_n2 = acc2[:, 1:4]
-    sum_p2 = acc2[:, 4:7]
+    else:
+        old_row = jnp.where(member, pid - 1, max_planes)
+        acc = (
+            jnp.zeros((max_planes + 1, 7), jnp.float32)
+            .at[old_row]
+            .add(jnp.where(member[:, None], payload, 0.0))
+        )[:max_planes]
+    acc = _psum(acc)  # global when sharded
+    counts_old = acc[:, 0].astype(jnp.int32)  # by old plane row (id-1)
+    keep = counts_old > th_point_count
+    rank = jnp.cumsum(keep.astype(jnp.int32))  # inclusive, over rows
+    num_planes = rank[max_planes - 1]
+
+    # per-point renumber: new_id = lut[old id] (0 where culled)
+    lut = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32),
+         jnp.where(keep, rank, 0).astype(jnp.float32)]
+    )  # indexed by old id (0 = none)
+    if on_tpu:
+        new_id = table_lookup(
+            jnp.where(member, pid, 0), lut, n_live + 1
+        ).astype(jnp.int32)
+    else:
+        new_id = lut[jnp.where(member, pid, 0)].astype(jnp.int32)
+    plane_idx = jnp.where(new_id > 0, new_id, -1).astype(jnp.int32)
+
+    # dense table = kept old rows permuted into rank order
+    slot = jnp.where(keep, rank - 1, max_planes)
+    old_of_new = (
+        jnp.zeros((max_planes + 1,), jnp.int32)
+        .at[slot]
+        .set(jnp.arange(max_planes, dtype=jnp.int32))
+    )[:max_planes]
+    acc_new = acc[old_of_new]  # [max_planes, 7] — small-table gather
+    valid_new = jnp.arange(max_planes) < num_planes
+    cnt2 = jnp.where(valid_new, acc_new[:, 0].astype(jnp.int32), 0)
+    sum_n2 = acc_new[:, 1:4]
+    sum_p2 = acc_new[:, 4:7]
     sc = jnp.maximum(cnt2, 1).astype(jnp.float32)[:, None]
     mn2 = sum_n2 / sc
     ln2 = jnp.sqrt(jnp.maximum(jnp.sum(mn2 * mn2, -1, keepdims=True), 1e-20))
-    plane_normal = jnp.where((cnt2 > 0)[:, None], mn2 / ln2, 0.0)
-    plane_center = jnp.where((cnt2 > 0)[:, None], sum_p2 / sc, 0.0)
+    live2 = (cnt2 > 0)[:, None]
+    plane_normal = jnp.where(live2, mn2 / ln2, 0.0)
+    plane_center = jnp.where(live2, sum_p2 / sc, 0.0)
 
     return SegmentationResult(
         plane_idx=plane_idx,

@@ -12,9 +12,10 @@ import pytest
 
 from buildingsegment_tpu.core.morton import morton_sort
 from buildingsegment_tpu.ops.window_sweep import (
+    build_plane_table,
     label_sweep,
     pick_tile,
-    refine_sweep,
+    refine_table_sweep,
     seed_sweep,
 )
 from buildingsegment_tpu.utils.synthetic import make_building_cloud
@@ -46,76 +47,104 @@ def _pad1(a, fill, w):
     return jnp.concatenate([f, a, f])
 
 
-class TestRefineSweep:
-    def test_matches_xla(self, scene):
+class TestRefineTableSweep:
+    def _xla_ref(self, pos, nrm, mask, pid0, pn, pc, *, w, th, cth, eg2,
+                 max_planes, clean, adopt, n_live):
+        """XLA formulation matching seg/coarse.py's CPU path."""
+        from jax import lax
+
+        n = pos.shape[0]
+        px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+        nx, ny, nz = nrm[:, 0], nrm[:, 1], nrm[:, 2]
+        b_tab = jnp.sum(pn * pc, axis=-1)
+        # ids beyond the live bound never match in the kernel
+        alive = (pid0 >= 1) & (pid0 <= n_live)
+
+        def model_of(pid, ok_extra):
+            t = jnp.clip(pid - 1, 0, max_planes - 1)
+            has = (pid > 0) & mask & ok_extra
+            mnp = jnp.where(has[:, None], pn[t], 0.0)
+            mb = jnp.where(has, b_tab[t], 0.0)
+            return mnp, mb, has
+
+        mnp0, mb0, has0 = model_of(pid0, alive)
+        self_ok = (
+            has0
+            & (jnp.abs(px * mnp0[:, 0] + py * mnp0[:, 1]
+                       + pz * mnp0[:, 2] - mb0) <= th)
+            & (jnp.abs(nx * mnp0[:, 0] + ny * mnp0[:, 1]
+                       + nz * mnp0[:, 2]) >= cth)
+        )
+        pid = jnp.where(self_ok if clean else has0, pid0, 0)
+        if not adopt:
+            return pid
+
+        mnp_, mb_, _ = model_of(pid, jnp.ones_like(mask))
+        big = jnp.int32(max_planes + 1)
+        ppid = _pad1(pid, 0, w)
+        pmnx = _pad1(mnp_[:, 0], 0.0, w)
+        pmny = _pad1(mnp_[:, 1], 0.0, w)
+        pmnz = _pad1(mnp_[:, 2], 0.0, w)
+        pmb = _pad1(mb_, 0.0, w)
+        ppx = _pad1(px, -3e7, w)
+        ppy = _pad1(py, -3e7, w)
+        ppz = _pad1(pz, -3e7, w)
+        best = jnp.full((n,), big, jnp.int32)
+        for slot in range(2 * w):
+            start = slot if slot < w else slot + 1
+            sl = lambda a: lax.slice(a, (start,), (start + n,))
+            dx = px - sl(ppx)
+            dy = py - sl(ppy)
+            dz = pz - sl(ppz)
+            near = dx * dx + dy * dy + dz * dz <= eg2
+            cmnx, cmny, cmnz = sl(pmnx), sl(pmny), sl(pmnz)
+            d = jnp.abs(px * cmnx + py * cmny + pz * cmnz - sl(pmb))
+            c = jnp.abs(nx * cmnx + ny * cmny + nz * cmnz)
+            cpid = sl(ppid)
+            ok = (
+                (cpid > 0) & near & mask
+                & (d <= th) & (c >= cth)
+            )
+            best = jnp.minimum(best, jnp.where(ok, cpid, big))
+        return jnp.where(pid > 0, pid, jnp.where(best < big, best, 0))
+
+    @pytest.mark.parametrize("clean,adopt", [
+        (True, True), (False, True), (True, False),
+    ])
+    def test_matches_xla(self, scene, clean, adopt):
         pos, nrm, mask, n = scene
         w = 16
         rng = np.random.default_rng(1)
-        max_planes = 64
+        max_planes = 256
+        n_live = 140  # exercises the two-chunk live bound
         pid = jnp.asarray(
-            rng.integers(0, 5, size=(n,)).astype(np.int32)
+            rng.integers(0, n_live + 1, size=(n,)).astype(np.int32)
         )
         pn = rng.normal(size=(max_planes, 3)).astype(np.float32)
         pn /= np.linalg.norm(pn, axis=1, keepdims=True)
         pc = rng.uniform(0, 10000, size=(max_planes, 3)).astype(np.float32)
         pn, pc = jnp.asarray(pn), jnp.asarray(pc)
-        t = jnp.clip(pid - 1, 0, max_planes - 1)
-        has = pid > 0
-        mcp = jnp.where(has[:, None], pc[t], 0.0)
-        mnp = jnp.where(has[:, None], pn[t], 0.0)
+        th, cth, eg2 = 300.0, 0.88, 600.0**2
 
-        px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
-        nx, ny, nz = nrm[:, 0], nrm[:, 1], nrm[:, 2]
-        th, cth, eg = 300.0, 0.88, 600.0
-        big = max_planes + 1
-
-        # XLA reference
-        best = jnp.full((n,), big, jnp.int32)
-        ppid = _pad1(pid, 0, w)
-        arrs = {
-            "px": _pad1(px, -3e7, w), "py": _pad1(py, -3e7, w),
-            "pz": _pad1(pz, -3e7, w),
-            "nx": _pad1(nx, 0.0, w), "ny": _pad1(ny, 0.0, w),
-            "nz": _pad1(nz, 0.0, w),
-            "mcx": _pad1(mcp[:, 0], 0.0, w), "mcy": _pad1(mcp[:, 1], 0.0, w),
-            "mcz": _pad1(mcp[:, 2], 0.0, w),
-            "mnx": _pad1(mnp[:, 0], 0.0, w), "mny": _pad1(mnp[:, 1], 0.0, w),
-            "mnz": _pad1(mnp[:, 2], 0.0, w),
-            "mask": _pad1(mask, False, w),
-        }
-        from jax import lax
-
-        for slot in range(2 * w):
-            start = slot if slot < w else slot + 1
-            sl = lambda a: lax.slice(a, (start,), (start + n,))
-            dx = px - sl(arrs["px"])
-            dy = py - sl(arrs["py"])
-            dz = pz - sl(arrs["pz"])
-            near = dx * dx + dy * dy + dz * dz <= eg * eg
-            cmnx, cmny, cmnz = sl(arrs["mnx"]), sl(arrs["mny"]), sl(arrs["mnz"])
-            d = jnp.abs(
-                (px - sl(arrs["mcx"])) * cmnx
-                + (py - sl(arrs["mcy"])) * cmny
-                + (pz - sl(arrs["mcz"])) * cmnz
-            )
-            c = jnp.abs(nx * cmnx + ny * cmny + nz * cmnz)
-            cpid = sl(ppid)
-            ok = (
-                (cpid > 0) & near & sl(arrs["mask"]) & mask
-                & (d <= th) & (c >= cth)
-            )
-            best = jnp.minimum(best, jnp.where(ok, cpid, big))
-
-        got = refine_sweep(
-            arrs["px"], arrs["py"], arrs["pz"], arrs["nx"], arrs["ny"],
-            arrs["nz"], arrs["mcx"], arrs["mcy"], arrs["mcz"],
-            arrs["mnx"], arrs["mny"], arrs["mnz"],
-            ppid.astype(jnp.float32), arrs["mask"].astype(jnp.float32),
+        want = self._xla_ref(
+            pos, nrm, mask, pid, pn, pc, w=w, th=th, cth=cth, eg2=eg2,
+            max_planes=max_planes, clean=clean, adopt=adopt,
+            n_live=n_live,
+        )
+        got = refine_table_sweep(
+            _pad1(pos[:, 0], -3e7, w), _pad1(pos[:, 1], -3e7, w),
+            _pad1(pos[:, 2], -3e7, w),
+            _pad1(nrm[:, 0], 0.0, w), _pad1(nrm[:, 1], 0.0, w),
+            _pad1(nrm[:, 2], 0.0, w),
+            _pad1(pid, 0, w).astype(jnp.float32),
+            _pad1(mask, False, w).astype(jnp.float32),
+            build_plane_table(pn, pc), jnp.int32(n_live),
             w=w, tile=pick_tile(n, 1024), th_thickness=th,
-            th_normal_cos=cth, edge_gate2=eg * eg, big_pid=float(big),
-            interpret=True,
+            th_normal_cos=cth, edge_gate2=eg2,
+            big_pid=float(max_planes + 1),
+            clean=clean, adopt=adopt, interpret=True,
         ).astype(jnp.int32)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(best))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 class TestSeedSweep:
