@@ -31,7 +31,7 @@ def _sync(out):
     np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
 
 
-def _timed(fn, *args, reps=3, **kw):
+def _timed(fn, *args, reps=8, **kw):
     """Pipelined steady-state timing: dispatch ``reps`` calls back to
     back, one host sync at the end (the ~30-100 ms tunnel-sync
     overhead amortizes as 1/reps)."""

@@ -258,3 +258,21 @@ class TestMortonSortPayload:
         np.testing.assert_array_equal(
             np.asarray(order2)[:n], np.asarray(order)[:n]
         )
+
+    def test_residual_bits_exact(self, rng):
+        """Coordinates beyond 20 bits/axis survive the sort exactly
+        (they ride the packed residual word, not the sort keys)."""
+        import jax.numpy as jnp
+
+        from buildingsegment_tpu.core.morton import morton_sort
+
+        n, cap = 2000, 2048
+        pos = np.full((cap, 3), 2**24, np.int32)
+        # up to 2^29 ≈ 537 km at mm scale — far past the 20-bit keys
+        pos[:n] = rng.integers(0, 1 << 29, size=(n, 3))
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        spos, smask, order = morton_sort(jnp.asarray(pos), jnp.asarray(mask))
+        got = np.asarray(spos)[np.asarray(smask)]
+        want = pos[np.asarray(order)[np.asarray(smask)]]
+        np.testing.assert_array_equal(got, want)

@@ -5,6 +5,7 @@ compile excluded) so optimization effort goes where the milliseconds
 are.  Run on the real chip:  python tools/perf_breakdown.py
 """
 
+import functools
 import json
 import time
 
@@ -22,7 +23,7 @@ def _sync(out):
     np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
 
 
-def timed(fn, reps=5):
+def timed(fn, reps=8):
     """Pipelined steady-state timing: dispatch ``reps`` calls, one
     host sync at the end (sync overhead amortizes as 1/reps)."""
     import time
@@ -152,11 +153,36 @@ def main():
     out["coarse_solve_n16_ms"] = timed(coarse_solve) * 1e3
     out["coarse_solve_sweeps"] = int(coarse_solve().num_sweeps)
 
-    # unsort scatter
-    unsort = jax.jit(
-        lambda lab: jnp.zeros((capacity,), jnp.int32).at[order].set(lab)
+    # unsort (sorting-network inversion vs scatter)
+    from buildingsegment_tpu.core.morton import unsort_by
+
+    unsort = jax.jit(lambda lab: unsort_by(order, lab))
+    out["unsort_sortnet_ms"] = timed(lambda: unsort(res.plane_idx)) * 1e3
+
+    # end-to-end pipelines (the bench headline path + the non-sharded
+    # single-device path) — composition check against the stage sums
+    from buildingsegment_tpu.dist.mesh import make_mesh
+    from buildingsegment_tpu.dist.sharded import sharded_pipeline
+
+    mesh = make_mesh(len(jax.devices()))
+    sfn = sharded_pipeline(mesh, cfg, capacity_hint=capacity)
+    out["e2e_sharded_ms"] = timed(lambda: sfn(pos_j, mask_j)) * 1e3
+
+    from buildingsegment_tpu.pipeline import run_device_pipeline
+
+    dfn = functools.partial(
+        run_device_pipeline,
+        k_search=16, knn_k=15, normal_radius=cfg.normal_radius,
+        normal_max_nn=cfg.normal_max_nn, th_thickness=cfg.th_thickness,
+        th_normal_cos=cfg.th_normal_cos,
+        th_point_count=cfg.th_point_count, max_planes=1024,
+        max_sweeps=cfg.max_sweeps, knn_method="window",
+        knn_window_size=cfg.knn_window, seg_group=cfg.seg_group,
+        seg_levels=cfg.seg_levels,
+        seg_refine_sweeps=cfg.seg_refine_sweeps,
+        convergence_tol=cfg.seg_convergence_tol,
     )
-    out["unsort_scatter_ms"] = timed(lambda: unsort(res.plane_idx)) * 1e3
+    out["e2e_device_ms"] = timed(lambda: dfn(pos_j, mask_j)) * 1e3
 
     for k, v in out.items():
         if isinstance(v, float):
