@@ -164,24 +164,19 @@ def _stats_kernel(slab_hbm, dk_ref, s0_ref, s1x_ref, s1y_ref, s1z_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "w", "tile", "max_nn", "radius", "interpret"),
+    static_argnames=("n", "k", "w", "tile", "max_nn", "radius",
+                     "interpret"),
 )
-def fused_stats_sweep(ppx, ppy, ppz, pmask, *, k, w, tile, radius,
+def fused_stats_sweep(slab, n, *, k, w, tile, radius,
                       max_nn=None, interpret=False):
-    """Run the stats kernel over pre-padded [n + 2w] component rows.
+    """Run the stats kernel over a pre-built slab.
 
-    Returns (kth_sq_dist f32[n], s0 f32[n], s1 f32[n,3], s2 f32[n,6]);
-    s2 rows are (xx, yy, zz, xy, xz, yz) about the point itself —
-    identical to the accumulation of ops/fused.py's sweep.
+    Slab rows (``window_sweep.make_slab``, rows_out=8): 0-2 position,
+    3 mask.  Returns (kth_sq_dist f32[n], s0 f32[n], s1 f32[n,3],
+    s2 f32[n,6]); s2 rows are (xx, yy, zz, xy, xz, yz) about the point
+    itself — identical to the accumulation of ops/fused.py's sweep.
     """
-    n = ppx.shape[0] - 2 * w
     n_pad = -(-n // tile) * tile
-    width = n_pad + 2 * w + _lane_pad(tile, w)
-    slab = jnp.zeros((_ROWS, width), jnp.float32)
-    for i, r in enumerate([ppx, ppy, ppz, pmask]):
-        slab = lax.dynamic_update_slice(
-            slab, r.astype(jnp.float32)[None, :], (i, 0)
-        )
     w2 = 2 * w
     cap_active = max_nn is not None and (max_nn - 1) < w2
     kernel = functools.partial(
@@ -258,31 +253,20 @@ def knn_normals_window_stats(
         )
         return nb_d[:, k - 1], normals, curv
 
-    if axis_name is not None:
-        from buildingsegment_tpu.dist.halo import halo_pad
-
-        def _pad1(a, fill):
-            return halo_pad(a, window, axis_name)
-
-    else:
-
-        def _pad1(a, fill):
-            f = jnp.full((window,), fill, a.dtype)
-            return jnp.concatenate([f, a, f])
-
-    posf = spos.astype(jnp.float32)
-    ppx = _pad1(posf[:, 0], jnp.float32(-3e7))
-    ppy = _pad1(posf[:, 1], jnp.float32(-3e7))
-    ppz = _pad1(posf[:, 2], jnp.float32(-3e7))
-    pmask = _pad1(smask.astype(jnp.float32), jnp.float32(0.0))
-
-    from buildingsegment_tpu.ops.window_sweep import pick_tile
+    from buildingsegment_tpu.ops.window_sweep import make_slab, pick_tile
 
     # tile 2048 keeps the [2W, T] distance block + the bisection's
     # compare temporaries inside the 16 MB VMEM scoped-stack budget
     tile = pick_tile(n, 2048)
+    posf = spos.astype(jnp.float32)
+    slab = make_slab(
+        [posf[:, 0], posf[:, 1], posf[:, 2],
+         smask.astype(jnp.float32)],
+        [-3e7, -3e7, -3e7, 0.0],
+        window, tile, axis_name=axis_name, rows_out=8,
+    )
     dk, s0, s1, s2 = fused_stats_sweep(
-        ppx, ppy, ppz, pmask, k=k, w=window, tile=tile, radius=radius,
+        slab, n, k=k, w=window, tile=tile, radius=radius,
         max_nn=max_nn, interpret=False,
     )
     from buildingsegment_tpu.ops.fused import finish_normals

@@ -262,6 +262,7 @@ def segment_planes_multigrid(
 
     from buildingsegment_tpu.ops.window_sweep import (
         build_plane_table,
+        make_slab,
         pick_tile,
         refine_table_sweep,
     )
@@ -270,19 +271,17 @@ def segment_planes_multigrid(
     on_tpu = jax.devices()[0].platform != "cpu" and tile
     if on_tpu:
         table = build_plane_table(pn, pc)
-        ppx = _pad_rows(px, -3e7, ws)
-        ppy = _pad_rows(py, -3e7, ws)
-        ppz = _pad_rows(pz, -3e7, ws)
-        pnx = _pad_rows(nx_, 0.0, ws)
-        pny = _pad_rows(ny_, 0.0, ws)
-        pnz = _pad_rows(nz_, 0.0, ws)
-        pmask_f = _pad_rows(mask, False, ws).astype(jnp.float32)
+        maskf = mask.astype(jnp.float32)
         pid = pid0
         for s in range(max(1, refine_sweeps)):
+            slab = make_slab(
+                [px, py, pz, nx_, ny_, nz_,
+                 pid.astype(jnp.float32), maskf],
+                [-3e7, -3e7, -3e7, 0.0, 0.0, 0.0, 0.0, 0.0],
+                ws, tile, axis_name=axis_name, rows_out=8,
+            )
             pid_f = refine_table_sweep(
-                ppx, ppy, ppz, pnx, pny, pnz,
-                _pad_rows(pid, 0, ws).astype(jnp.float32), pmask_f,
-                table, n_live,
+                slab, n, table, n_live,
                 w=ws, tile=tile,
                 th_thickness=float(th_thickness),
                 th_normal_cos=float(th_normal_cos),

@@ -100,10 +100,37 @@ def window_seeds(
     cmag = (lambda x: x) if signed_normals else jnp.abs
     ws = window
 
-    # padded 1-D COMPONENT arrays: [n,3] slices lane-pad 128/3× per
-    # unrolled copy; 1-D static slices are pure fusable views
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
     nx_, ny_, nz_ = nrm[:, 0], nrm[:, 1], nrm[:, 2]
+
+    # Pallas mega-kernel on TPU (VMEM-resident slab; see
+    # ops/window_sweep.py); CPU keeps the XLA path
+    from buildingsegment_tpu.ops.window_sweep import (
+        make_slab,
+        pick_tile,
+        seed_sweep,
+    )
+
+    tile = pick_tile(n)
+    if jax.devices()[0].platform != "cpu" and tile:
+        slab = make_slab(
+            [px, py, pz, nx_, ny_, nz_,
+             kth_sq_dist.astype(jnp.float32),
+             mask.astype(jnp.float32)],
+            [-3e7, -3e7, -3e7, 0.0, 0.0, 0.0, 0.0, 0.0],
+            ws, tile, axis_name=axis_name, rows_out=8,
+        )
+        bad_f = seed_sweep(
+            slab, n,
+            w=ws, tile=tile,
+            th_thickness=float(th_thickness),
+            th_normal_cos=float(th_normal_cos),
+            signed=signed_normals,
+        )
+        return mask & (bad_f < 0.5)
+
+    # padded 1-D COMPONENT arrays: [n,3] slices lane-pad 128/3× per
+    # unrolled copy; 1-D static slices are pure fusable views
     if axis_name is not None:
         from buildingsegment_tpu.dist.halo import halo_pad
 
@@ -119,23 +146,6 @@ def window_seeds(
     ppx, ppy, ppz = _pad1(px, -3e7), _pad1(py, -3e7), _pad1(pz, -3e7)
     pnx, pny, pnz = _pad1(nx_, 0.0), _pad1(ny_, 0.0), _pad1(nz_, 0.0)
     smask_p = _pad1(mask, False)
-
-    # Pallas mega-kernel on TPU (VMEM-resident slab; see
-    # ops/window_sweep.py); CPU keeps the XLA path
-    from buildingsegment_tpu.ops.window_sweep import pick_tile, seed_sweep
-
-    tile = pick_tile(n)
-    if jax.devices()[0].platform != "cpu" and tile:
-        bad_f = seed_sweep(
-            ppx, ppy, ppz, pnx, pny, pnz,
-            _pad1(kth_sq_dist.astype(jnp.float32), 0.0),
-            smask_p.astype(jnp.float32),
-            w=ws, tile=tile,
-            th_thickness=float(th_thickness),
-            th_normal_cos=float(th_normal_cos),
-            signed=signed_normals,
-        )
-        return mask & (bad_f < 0.5)
 
     # fully unrolled static slices (fori+dynamic_slice is kernel-launch
     # bound — see ops/fused.py sweep comment)
@@ -552,22 +562,24 @@ def segment_planes(
     # 1-D static slices are pure fusable views
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
     nx_, ny_, nz_ = nrm[:, 0], nrm[:, 1], nrm[:, 2]
-    ppx = _pad_rows(px, -3e7)
-    ppy = _pad_rows(py, -3e7)
-    ppz = _pad_rows(pz, -3e7)
-    pmask_w = _pad_rows(mask, False)
 
     # Pallas mega-kernel on TPU (VMEM-resident slab; kernel↔XLA
     # equality pinned by tests/test_window_sweep.py); CPU keeps XLA
-    from buildingsegment_tpu.ops.window_sweep import label_sweep, pick_tile
+    from buildingsegment_tpu.ops.window_sweep import (
+        label_sweep,
+        make_slab,
+        pick_tile,
+    )
 
     _sweep_tile = pick_tile(n)
     _use_kernel = jax.devices()[0].platform != "cpu" and bool(_sweep_tile)
     if _use_kernel:
-        pnx_w = _pad_rows(nx_, 0.0)
-        pny_w = _pad_rows(ny_, 0.0)
-        pnz_w = _pad_rows(nz_, 0.0)
-        pmask_f = pmask_w.astype(jnp.float32)
+        maskf_r = mask.astype(jnp.float32)
+    else:
+        ppx = _pad_rows(px, -3e7)
+        ppy = _pad_rows(py, -3e7)
+        ppz = _pad_rows(pz, -3e7)
+        pmask_w = _pad_rows(mask, False)
 
     # Per-sweep global-merge table capacity.  Capped independently of
     # max_planes (the OUTPUT capacity): the [L, L] pair tests cost
@@ -641,19 +653,16 @@ def segment_planes(
         mpc = jnp.where(has[:, None], model_c[safe], 0.0)
         mnx, mny, mnz = mpn[:, 0], mpn[:, 1], mpn[:, 2]
         mcx, mcy, mcz = mpc[:, 0], mpc[:, 1], mpc[:, 2]
-        plab = _pad_rows(label, inf_label)
-        pmnx = _pad_rows(mnx, 0.0)
-        pmny = _pad_rows(mny, 0.0)
-        pmnz = _pad_rows(mnz, 0.0)
-        pmcx = _pad_rows(mcx, 0.0)
-        pmcy = _pad_rows(mcy, 0.0)
-        pmcz = _pad_rows(mcz, 0.0)
 
         if _use_kernel:
+            slab = make_slab(
+                [px, py, pz, nx_, ny_, nz_, mnx, mny, mnz,
+                 mcx, mcy, mcz, label.astype(jnp.float32), maskf_r],
+                [-3e7, -3e7, -3e7] + [0.0] * 9 + [float(ng), 0.0],
+                ws, _sweep_tile, axis_name=axis_name,
+            )
             new_f, best_f = label_sweep(
-                ppx, ppy, ppz, pnx_w, pny_w, pnz_w,
-                pmnx, pmny, pmnz, pmcx, pmcy, pmcz,
-                plab.astype(jnp.float32), pmask_f,
+                slab, n,
                 w=ws, tile=_sweep_tile,
                 th_thickness=float(th_thickness),
                 th_normal_cos=float(th_normal_cos),
@@ -667,6 +676,13 @@ def segment_planes(
             new = new_f.astype(jnp.int32)
             best = best_f.astype(jnp.int32)
         else:
+            plab = _pad_rows(label, inf_label)
+            pmnx = _pad_rows(mnx, 0.0)
+            pmny = _pad_rows(mny, 0.0)
+            pmnz = _pad_rows(mnz, 0.0)
+            pmcx = _pad_rows(mcx, 0.0)
+            pmcy = _pad_rows(mcy, 0.0)
+            pmcz = _pad_rows(mcz, 0.0)
             # fully unrolled static 1-D slices (fori+dynamic_slice is
             # kernel-launch bound; [n,3] slices lane-pad — see above)
             new = label

@@ -20,6 +20,7 @@ from buildingsegment_tpu.ops.stats_sweep import (
     fused_stats_sweep,
     knn_normals_window_stats,
 )
+from buildingsegment_tpu.ops.window_sweep import make_slab
 from buildingsegment_tpu.utils.synthetic import make_building_cloud
 
 
@@ -56,12 +57,13 @@ def test_kernel_matches_sorted_fused(sorted_cloud, k, w, radius, max_nn):
     _, nb_d, nrm, curv = knn_normals_window_sorted(
         sposf, smask, max(k, 16), window=w, radius=radius, max_nn=max_nn
     )
-    ppx = _pad1(sposf[:, 0], w, -3e7)
-    ppy = _pad1(sposf[:, 1], w, -3e7)
-    ppz = _pad1(sposf[:, 2], w, -3e7)
-    pm = _pad1(smask.astype(jnp.float32), w, 0.0)
+    slab = make_slab(
+        [sposf[:, 0], sposf[:, 1], sposf[:, 2],
+         smask.astype(jnp.float32)],
+        [-3e7, -3e7, -3e7, 0.0], w, 1024, rows_out=8,
+    )
     dk, s0, s1, s2 = fused_stats_sweep(
-        ppx, ppy, ppz, pm, k=k, w=w, tile=1024, radius=radius,
+        slab, sposf.shape[0], k=k, w=w, tile=1024, radius=radius,
         max_nn=max_nn, interpret=True,
     )
     dk = jnp.where(smask, dk, 0.0)
@@ -109,12 +111,13 @@ def test_sparse_cloud_degenerate_balls():
     spos, smask, _ = morton_sort(jnp.asarray(pos), jnp.asarray(mask))
     sposf = spos.astype(jnp.float32)
     k, w = 15, 32
-    ppx = _pad1(sposf[:, 0], w, -3e7)
-    ppy = _pad1(sposf[:, 1], w, -3e7)
-    ppz = _pad1(sposf[:, 2], w, -3e7)
-    pm = _pad1(smask.astype(jnp.float32), w, 0.0)
+    slab = make_slab(
+        [sposf[:, 0], sposf[:, 1], sposf[:, 2],
+         smask.astype(jnp.float32)],
+        [-3e7, -3e7, -3e7, 0.0], w, 1024, rows_out=8,
+    )
     dk, s0, s1, s2 = fused_stats_sweep(
-        ppx, ppy, ppz, pm, k=k, w=w, tile=1024, radius=100.0,
+        slab, sposf.shape[0], k=k, w=w, tile=1024, radius=100.0,
         max_nn=50, interpret=True,
     )
     dk = jnp.where(smask, dk, 0.0)

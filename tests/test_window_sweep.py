@@ -14,6 +14,7 @@ from buildingsegment_tpu.core.morton import morton_sort
 from buildingsegment_tpu.ops.window_sweep import (
     build_plane_table,
     label_sweep,
+    make_slab,
     pick_tile,
     refine_table_sweep,
     seed_sweep,
@@ -131,15 +132,17 @@ class TestRefineTableSweep:
             max_planes=max_planes, clean=clean, adopt=adopt,
             n_live=n_live,
         )
+        tile = pick_tile(n, 1024)
+        slab = make_slab(
+            [pos[:, 0], pos[:, 1], pos[:, 2],
+             nrm[:, 0], nrm[:, 1], nrm[:, 2],
+             pid.astype(jnp.float32), mask.astype(jnp.float32)],
+            [-3e7, -3e7, -3e7, 0.0, 0.0, 0.0, 0.0, 0.0],
+            w, tile, rows_out=8,
+        )
         got = refine_table_sweep(
-            _pad1(pos[:, 0], -3e7, w), _pad1(pos[:, 1], -3e7, w),
-            _pad1(pos[:, 2], -3e7, w),
-            _pad1(nrm[:, 0], 0.0, w), _pad1(nrm[:, 1], 0.0, w),
-            _pad1(nrm[:, 2], 0.0, w),
-            _pad1(pid, 0, w).astype(jnp.float32),
-            _pad1(mask, False, w).astype(jnp.float32),
-            build_plane_table(pn, pc), jnp.int32(n_live),
-            w=w, tile=pick_tile(n, 1024), th_thickness=th,
+            slab, n, build_plane_table(pn, pc), jnp.int32(n_live),
+            w=w, tile=tile, th_thickness=th,
             th_normal_cos=cth, edge_gate2=eg2,
             big_pid=float(max_planes + 1),
             clean=clean, adopt=adopt, interpret=True,
@@ -156,14 +159,17 @@ class TestSeedSweep:
         ref = window_seeds(pos, nrm, mask, dk, window=16)
 
         w = 16
+        tile = pick_tile(n, 1024)
+        slab = make_slab(
+            [pos[:, 0], pos[:, 1], pos[:, 2],
+             nrm[:, 0], nrm[:, 1], nrm[:, 2],
+             dk, mask.astype(jnp.float32)],
+            [-3e7, -3e7, -3e7, 0.0, 0.0, 0.0, 0.0, 0.0],
+            w, tile, rows_out=8,
+        )
         got_bad = seed_sweep(
-            _pad1(pos[:, 0], -3e7, w), _pad1(pos[:, 1], -3e7, w),
-            _pad1(pos[:, 2], -3e7, w),
-            _pad1(nrm[:, 0], 0.0, w), _pad1(nrm[:, 1], 0.0, w),
-            _pad1(nrm[:, 2], 0.0, w),
-            _pad1(dk, 0.0, w),
-            _pad1(mask, False, w).astype(jnp.float32),
-            w=w, tile=pick_tile(n, 1024), th_thickness=300.0,
+            slab, n,
+            w=w, tile=tile, th_thickness=300.0,
             th_normal_cos=0.88, interpret=True,
         )
         got = mask & (got_bad < 0.5)
@@ -234,12 +240,16 @@ class TestLabelSweep:
             mrg_ok = has & (clab < lab) & near & mutual
             best = jnp.minimum(best, jnp.where(mrg_ok, clab, inf_label))
 
+        tile = pick_tile(n, 1024)
+        slab = make_slab(
+            [px, py, pz, nx, ny, nz, mnx, mny, mnz, mcx, mcy, mcz,
+             lab.astype(jnp.float32), mask.astype(jnp.float32)],
+            [-3e7, -3e7, -3e7] + [0.0] * 9 + [float(inf_label), 0.0],
+            w, tile,
+        )
         got_new, got_best = label_sweep(
-            P["px"], P["py"], P["pz"], P["nx"], P["ny"], P["nz"],
-            P["mnx"], P["mny"], P["mnz"], P["mcx"], P["mcy"], P["mcz"],
-            P["lab"].astype(jnp.float32),
-            P["mask"].astype(jnp.float32),
-            w=w, tile=pick_tile(n, 1024), th_thickness=th,
+            slab, n,
+            w=w, tile=tile, th_thickness=th,
             th_normal_cos=cth, edge_gate2=eg2,
             inf_label=float(inf_label), interpret=True,
         )
