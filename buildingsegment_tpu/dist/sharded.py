@@ -51,23 +51,76 @@ from buildingsegment_tpu.seg.region_grow import (
     window_seeds,
 )
 
-__all__ = ["sharded_pipeline", "sharded_seg_body"]
+__all__ = [
+    "sharded_pipeline",
+    "sharded_seg_body",
+    "sharded_stats_body",
+    "sharded_grow_body",
+]
 
 
-def sharded_seg_body(mesh: Mesh, config: PipelineConfig, *,
-                     signed_normals: bool = False):
-    """The shard_map'd core: Morton-sorted positions → labels.
+def _mg_path(config: PipelineConfig, s: int) -> bool:
+    """Production multigrid path applies when the local shard rows
+    divide evenly into the coarsening hierarchy."""
+    return config.seg_group > 1 and s % (
+        config.seg_group ** config.seg_levels
+    ) == 0
 
-    Returns ``body(spos f32[N,3], smask bool[N]) -> SegmentationResult``
-    where inputs are globally Morton-sorted and plane_idx is returned in
-    the sorted frame.  Exposed separately so tests can compile it alone
-    and assert the HLO contains no all-gather.
+
+def sharded_stats_body(mesh: Mesh, config: PipelineConfig):
+    """shard_map'd neighborhood stage: sorted positions → per-point
+    neighborhood data (halo-exchanged windows, all outputs sharded).
+
+    Multigrid path: ``(kth_sq_dist, normals, curvature)`` via the
+    stats sweep (no top_k).  Fallback path: the fused kNN+normals
+    sweep's ``(neigh_idx, neigh_d, normals, curvature)``.
     """
     ax = POINTS_AXIS
     knn_k = config.knn_k
     k_q = max(knn_k, 16)
 
-    def local_body(spos, smask):
+    def local_stats(spos, smask):
+        s = spos.shape[0]
+        if _mg_path(config, s):
+            from buildingsegment_tpu.ops.stats_sweep import (
+                knn_normals_window_stats,
+            )
+
+            return knn_normals_window_stats(
+                spos, smask, k=knn_k, window=config.knn_window,
+                radius=config.normal_radius,
+                max_nn=config.normal_max_nn, axis_name=ax,
+            )
+        return knn_normals_window_sorted(
+            spos, smask, k=k_q, window=config.knn_window,
+            radius=config.normal_radius, max_nn=config.normal_max_nn,
+            axis_name=ax,
+        )
+
+    def body(spos, smask):
+        s = spos.shape[0] // mesh.size
+        n_out = 3 if _mg_path(config, s) else 4
+        out_specs = tuple(P(ax) for _ in range(n_out))
+        return jax.shard_map(
+            local_stats,
+            mesh=mesh,
+            in_specs=(P(ax, None), P(ax)),
+            out_specs=out_specs,
+            check_vma=False,
+        )(spos, smask)
+
+    return body
+
+
+def sharded_grow_body(mesh: Mesh, config: PipelineConfig, *,
+                      signed_normals: bool = False):
+    """shard_map'd segmentation stage: sorted positions + stats →
+    :class:`SegmentationResult` (labels sharded, tables replicated).
+    """
+    ax = POINTS_AXIS
+    knn_k = config.knn_k
+
+    def local_grow(spos, smask, *stats):
         seg_kwargs = dict(
             max_edge_dist=2.0 * config.th_thickness,
             th_seed_curvature=config.th_seed_curvature,
@@ -79,21 +132,9 @@ def sharded_seg_body(mesh: Mesh, config: PipelineConfig, *,
             convergence_tol=config.seg_convergence_tol,
             signed_normals=signed_normals,
         )
-        s = spos.shape[0]  # local rows per shard
-        if config.seg_group > 1 and s % (
-            config.seg_group ** config.seg_levels
-        ) == 0:
-            # production: only the k-th-NN distance is consumed — the
-            # stats sweep skips the top_k sort (see pipeline.py)
-            from buildingsegment_tpu.ops.stats_sweep import (
-                knn_normals_window_stats,
-            )
-
-            dk, normals, curv = knn_normals_window_stats(
-                spos, smask, k=knn_k, window=config.knn_window,
-                radius=config.normal_radius,
-                max_nn=config.normal_max_nn, axis_name=ax,
-            )
+        s = spos.shape[0]
+        if _mg_path(config, s):
+            dk, normals, curv = stats
             rows_i = jnp.arange(s, dtype=jnp.int32)
             g_idx = jnp.stack([rows_i, rows_i], axis=1)
             return segment_planes_multigrid(
@@ -103,11 +144,7 @@ def sharded_seg_body(mesh: Mesh, config: PipelineConfig, *,
                 refine_sweeps=config.seg_refine_sweeps,
                 axis_name=ax, **seg_kwargs,
             )
-        neigh_idx, neigh_d, normals, curv = knn_normals_window_sorted(
-            spos, smask, k=k_q, window=config.knn_window,
-            radius=config.normal_radius, max_nn=config.normal_max_nn,
-            axis_name=ax,
-        )
+        neigh_idx, neigh_d, normals, curv = stats
         seeds = window_seeds(
             spos, normals, smask, neigh_d[:, knn_k - 1],
             window=config.knn_window,
@@ -131,18 +168,43 @@ def sharded_seg_body(mesh: Mesh, config: PipelineConfig, *,
         plane_count=P(),
         num_sweeps=P(),
     )
+
     # check_vma=False: the varying-manual-axes checker rejects loop
     # carries initialized from constants (jnp.full inits meeting
     # shard-varying updates) all over the sweep loops.  Replication of
     # the P() outputs holds by construction — every replicated output
     # derives from a psum/pmin'd table.
-    return jax.shard_map(
-        local_body,
-        mesh=mesh,
-        in_specs=(P(ax, None), P(ax)),
-        out_specs=out_specs,
-        check_vma=False,
-    )
+    def body(spos, smask, *stats):
+        in_specs = (P(ax, None), P(ax)) + tuple(
+            P(ax) if a.ndim == 1 else P(ax, None) for a in stats
+        )
+        return jax.shard_map(
+            local_grow,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )(spos, smask, *stats)
+
+    return body
+
+
+def sharded_seg_body(mesh: Mesh, config: PipelineConfig, *,
+                     signed_normals: bool = False):
+    """The full shard_map'd core: Morton-sorted positions → labels.
+
+    Composes :func:`sharded_stats_body` and :func:`sharded_grow_body`
+    (tests compile this composition and assert the HLO contains no
+    all-gather; production dispatches the two stages as separate
+    programs — see :func:`sharded_pipeline`).
+    """
+    stats = sharded_stats_body(mesh, config)
+    grow = sharded_grow_body(mesh, config, signed_normals=signed_normals)
+
+    def body(spos, smask):
+        return grow(spos, smask, *stats(spos, smask))
+
+    return body
 
 
 def sharded_pipeline(
@@ -152,27 +214,46 @@ def sharded_pipeline(
     signed_normals: bool = False,
     capacity_hint: Optional[int] = None,
 ):
-    """Build a jitted sharded pipeline function for ``mesh``.
+    """Build the sharded pipeline function for ``mesh``.
 
     Returns ``fn(positions int32[N,3], mask bool[N])`` →
     ``(shifted_positions, bbox_min, SegmentationResult)`` with inputs
     sharded over the points axis.  N must be divisible by the mesh size
     (pad capacity accordingly).  Always runs the production window +
     multigrid path — the only one whose work scales with shards.
+
+    ``fn`` dispatches TWO jitted stages (sort+stats | segmentation)
+    back to back: compiling the whole pipeline as one XLA program was
+    measured ~55 ms slower at 1M points than the identical ops split
+    at the segmentation boundary (a scheduling pathology in the single
+    giant program — all buffers at the boundary are [N]-sized, so the
+    materialization itself costs ~0.1 ms).  Both stages stay fully
+    sharded; the boundary does not gather.
     """
     del capacity_hint  # kept for API compatibility
     in_shardings = (point_sharding(mesh, 2), point_sharding(mesh, 1))
-    body = sharded_seg_body(mesh, config, signed_normals=signed_normals)
+    stats = sharded_stats_body(mesh, config)
+    grow = sharded_grow_body(mesh, config, signed_normals=signed_normals)
 
     @functools.partial(jax.jit, in_shardings=in_shardings)
-    def fn(positions, mask):
+    def stage1(positions, mask):
         shifted, lo, _hi = shift_to_origin(positions, mask)
         # global Morton sort (once per scan, outside the sweep loop);
-        # multi-operand sort carries the coordinates — no gather
+        # coordinates decode from the carried code words — no gather
         sorted_pos, smask, order = morton_sort(shifted, mask)
         spos = sorted_pos.astype(jnp.float32)
-        seg = body(spos, smask)
+        return (shifted, lo, spos, smask, order) + tuple(
+            stats(spos, smask)
+        )
+
+    @jax.jit
+    def stage2(spos, smask, order, *stat):
+        seg = grow(spos, smask, *stat)
         plane_idx = unsort_by(order, seg.plane_idx)
-        return shifted, lo, dataclasses.replace(seg, plane_idx=plane_idx)
+        return dataclasses.replace(seg, plane_idx=plane_idx)
+
+    def fn(positions, mask):
+        shifted, lo, spos, smask, order, *stat = stage1(positions, mask)
+        return shifted, lo, stage2(spos, smask, order, *stat)
 
     return fn

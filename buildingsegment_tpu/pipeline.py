@@ -86,25 +86,105 @@ class PipelineOutput:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_search",
-        "knn_k",
-        "normal_radius",
-        "normal_max_nn",
-        "th_thickness",
-        "th_normal_cos",
-        "th_point_count",
-        "max_planes",
-        "max_sweeps",
-        "signed_normals",
-        "knn_method",
-        "knn_window_size",
-        "th_seed_curvature",
-        "convergence_tol",
-        "seg_group",
-        "seg_levels",
-        "seg_refine_sweeps",
+        "knn_k", "normal_radius", "normal_max_nn", "knn_window_size",
+        "use_stats",
     ),
 )
+def _window_stage1(
+    positions, mask, *, knn_k, normal_radius, normal_max_nn,
+    knn_window_size, use_stats,
+):
+    """Window-path stage 1: shift → Morton sort → neighborhood stats.
+
+    Morton-sort once (multi-operand sort carrying the code words — no
+    argsort-then-gather) and stay in the sorted frame: every neighbor
+    access downstream is a contiguous slice instead of a (slow) XLA
+    gather.
+    """
+    shifted, lo, _hi = shift_to_origin(positions, mask)
+    spos, smask, order = morton_sort(shifted, mask)
+    sposf = spos.astype(jnp.float32)
+    if use_stats:
+        # production: the multigrid solver consumes only the k-th-NN
+        # distance (the seed ball), never the sorted neighbor lists —
+        # the stats sweep computes exactly that, skipping the top_k
+        # full sort (Pallas kernel on TPU, XLA fused on CPU)
+        from buildingsegment_tpu.ops.stats_sweep import (
+            knn_normals_window_stats,
+        )
+
+        stats = knn_normals_window_stats(
+            sposf, smask, k=knn_k, window=knn_window_size,
+            radius=normal_radius, max_nn=normal_max_nn,
+        )
+    else:
+        # fused sweep: kNN candidates and normal moments share the
+        # same ±W slices — one pass instead of two
+        stats = knn_normals_window_sorted(
+            sposf, smask, k=max(knn_k, 16), window=knn_window_size,
+            radius=normal_radius, max_nn=normal_max_nn,
+        )
+    return shifted, lo, spos, smask, order, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "knn_k", "th_thickness", "th_normal_cos", "th_point_count",
+        "max_planes", "max_sweeps", "signed_normals",
+        "th_seed_curvature", "convergence_tol", "seg_group",
+        "seg_levels", "seg_refine_sweeps", "use_stats",
+    ),
+)
+def _window_stage2(
+    spos, smask, order, stats, *, knn_k, th_thickness, th_normal_cos,
+    th_point_count, max_planes, max_sweeps, signed_normals,
+    th_seed_curvature, convergence_tol, seg_group, seg_levels,
+    seg_refine_sweeps, use_stats,
+):
+    """Window-path stage 2: region growing + unsort.
+
+    A separate XLA program from stage 1 ON PURPOSE: compiling the whole
+    pipeline as one program was measured ~55 ms slower at 1M points
+    than the identical ops split here (single-giant-program scheduling
+    pathology); the boundary only materializes [N]-sized buffers
+    (~0.1 ms of HBM traffic).
+    """
+    seg_kwargs = dict(
+        max_edge_dist=2.0 * th_thickness,
+        th_seed_curvature=th_seed_curvature,
+        th_thickness=th_thickness,
+        th_normal_cos=th_normal_cos,
+        th_point_count=th_point_count,
+        max_planes=max_planes,
+        max_sweeps=max_sweeps,
+        convergence_tol=convergence_tol,
+        signed_normals=signed_normals,
+    )
+    if use_stats:
+        dk, normals, curv = stats
+        rows_i = jnp.arange(spos.shape[0], dtype=jnp.int32)
+        g_idx = jnp.stack([rows_i, rows_i], axis=1)
+        seg = segment_planes_multigrid(
+            spos, normals, g_idx, smask,
+            kth_sq_dist=dk, curvature=curv,
+            group=seg_group, levels=seg_levels,
+            refine_sweeps=seg_refine_sweeps, **seg_kwargs,
+        )
+    else:
+        neigh_idx, neigh_d, normals, curv = stats
+        seg = segment_planes(
+            spos, normals, neigh_idx[:, :knn_k], smask,
+            neigh_sq_dist=neigh_d[:, :knn_k],
+            curvature=curv,
+            propagation="window", **seg_kwargs,
+        )
+    # unsort via the sorting network (a scatter hides a full sort
+    # AND random-access writes — ~11 ms vs ~4 ms at 1M rows)
+    plane_idx = unsort_by(order, seg.plane_idx)
+    return dataclasses.replace(seg, plane_idx=plane_idx)
+
+
 def run_device_pipeline(
     positions: jax.Array,
     mask: jax.Array,
@@ -127,74 +207,63 @@ def run_device_pipeline(
     seg_levels: int = 1,
     seg_refine_sweeps: int = 2,
 ):
-    """The fused on-device portion: shift → kNN → normals → segmentation.
+    """The on-device portion: shift → kNN → normals → segmentation.
 
-    One traced program: XLA fuses the stages and keeps every
-    intermediate (distance blocks, covariances, labels) on device.
+    The window fast path dispatches two jitted stages (see
+    ``_window_stage2``'s note on why two programs beat one); the
+    brute/pallas paths stay a single program.  Remains jittable as a
+    whole (nested jits inline) for compile checks.
 
     Returns (shifted_positions, bbox_min, seg: SegmentationResult).
     """
-    shifted, lo, _hi = shift_to_origin(positions, mask)
     if knn_method == "window":
-        # fast path: Morton-sort once (multi-operand sort carrying the
-        # coordinates — no argsort-then-gather), stay in the sorted
-        # frame for every stage (window kNN, window-moment normals,
-        # windowized label propagation), un-sort only the final labels
-        # — the sorted frame is what makes every neighbor access a
-        # contiguous slice instead of a (slow) XLA gather.
-        spos, smask, order = morton_sort(shifted, mask)
-        sposf = spos.astype(jnp.float32)
-        seg_kwargs = dict(
-            max_edge_dist=2.0 * th_thickness,
-            th_seed_curvature=th_seed_curvature,
-            th_thickness=th_thickness,
-            th_normal_cos=th_normal_cos,
-            th_point_count=th_point_count,
-            max_planes=max_planes,
-            max_sweeps=max_sweeps,
-            convergence_tol=convergence_tol,
-            signed_normals=signed_normals,
+        use_stats = (
+            seg_group > 1
+            and positions.shape[0] % (seg_group ** seg_levels) == 0
         )
-        if seg_group > 1 and positions.shape[0] % (seg_group ** seg_levels) == 0:
-            # production: the multigrid solver consumes only the k-th-NN
-            # distance (the seed ball), never the sorted neighbor lists
-            # — the stats sweep computes exactly that, skipping the
-            # top_k full sort (Pallas kernel on TPU, XLA fused on CPU)
-            from buildingsegment_tpu.ops.stats_sweep import (
-                knn_normals_window_stats,
-            )
-
-            dk, normals, curv = knn_normals_window_stats(
-                sposf, smask, k=knn_k, window=knn_window_size,
-                radius=normal_radius, max_nn=normal_max_nn,
-            )
-            rows_i = jnp.arange(positions.shape[0], dtype=jnp.int32)
-            g_idx = jnp.stack([rows_i, rows_i], axis=1)
-            seg = segment_planes_multigrid(
-                spos, normals, g_idx, smask,
-                kth_sq_dist=dk, curvature=curv,
-                group=seg_group, levels=seg_levels,
-                refine_sweeps=seg_refine_sweeps, **seg_kwargs,
-            )
-        else:
-            # fused sweep: kNN candidates and normal moments share the
-            # same ±W slices — one pass instead of two
-            neigh_idx, neigh_d, normals, curv = knn_normals_window_sorted(
-                sposf, smask, k=max(knn_k, 16), window=knn_window_size,
-                radius=normal_radius, max_nn=normal_max_nn,
-            )
-            seg = segment_planes(
-                spos, normals, neigh_idx[:, :knn_k], smask,
-                neigh_sq_dist=neigh_d[:, :knn_k],
-                curvature=curv,
-                propagation="window", **seg_kwargs,
-            )
-        # unsort via the sorting network (a scatter hides a full sort
-        # AND random-access writes — ~11 ms vs ~4 ms at 1M rows)
-        plane_idx = unsort_by(order, seg.plane_idx)
-        seg = dataclasses.replace(seg, plane_idx=plane_idx)
+        shifted, lo, spos, smask, order, stats = _window_stage1(
+            positions, mask, knn_k=knn_k, normal_radius=normal_radius,
+            normal_max_nn=normal_max_nn,
+            knn_window_size=knn_window_size, use_stats=use_stats,
+        )
+        seg = _window_stage2(
+            spos, smask, order, stats, knn_k=knn_k,
+            th_thickness=th_thickness, th_normal_cos=th_normal_cos,
+            th_point_count=th_point_count, max_planes=max_planes,
+            max_sweeps=max_sweeps, signed_normals=signed_normals,
+            th_seed_curvature=th_seed_curvature,
+            convergence_tol=convergence_tol, seg_group=seg_group,
+            seg_levels=seg_levels, seg_refine_sweeps=seg_refine_sweeps,
+            use_stats=use_stats,
+        )
         return shifted, lo, seg
+    return _classic_pipeline(
+        positions, mask, k_search=k_search, knn_k=knn_k,
+        normal_radius=normal_radius, normal_max_nn=normal_max_nn,
+        th_thickness=th_thickness, th_normal_cos=th_normal_cos,
+        th_point_count=th_point_count, max_planes=max_planes,
+        max_sweeps=max_sweeps, signed_normals=signed_normals,
+        knn_method=knn_method, th_seed_curvature=th_seed_curvature,
+        convergence_tol=convergence_tol,
+    )
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_search", "knn_k", "normal_radius", "normal_max_nn",
+        "th_thickness", "th_normal_cos", "th_point_count", "max_planes",
+        "max_sweeps", "signed_normals", "knn_method",
+        "th_seed_curvature", "convergence_tol",
+    ),
+)
+def _classic_pipeline(
+    positions, mask, *, k_search, knn_k, normal_radius, normal_max_nn,
+    th_thickness, th_normal_cos, th_point_count, max_planes, max_sweeps,
+    signed_normals, knn_method, th_seed_curvature, convergence_tol,
+):
+    """Single-program brute/pallas pipeline (exact kNN graph paths)."""
+    shifted, lo, _hi = shift_to_origin(positions, mask)
     if knn_method == "pallas":
         # exact brute force via the fused Pallas kernel (TPU only);
         # Morton-sort first so the banded candidate order converges
