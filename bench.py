@@ -135,6 +135,25 @@ def main():
     )
     extras["segmentation_multigrid_mpts"] = round(n / dt / 1e6, 2)
 
+    # --- config 5: ortho render (device raster part of the multi-scan
+    # pipeline; PNG encode is a host cold path) ---
+    from buildingsegment_tpu.raster.ortho import compute_ortho_images
+
+    shifted, lo, seg = fn(pos_j, mask_j)
+    ext = tuple(
+        int(v)
+        for v in np.asarray(
+            jnp.max(jnp.where(mask_j[:, None], shifted, 0), axis=0)
+        )
+    )
+    render = jax.jit(
+        lambda p, m: compute_ortho_images(p, m, ext, cfg)
+    )
+    dt, _ = _timed(lambda: render(shifted, mask_j))
+    extras["render_mpts"] = round(n / dt / 1e6, 2)
+    e2e_render = e2e_dt + dt
+    extras["pipeline_with_render_mpts"] = round(n / e2e_render / 1e6, 2)
+
     # --- config 2: exact brute force (Pallas kernel), 1 rep (O(N²)) ---
     try:
         dt, _ = _timed(lambda: knn_pallas(spos, smask, k=16), reps=1)
