@@ -119,7 +119,9 @@ def main():
             convergence_tol=cfg.seg_convergence_tol,
         )
     )
-    extras["segmentation_mpts"] = round(n / dt / 1e6, 2)
+    # diagnostic: the non-multigrid single-level solver (the production
+    # segmentation number is segmentation_multigrid_mpts below)
+    extras["segmentation_single_level_mpts"] = round(n / dt / 1e6, 2)
 
     from buildingsegment_tpu.seg.coarse import segment_planes_multigrid
 

@@ -33,7 +33,9 @@ __all__ = [
 ]
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
+@functools.partial(
+    jax.jit, static_argnames=("window", "radius", "orient_z")
+)
 def estimate_normals_window(
     spos: jax.Array,
     smask: jax.Array,
@@ -63,6 +65,29 @@ def estimate_normals_window(
     """
     n = spos.shape[0]
     w = window
+
+    # TPU: the Pallas stats kernel in radius-only mode (no order
+    # statistics → the bisection phase is skipped; one VMEM-resident
+    # pass).  Same moment accumulation, shared finish.
+    from buildingsegment_tpu.ops.window_sweep import make_slab, pick_tile
+
+    tile = pick_tile(n, 2048)
+    if jax.devices()[0].platform != "cpu" and tile:
+        from buildingsegment_tpu.ops.fused import finish_normals
+        from buildingsegment_tpu.ops.stats_sweep import fused_stats_sweep
+
+        posf = spos.astype(jnp.float32)
+        slab = make_slab(
+            [posf[:, 0], posf[:, 1], posf[:, 2],
+             smask.astype(jnp.float32)],
+            [-3e7, -3e7, -3e7, 0.0], w, tile, rows_out=8,
+        )
+        _, s0, s1, s2 = fused_stats_sweep(
+            slab, n, k=1, w=w, tile=tile, radius=float(radius),
+            max_nn=None,
+        )
+        return finish_normals(s0, s1, s2, orient_z=orient_z)
+
     pad_val = jnp.float32(-3e7)
     ppos = jnp.concatenate(
         [

@@ -88,37 +88,45 @@ def _stats_kernel(slab_hbm, dk_ref, s0_ref, s1x_ref, s1y_ref, s1z_ref,
             jnp.where(valid, d2, inf), jnp.int32
         )
 
-    # ---- phase 2: bisection for the two order statistics.
-    # Non-negative f32 order == int32 bit-pattern order; find the
-    # smallest t with count(bits ≤ t) ≥ r — exactly the r-th smallest.
-    def bisect(i, st):
-        lo1, hi1, lo2, hi2 = st
-        mid1 = lo1 + ((hi1 - lo1) >> 1)
-        mid2 = lo2 + ((hi2 - lo2) >> 1)
-        db = dbits[...]
-        c1 = jnp.sum((db <= mid1[None, :]).astype(jnp.int32), axis=0)
-        ge1 = c1 >= r_k
-        lo1 = jnp.where(ge1, lo1, mid1 + 1)
-        hi1 = jnp.where(ge1, mid1, hi1)
-        if r_cap:
-            c2 = jnp.sum((db <= mid2[None, :]).astype(jnp.int32), axis=0)
-            ge2 = c2 >= r_cap
-            lo2 = jnp.where(ge2, lo2, mid2 + 1)
-            hi2 = jnp.where(ge2, mid2, hi2)
-        return lo1, hi1, lo2, hi2
+    if r_k or r_cap:
+        # ---- phase 2: bisection for the two order statistics.
+        # Non-negative f32 order == int32 bit-pattern order; find the
+        # smallest t with count(bits ≤ t) ≥ r — the r-th smallest.
+        def bisect(i, st):
+            lo1, hi1, lo2, hi2 = st
+            mid1 = lo1 + ((hi1 - lo1) >> 1)
+            mid2 = lo2 + ((hi2 - lo2) >> 1)
+            db = dbits[...]
+            c1 = jnp.sum((db <= mid1[None, :]).astype(jnp.int32), axis=0)
+            ge1 = c1 >= r_k
+            lo1 = jnp.where(ge1, lo1, mid1 + 1)
+            hi1 = jnp.where(ge1, mid1, hi1)
+            if r_cap:
+                c2 = jnp.sum(
+                    (db <= mid2[None, :]).astype(jnp.int32), axis=0
+                )
+                ge2 = c2 >= r_cap
+                lo2 = jnp.where(ge2, lo2, mid2 + 1)
+                hi2 = jnp.where(ge2, mid2, hi2)
+            return lo1, hi1, lo2, hi2
 
-    zeros = jnp.zeros((tile,), jnp.int32)
-    tops = jnp.full((tile,), _INF_BITS, jnp.int32)
-    _, dk_bits, _, cap_bits = lax.fori_loop(
-        0, 31, bisect, (zeros, tops, zeros, tops)
-    )
-    dk_f = lax.bitcast_convert_type(dk_bits, jnp.float32)
-    # fewer than r_k finite candidates → the XLA kNN path reports 0.0
-    dk_ref[...] = jnp.where(dk_bits >= _INF_BITS, 0.0, dk_f)
-    if r_cap:
-        cap_f = lax.bitcast_convert_type(cap_bits, jnp.float32)
-        r_eff2 = jnp.minimum(jnp.float32(r2), cap_f)
+        zeros = jnp.zeros((tile,), jnp.int32)
+        tops = jnp.full((tile,), _INF_BITS, jnp.int32)
+        _, dk_bits, _, cap_bits = lax.fori_loop(
+            0, 31, bisect, (zeros, tops, zeros, tops)
+        )
+        dk_f = lax.bitcast_convert_type(dk_bits, jnp.float32)
+        # fewer than r_k finite candidates → XLA kNN path reports 0.0
+        dk_ref[...] = jnp.where(dk_bits >= _INF_BITS, 0.0, dk_f)
+        if r_cap:
+            cap_f = lax.bitcast_convert_type(cap_bits, jnp.float32)
+            r_eff2 = jnp.minimum(jnp.float32(r2), cap_f)
+        else:
+            r_eff2 = jnp.full((tile,), jnp.float32(r2), jnp.float32)
     else:
+        # pure radius-ball moments (estimate_normals_window): no order
+        # statistics — the 31-step bisection is skipped entirely
+        dk_ref[...] = jnp.zeros((tile,), jnp.float32)
         r_eff2 = jnp.full((tile,), jnp.float32(r2), jnp.float32)
 
     # ---- phase 3: moments over radius ∩ cap (self: weight 1, offset 0)

@@ -97,6 +97,40 @@ def test_wrapper_cpu_contract(sorted_cloud):
     np.testing.assert_array_equal(np.asarray(curv2), np.asarray(curv))
 
 
+def test_radius_only_mode_matches_window_normals(sorted_cloud):
+    """k=1/no-cap skips the bisection; moments must still equal the
+    XLA radius-window normals path (estimate_normals_window on CPU)."""
+    from buildingsegment_tpu.ops.fused import finish_normals
+    from buildingsegment_tpu.ops.normals import estimate_normals_window
+
+    sposf, smask = sorted_cloud
+    w, radius = 64, 300.0
+    slab = make_slab(
+        [sposf[:, 0], sposf[:, 1], sposf[:, 2],
+         smask.astype(jnp.float32)],
+        [-3e7, -3e7, -3e7, 0.0], w, 1024, rows_out=8,
+    )
+    dk, s0, s1, s2 = fused_stats_sweep(
+        slab, sposf.shape[0], k=1, w=w, tile=1024, radius=radius,
+        max_nn=None, interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(dk))) == 0.0
+    nrm2, curv2 = finish_normals(s0, s1, s2)
+    nrm, curv = estimate_normals_window(
+        sposf, smask, radius=radius, window=w
+    )
+    sel = np.asarray(smask)
+    ang = np.degrees(
+        np.arccos(
+            np.clip(np.abs(np.sum(np.asarray(nrm * nrm2), -1)), 0, 1)
+        )
+    )
+    assert np.percentile(ang[sel], 99) < 0.2
+    np.testing.assert_allclose(
+        np.asarray(curv2), np.asarray(curv), atol=1e-4
+    )
+
+
 def test_sparse_cloud_degenerate_balls():
     """Fewer than k-1 candidates → dk = 0.0 (the XLA kNN convention)."""
     n = 2048
