@@ -72,7 +72,25 @@ def ground_threshold(
     """
     num_bins = z_extent // bin_height + 1
     z_bin = jnp.where(mask, positions[:, 2] // bin_height, num_bins)
-    hist = jnp.zeros((num_bins + 1,), jnp.int32).at[z_bin].add(1)[:num_bins]
+    if jax.devices()[0].platform != "cpu":
+        # the z-histogram has ~a dozen live bins — the one-hot
+        # segment-sum kernel beats the scatter's hidden N-row sort
+        from buildingsegment_tpu.ops.segsum import plane_sums
+
+        n = positions.shape[0]
+        payload = jax.lax.pad(
+            jnp.ones((n, 1), jnp.float32), jnp.float32(0),
+            ((0, 0, 0), (0, 7, 0)),
+        )
+        acc = plane_sums(
+            z_bin, payload, jnp.int32(num_bins),
+            table_cap=max(num_bins, 1),
+        )
+        hist = acc[:num_bins, 0].astype(jnp.int32)
+    else:
+        hist = jnp.zeros((num_bins + 1,), jnp.int32).at[z_bin].add(1)[
+            :num_bins
+        ]
     half = jnp.sum(mask.astype(jnp.int32)) // 2
     cum = jnp.cumsum(hist)
     # reference loop breaks at the first bin with cumulative > half;
