@@ -71,7 +71,7 @@ def estimate_normals_window(
     # pass).  Same moment accumulation, shared finish.
     from buildingsegment_tpu.ops.window_sweep import make_slab, pick_tile
 
-    tile = pick_tile(n, 2048)
+    tile = pick_tile(n, 8192)
     if jax.devices()[0].platform != "cpu" and tile:
         from buildingsegment_tpu.ops.fused import finish_normals
         from buildingsegment_tpu.ops.stats_sweep import fused_stats_sweep
@@ -169,13 +169,20 @@ def canonicalize_normals(normals: jax.Array) -> jax.Array:
     assigns random signs (n_z ≈ ±noise), which breaks signed normal
     averaging and signed cos thresholds.
     """
-    ax = jnp.abs(normals)
-    # priority z > y > x on exact ties
-    key = ax + jnp.array([0.0, 1e-7, 2e-7], normals.dtype)
-    dominant = jnp.argmax(key, axis=-1)
-    sign = jnp.sign(
-        jnp.take_along_axis(normals, dominant[..., None], axis=-1)[..., 0]
+    # priority z > y > x on exact ties.  Elementwise select chain —
+    # argmax + take_along_axis costs a ~12 ms per-row gather at 1M
+    # points on TPU; this is 3 compares (semantics identical to
+    # argmax's first-max-index tie rule on the biased keys).
+    nx, ny, nz = normals[..., 0], normals[..., 1], normals[..., 2]
+    keyx = jnp.abs(nx)
+    keyy = jnp.abs(ny) + jnp.asarray(1e-7, normals.dtype)
+    keyz = jnp.abs(nz) + jnp.asarray(2e-7, normals.dtype)
+    dom = jnp.where(
+        keyx >= jnp.maximum(keyy, keyz),
+        nx,
+        jnp.where(keyy >= keyz, ny, nz),
     )
+    sign = jnp.sign(dom)
     sign = jnp.where(sign == 0, 1.0, sign)
     return normals * sign[..., None]
 

@@ -58,9 +58,8 @@ def _lane_pad(tile, w):
     return (-(tile + 2 * w)) % 128
 
 
-def _stats_kernel(slab_hbm, dk_ref, s0_ref, s1x_ref, s1y_ref, s1z_ref,
-                  sxx_ref, syy_ref, szz_ref, sxy_ref, sxz_ref, syz_ref,
-                  slab, dbits, sem, *, tile, w, r_k, r_cap, r2):
+def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *, tile, w,
+                  r_k, r_cap, r2):
     ti = pl.program_id(0)
     dma = pltpu.make_async_copy(
         slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w + _lane_pad(tile, w))],
@@ -117,7 +116,7 @@ def _stats_kernel(slab_hbm, dk_ref, s0_ref, s1x_ref, s1y_ref, s1z_ref,
         )
         dk_f = lax.bitcast_convert_type(dk_bits, jnp.float32)
         # fewer than r_k finite candidates → XLA kNN path reports 0.0
-        dk_ref[...] = jnp.where(dk_bits >= _INF_BITS, 0.0, dk_f)
+        out_ref[0, :] = jnp.where(dk_bits >= _INF_BITS, 0.0, dk_f)
         if r_cap:
             cap_f = lax.bitcast_convert_type(cap_bits, jnp.float32)
             r_eff2 = jnp.minimum(jnp.float32(r2), cap_f)
@@ -126,7 +125,7 @@ def _stats_kernel(slab_hbm, dk_ref, s0_ref, s1x_ref, s1y_ref, s1z_ref,
     else:
         # pure radius-ball moments (estimate_normals_window): no order
         # statistics — the 31-step bisection is skipped entirely
-        dk_ref[...] = jnp.zeros((tile,), jnp.float32)
+        out_ref[0, :] = jnp.zeros((tile,), jnp.float32)
         r_eff2 = jnp.full((tile,), jnp.float32(r2), jnp.float32)
 
     # ---- phase 3: moments over radius ∩ cap (self: weight 1, offset 0)
@@ -158,16 +157,21 @@ def _stats_kernel(slab_hbm, dk_ref, s0_ref, s1x_ref, s1y_ref, s1z_ref,
         sxy = sxy + dx * dy * uw
         sxz = sxz + dx * dz * uw
         syz = syz + dy * dz * uw
-    s0_ref[...] = s0
-    s1x_ref[...] = s1x
-    s1y_ref[...] = s1y
-    s1z_ref[...] = s1z
-    sxx_ref[...] = sxx
-    syy_ref[...] = syy
-    szz_ref[...] = szz
-    sxy_ref[...] = sxy
-    sxz_ref[...] = sxz
-    syz_ref[...] = syz
+    out_ref[1, :] = s0
+    out_ref[2, :] = s1x
+    out_ref[3, :] = s1y
+    out_ref[4, :] = s1z
+    out_ref[5, :] = sxx
+    out_ref[6, :] = syy
+    out_ref[7, :] = szz
+    out_ref[8, :] = sxy
+    out_ref[9, :] = sxz
+    out_ref[10, :] = syz
+    out_ref[11, :] = jnp.zeros((tile,), jnp.float32)
+    out_ref[12, :] = jnp.zeros((tile,), jnp.float32)
+    out_ref[13, :] = jnp.zeros((tile,), jnp.float32)
+    out_ref[14, :] = jnp.zeros((tile,), jnp.float32)
+    out_ref[15, :] = jnp.zeros((tile,), jnp.float32)
 
 
 @functools.partial(
@@ -196,14 +200,11 @@ def fused_stats_sweep(slab, n, *, k, w, tile, radius,
         kernel,
         grid=(n_pad // tile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=tuple(
-            pl.BlockSpec((tile,), lambda ti: (ti,),
-                         memory_space=pltpu.VMEM)
-            for _ in range(11)
-        ),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((n_pad,), jnp.float32) for _ in range(11)
-        ),
+        # one [16, n_pad] output (11 rows used): separate [n_pad]
+        # outputs made XLA stage them whole in scoped VMEM at big tiles
+        out_specs=pl.BlockSpec((16, tile), lambda ti: (0, ti),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((_ROWS, tile + 2 * w + _lane_pad(tile, w)),
                        jnp.float32),
@@ -212,14 +213,20 @@ def fused_stats_sweep(slab, n, *, k, w, tile, radius,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # Mosaic's unrolled offset loops keep ~4.7 B/tile-row of
+            # temporaries live; the default 16 MB scoped cap only
+            # allows tile 2048 (528 grid steps × ~35 µs overhead =
+            # ~18 ms).  v5e VMEM is 128 MB — raise the cap, run tile
+            # 8192 (132 steps).
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(slab)
     if n_pad != n:
-        out = tuple(lax.slice(o, (0,), (n,)) for o in out)
+        out = lax.slice(out, (0, 0), (16, n))
     dk, s0 = out[0], out[1]
-    s1 = jnp.stack(out[2:5], axis=-1)
-    s2 = jnp.stack(out[5:11], axis=-1)
+    s1 = jnp.transpose(out[2:5])
+    s2 = jnp.transpose(out[5:11])
     return dk, s0, s1, s2
 
 
@@ -263,8 +270,9 @@ def knn_normals_window_stats(
 
     from buildingsegment_tpu.ops.window_sweep import make_slab, pick_tile
 
-    # tile 2048 keeps the [2W, T] distance block + the bisection's
-    # compare temporaries inside the 16 MB VMEM scoped-stack budget
+    # tile 2048 measured fastest for the bisection mode (bigger tiles
+    # thrash the [2W, T] block through the selection loop); the
+    # radius-only mode (estimate_normals_window) uses tile 8192
     tile = pick_tile(n, 2048)
     posf = spos.astype(jnp.float32)
     slab = make_slab(
