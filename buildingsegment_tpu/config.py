@@ -67,7 +67,7 @@ class PipelineConfig:
     # stop sweeping when fewer than tol×N labels change per sweep
     # (exact fixed point when tol×N < 1; default trades the last
     # straggler-polishing sweeps for throughput)
-    seg_convergence_tol: float = 1e-5
+    seg_convergence_tol: float = 5e-5
     # multigrid coarsening factor for the windowized solver (Morton
     # groups of this size become super-points; 1 = single level)
     seg_group: int = 4
