@@ -140,6 +140,9 @@ def _sweep_call(kernel, slab, n, w, tile, interpret, n_out=1):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # allow big tiles (fewer ~35 us grid steps); v5e VMEM is
+            # 128 MB, the default scoped cap is a conservative 16 MB
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(slab)
@@ -351,6 +354,7 @@ def refine_table_sweep(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(n_chunks, slab, table)

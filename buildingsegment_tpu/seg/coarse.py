@@ -267,7 +267,7 @@ def segment_planes_multigrid(
         refine_table_sweep,
     )
 
-    tile = pick_tile(n)
+    tile = pick_tile(n, 16384)
     on_tpu = jax.devices()[0].platform != "cpu" and tile
     if on_tpu:
         table = build_plane_table(pn, pc)

@@ -111,7 +111,7 @@ def window_seeds(
         seed_sweep,
     )
 
-    tile = pick_tile(n)
+    tile = pick_tile(n, 16384)
     if jax.devices()[0].platform != "cpu" and tile:
         slab = make_slab(
             [px, py, pz, nx_, ny_, nz_,
@@ -417,12 +417,12 @@ def segment_planes(
         flag = cnt > 0
         rank = jnp.cumsum(flag.astype(jnp.int32))  # inclusive
         slot = jnp.where(flag & (rank <= L), rank - 1, L)
+        # one scatter: -1 sentinel doubles as the liveness mask
         top_lab = (
-            jnp.full((L + 1,), 0, jnp.int32).at[slot].set(idx_arange)
+            jnp.full((L + 1,), -1, jnp.int32).at[slot].set(idx_arange)
         )[:L]
-        live = (
-            jnp.zeros((L + 1,), jnp.bool_).at[slot].set(flag)
-        )[:L]
+        live = top_lab >= 0
+        top_lab = jnp.maximum(top_lab, 0)
         top_cnt = jnp.where(live, cnt[top_lab], 0.0)
         safe_cnt = jnp.maximum(top_cnt, 1.0)
         c = sum_p[top_lab] / safe_cnt[:, None]
@@ -637,14 +637,18 @@ def segment_planes(
         model_c = acc[:, 4:7] / safe_cnt
 
         # 2. compact live labels → [L] slots (cumsum rank, no sort) —
-        # replicated compute over the (replicated) stats table
+        # replicated compute over the (replicated) stats table.  ONE
+        # scatter: every slot < L written comes from a live label, so
+        # the -1 sentinel doubles as the liveness mask (each scatter
+        # hides a sort of its update rows).
         flag = cnt > 0
         rank = jnp.cumsum(flag.astype(jnp.int32))
         slot_of = jnp.where(flag & (rank <= L), rank - 1, L)  # [ng] by label
         top_lab = (
-            jnp.full((L + 1,), 0, jnp.int32).at[slot_of].set(idx_arange)
+            jnp.full((L + 1,), -1, jnp.int32).at[slot_of].set(idx_arange)
         )[:L]
-        live = (jnp.zeros((L + 1,), jnp.bool_).at[slot_of].set(flag))[:L]
+        live = top_lab >= 0
+        top_lab = jnp.maximum(top_lab, 0)
 
         # 3. slice sweep: hop-min + merge-hook candidates
         safe = jnp.clip(label, 0, ng - 1)
