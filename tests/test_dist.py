@@ -26,6 +26,8 @@ DENSE_CFG = PipelineConfig(
     normal_radius=1e6, pad_to_multiple=1024, th_point_count=100
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _padded(pts, cap):
     pos = np.full((cap, 3), 2**24, np.int32)

@@ -10,6 +10,8 @@ from buildingsegment_tpu.ops.knn import knn_window_sorted
 from buildingsegment_tpu.ops.normals import estimate_normals_window
 from buildingsegment_tpu.utils.synthetic import make_building_cloud
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def sorted_cloud():

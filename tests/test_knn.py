@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial import cKDTree
 
 from buildingsegment_tpu.ops.knn import knn, knn_window
@@ -81,6 +82,7 @@ class TestKnn:
 
 
 class TestKnnWindow:
+    @pytest.mark.slow
     def test_recall_vs_bruteforce(self):
         # Z-order windows are a dense-scan method: neighbor-set recall
         # is bounded by curve discontinuities (~80-90% of the exact kNN

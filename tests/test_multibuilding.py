@@ -14,6 +14,8 @@ from buildingsegment_tpu.io.ply import HostPointCloud
 from buildingsegment_tpu.pipeline import segment_cloud
 from buildingsegment_tpu.utils.synthetic import make_building_cloud
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def two_houses():

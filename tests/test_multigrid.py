@@ -11,6 +11,8 @@ from buildingsegment_tpu.seg.coarse import segment_planes_multigrid
 from buildingsegment_tpu.seg.region_grow import segment_planes
 from buildingsegment_tpu.utils.synthetic import make_building_cloud
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def sorted_scene():

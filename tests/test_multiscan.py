@@ -18,6 +18,8 @@ from buildingsegment_tpu.pipeline import (
 from buildingsegment_tpu.profiling import StageTimer, summarize
 from buildingsegment_tpu.utils.synthetic import make_building_cloud
 
+pytestmark = pytest.mark.slow
+
 _CFG = PipelineConfig(normal_radius=1e6, pad_to_multiple=512)
 
 

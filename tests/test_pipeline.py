@@ -28,6 +28,7 @@ def scan_file(tmp_path_factory):
 _CFG = PipelineConfig(normal_radius=1e6, pad_to_multiple=512)
 
 
+@pytest.mark.slow
 class TestSegmentCloud:
     def test_finds_planes(self, scan_file):
         _, pts_mm, truth = scan_file
@@ -74,6 +75,7 @@ class TestSegmentCloud:
 
 
 class TestSegmentFile:
+    @pytest.mark.slow
     def test_file_to_file(self, scan_file, tmp_path):
         in_path, pts_mm, _ = scan_file
         out_path = str(tmp_path / "labeled.ply")
@@ -95,6 +97,7 @@ class TestSegmentFile:
 
 
 class TestCli:
+    @pytest.mark.slow
     def test_reference_argv_contract(self, scan_file, tmp_path, capsys):
         in_path, pts_mm, _ = scan_file
         out_path = str(tmp_path / "out.ply")
@@ -113,6 +116,7 @@ class TestCli:
         rc = cli_main([f"-a={tmp_path}/x.ply", f"-s={tmp_path}/y.ply"])
         assert rc == 1
 
+    @pytest.mark.slow
     def test_render_dir(self, scan_file, tmp_path):
         in_path, _, _ = scan_file
         out_path = str(tmp_path / "out.ply")
@@ -134,6 +138,7 @@ class TestCli:
         assert "像素数量+高度.png" in files
 
 
+@pytest.mark.slow
 class TestReferenceDefaultParity:
     """VERDICT round-1 item 6: the configuration that defines parity —
     UNMODIFIED DEFAULT_CONFIG (radius=100, max_nn=50, K=15, th=300/0.88/

@@ -53,6 +53,7 @@ def building():
 
 
 class TestSegmentPlanes:
+    @pytest.mark.slow
     def test_recovers_synthetic_planes(self, building):
         pts, truth, cap = building
         pos, mask, idx, normals, n = _prep(pts, cap)
@@ -167,6 +168,7 @@ class TestSegmentPlanes:
         assert int(res.num_planes) == 0
         assert (np.asarray(res.plane_idx) == -1).all()
 
+    @pytest.mark.slow
     def test_curvature_gate_prunes_seeds(self, building):
         pts, truth, cap = building
         pos, mask, idx, normals, n = _prep(pts, cap)

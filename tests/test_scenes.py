@@ -15,6 +15,8 @@ from buildingsegment_tpu.utils.synthetic import (
     make_terrain_cloud,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _run(pts, **over):
     n = len(pts)

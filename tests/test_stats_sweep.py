@@ -23,6 +23,8 @@ from buildingsegment_tpu.ops.stats_sweep import (
 from buildingsegment_tpu.ops.window_sweep import make_slab
 from buildingsegment_tpu.utils.synthetic import make_building_cloud
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def sorted_cloud():
