@@ -64,8 +64,11 @@ def main():
 
     n_dev = len(jax.devices())
 
-    # ~1M-point dense building scene: 25 mm spacing
-    pts, _ = make_building_cloud(
+    # ~1M-point dense building scene: 25 mm spacing.  Ground-truth
+    # plane ids ride along so the bench reports a correctness number
+    # next to the throughput (speed-for-quality trades must be visible
+    # in the driver-recorded JSON, not only in the CPU test suite).
+    pts, truth = make_building_cloud(
         seed=0,
         spacing_mm=25.0,
         width_mm=12_000.0,
@@ -93,6 +96,20 @@ def main():
     mpts = n / e2e_dt / 1e6
     extras["planes_found"] = int(seg.num_planes)
     extras["seg_sweeps"] = int(seg.num_sweeps)
+
+    # --- correctness gate (BASELINE north-star metric): bijective
+    # per-point agreement against the scene's analytic decomposition.
+    # Below the floor the bench reports vs_baseline = 0 — a quality
+    # regression must never ship as a better BENCH number.
+    from buildingsegment_tpu.utils.quality import bij_agreement
+
+    QUALITY_FLOOR = 0.97
+    agreement = bij_agreement(truth, np.asarray(seg.plane_idx)[:n])
+    extras["quality_agreement"] = round(agreement, 4)
+    extras["quality_floor"] = QUALITY_FLOOR
+    quality_ok = agreement >= QUALITY_FLOOR
+    if not quality_ok:
+        extras["quality_gate"] = "FAIL"
 
     # --- stage benches on the sorted frame ---
     order = morton_argsort(pos_j, mask_j)
@@ -156,6 +173,37 @@ def main():
     e2e_render = e2e_dt + dt
     extras["pipeline_with_render_mpts"] = round(n / e2e_render / 1e6, 2)
 
+    # --- config 5 scored as what it is: the MULTI-SCAN pipeline
+    # end-to-end — PLY read (native codec), segment, labeled-PLY write,
+    # ortho PNG render — over 4 distinct ~1M-point scans.  First batch
+    # warms every jit bucket; the second batch is the steady state.
+    import os
+    import tempfile
+
+    from buildingsegment_tpu.io.ply import HostPointCloud, write_ply
+    from buildingsegment_tpu.pipeline import segment_files
+
+    tmp = tempfile.mkdtemp(prefix="bst_bench_scans_")
+    scan_paths, total_pts = [], 0
+    for s in range(4):
+        spts, _ = make_building_cloud(
+            seed=s, spacing_mm=25.0, width_mm=12_000.0, depth_mm=9_000.0,
+            wall_h_mm=6_000.0, ridge_h_mm=8_000.0, noise_mm=8.0,
+        )
+        total_pts += len(spts)
+        p = os.path.join(tmp, f"scan{s}.ply")
+        # file in meters; read_ply(scale=1000) recovers integer mm
+        write_ply(HostPointCloud(positions=spts), p, position_scale=1e-3)
+        scan_paths.append(p)
+    out_paths = [os.path.join(tmp, f"out{s}.ply") for s in range(4)]
+    render_dir = os.path.join(tmp, "render")
+    segment_files(scan_paths, out_paths, cfg, render_dir=render_dir)
+    t0 = time.perf_counter()
+    segment_files(scan_paths, out_paths, cfg, render_dir=render_dir)
+    ms_dt = time.perf_counter() - t0
+    extras["multiscan_e2e_mpts"] = round(total_pts / ms_dt / 1e6, 2)
+    extras["multiscan_scans"] = len(scan_paths)
+
     # --- config 2: exact brute force (Pallas kernel), 1 rep (O(N²)) ---
     try:
         dt, _ = _timed(lambda: knn_pallas(spos, smask, k=16), reps=1)
@@ -169,7 +217,7 @@ def main():
                 "metric": "end_to_end_segmentation_throughput",
                 "value": round(mpts, 3),
                 "unit": "Mpoints/sec",
-                "vs_baseline": round(mpts / 50.0, 4),
+                "vs_baseline": round(mpts / 50.0, 4) if quality_ok else 0.0,
                 "points": n,
                 "devices": n_dev,
                 "seconds_per_scan": round(e2e_dt, 4),

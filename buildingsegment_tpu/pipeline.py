@@ -383,14 +383,24 @@ def segment_cloud(
 
 
 def _bucket_capacity(n: int, config: PipelineConfig) -> int:
-    """Round capacity to a power-of-two bucket ≥ padded_count.
+    """Round capacity to a quarter-octave bucket ≥ padded_count.
 
     Multi-scan runs hit the jit cache when scans share a bucket; without
     bucketing every distinct point count would recompile the fused
-    pipeline (minutes on a remote-compile TPU).
+    pipeline (minutes on a remote-compile TPU).  Buckets are
+    2^k × {1, 1.25, 1.5, 1.75} (all pad_to_multiple-aligned): at most
+    ~25% padding overhead — a plain power-of-two bucket wastes up to 2×
+    device work on scans just past a boundary — while keeping the
+    number of compiled variants at four per octave.
     """
     cap = config.padded_count(n)
-    bucket = 1 << (cap - 1).bit_length()
+    octave = 1 << max(cap.bit_length() - 1, 2)
+    for num in (4, 5, 6, 7, 8):
+        bucket = octave // 4 * num
+        if bucket >= cap:
+            break
+    # re-align to the capacity multiple (octave//4 below pad_to_multiple)
+    bucket = config.padded_count(bucket)
     return max(bucket, config.pad_to_multiple)
 
 

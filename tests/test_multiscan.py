@@ -39,11 +39,19 @@ def scan_dir(tmp_path_factory):
     return str(d)
 
 
-def test_bucket_capacity_powers_of_two():
+def test_bucket_capacity_quarter_octave():
     cfg = PipelineConfig(pad_to_multiple=512)
     assert _bucket_capacity(1000, cfg) == 1024
-    assert _bucket_capacity(1025, cfg) == 2048
+    assert _bucket_capacity(1025, cfg) == 1536  # 1.5 × 2^10
     assert _bucket_capacity(100, cfg) == 512
+    cfg2 = PipelineConfig(pad_to_multiple=1024)
+    # just past a power of two: ≤ 25% padding, not 2×
+    b = _bucket_capacity(1_082_304, cfg2)
+    assert b == 1_310_720 and b % 1024 == 0
+    for n in (1, 777, 4097, 300_000, 2**21):
+        b = _bucket_capacity(n, cfg2)
+        assert b >= n and b % cfg2.pad_to_multiple == 0
+        assert b <= max(1.26 * n, cfg2.pad_to_multiple)
 
 
 def test_segment_files(scan_dir, tmp_path):
