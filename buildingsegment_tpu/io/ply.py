@@ -405,9 +405,6 @@ def write_ply(
     if (
         not ascii
         and position_names == ("x", "y", "z")
-        and cloud.reflectances is None
-        and cloud.frame_idx is None
-        and cloud.laser_angles is None
         and not os.environ.get("BST_NO_NATIVE")
     ):
         try:

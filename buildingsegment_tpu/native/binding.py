@@ -67,12 +67,17 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
     ]
     lib.bst_ply_read.restype = ctypes.c_int
     lib.bst_ply_write.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64,
         ctypes.c_double,
         ctypes.c_double,
@@ -102,25 +107,29 @@ def read_ply_native(path: str, position_scale: float = 1.0):
     n = count.value
     has_colors = bool(flags.value & 1)
     has_refl = bool(flags.value & 2)
-    if flags.value & (4 | 8):
-        # frameindex/laserangle present: this fast path does not extract
-        # them — defer to the numpy parser so the attributes survive to
-        # the output PLY (the reference container carries both,
-        # tmc3/PCCPointSet.h:604-613)
-        return None
+    has_frame = bool(flags.value & 4)
+    has_laser = bool(flags.value & 8)
     pos = np.zeros((max(n, 1), 3), np.int32)
     col = np.zeros((max(n, 1), 3), np.uint16) if has_colors else None
     refl = np.zeros((max(n, 1),), np.uint16) if has_refl else None
+    fi = np.zeros((max(n, 1),), np.uint8) if has_frame else None
+    la = np.zeros((max(n, 1),), np.int32) if has_laser else None
+
+    def _ptr(arr, ctype):
+        return (
+            arr.ctypes.data_as(ctypes.POINTER(ctype))
+            if arr is not None
+            else None
+        )
+
     rc = lib.bst_ply_read(
         path.encode(),
         position_scale,
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        col.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
-        if col is not None
-        else None,
-        refl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
-        if refl is not None
-        else None,
+        _ptr(col, ctypes.c_uint16),
+        _ptr(refl, ctypes.c_uint16),
+        _ptr(fi, ctypes.c_uint8),
+        _ptr(la, ctypes.c_int32),
     )
     if rc != 0:
         return None
@@ -130,6 +139,8 @@ def read_ply_native(path: str, position_scale: float = 1.0):
         positions=pos[:n],
         colors=col[:n] if col is not None else None,
         reflectances=refl[:n] if refl is not None else None,
+        frame_idx=fi[:n] if fi is not None else None,
+        laser_angles=la[:n] if la is not None else None,
     )
 
 
@@ -149,12 +160,36 @@ def write_ply_native(
         if cloud.colors is not None
         else None
     )
+    refl = (
+        np.ascontiguousarray(cloud.reflectances, np.uint16)
+        if cloud.reflectances is not None
+        else None
+    )
+    fi = (
+        np.ascontiguousarray(cloud.frame_idx, np.uint8)
+        if cloud.frame_idx is not None
+        else None
+    )
+    la = (
+        np.ascontiguousarray(cloud.laser_angles, np.int32)
+        if cloud.laser_angles is not None
+        else None
+    )
+
+    def _ptr(arr, ctype):
+        return (
+            arr.ctypes.data_as(ctypes.POINTER(ctype))
+            if arr is not None
+            else None
+        )
+
     rc = lib.bst_ply_write(
         path.encode(),
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        col.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
-        if col is not None
-        else None,
+        _ptr(col, ctypes.c_uint16),
+        _ptr(refl, ctypes.c_uint16),
+        _ptr(fi, ctypes.c_uint8),
+        _ptr(la, ctypes.c_int32),
         pos.shape[0],
         position_scale,
         float(position_offset[0]),

@@ -22,6 +22,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cmath>
 #include <string>
 #include <vector>
 
@@ -104,13 +105,12 @@ PropKind classify(const char* name, int size, char code) {
     if (!std::strcmp(name, "green")) return PROP_GREEN;
     if (!std::strcmp(name, "blue")) return PROP_BLUE;
   }
-  if (size <= 2) {
+  if (size <= 2 && code != 'f') {
     if (!std::strcmp(name, "reflectance") || !std::strcmp(name, "refc"))
       return PROP_REFLECTANCE;
     if (!std::strcmp(name, "frameindex")) return PROP_FRAMEINDEX;
   }
-  // any type: the fast path only needs to *detect* it so the binding
-  // can defer to the attribute-preserving numpy parser
+  // any scalar type (numpy parser: np.round(...).astype(int32))
   if (!std::strcmp(name, "laserangle")) return PROP_LASERANGLE;
   return PROP_OTHER;
 }
@@ -214,9 +214,9 @@ extern "C" {
 
 // Inspect the file: returns 0 on success and fills counts/flags.
 // flags bit0: has_colors, bit1: has_reflectance, bit2: has_frameindex,
-// bit3: has_laserangle.  Bits 2/3 mark attributes this fast path does
-// not extract — the Python binding falls back to the numpy parser so
-// they are never silently dropped.
+// bit3: has_laserangle.  All four attribute sets are extracted by
+// bst_ply_read (matching the numpy parser's dtype semantics), so
+// attribute-rich scans stay on the native fast path.
 int bst_ply_info(const char* path, int64_t* count, int32_t* flags) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
@@ -240,10 +240,14 @@ int bst_ply_info(const char* path, int64_t* count, int32_t* flags) {
 }
 
 // Read positions (quantized int32, trunc-toward-zero of value*scale) and
-// optional colors (uint16 in internal g,b,r order).  Buffers must hold
-// `count` rows (from bst_ply_info).  color_out may be null.
+// optional attributes: colors (uint16, internal g,b,r order),
+// reflectance (uint16), frameindex (uint8, modulo cast — matching the
+// numpy parser's astype(uint8)) and laserangle (int32, rounded —
+// matching np.round().astype(int32)).  Buffers must hold `count` rows
+// (from bst_ply_info); any out pointer may be null.
 int bst_ply_read(const char* path, double scale, int32_t* pos_out,
-                 uint16_t* color_out, uint16_t* refl_out) {
+                 uint16_t* color_out, uint16_t* refl_out,
+                 uint8_t* fi_out, int32_t* la_out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   Header h = parse_header(f);
@@ -295,6 +299,12 @@ int bst_ply_read(const char* path, double scale, int32_t* pos_out,
           case PROP_REFLECTANCE:
             if (refl_out) refl_out[i] = (uint16_t)v;
             break;
+          case PROP_FRAMEINDEX:
+            if (fi_out) fi_out[i] = (uint8_t)(int64_t)v;
+            break;
+          case PROP_LASERANGLE:
+            if (la_out) la_out[i] = (int32_t)std::nearbyint(v);
+            break;
           default: break;
         }
       }
@@ -343,6 +353,12 @@ int bst_ply_read(const char* path, double scale, int32_t* pos_out,
         case PROP_REFLECTANCE:
           if (refl_out) refl_out[i] = (uint16_t)v;
           break;
+        case PROP_FRAMEINDEX:
+          if (fi_out) fi_out[i] = (uint8_t)(int64_t)v;
+          break;
+        case PROP_LASERANGLE:
+          if (la_out) la_out[i] = (int32_t)std::nearbyint(v);
+          break;
         default: break;
       }
     }
@@ -354,10 +370,16 @@ int bst_ply_read(const char* path, double scale, int32_t* pos_out,
 // (header: float64 x/y/z, uchar green/blue/red, element face 0 —
 // tmc3/ply.cpp:103-139; body: double[3] + uint8[3] per point,
 // tmc3/ply.cpp:164-182).  positions are int32, written as
-// pos*scale+offset in float64.
+// pos*scale+offset in float64.  Optional attribute columns follow the
+// numpy writer byte-for-byte: refc uint16; frameindex declared uint8
+// in the header but a uint16 body word (the reference's own
+// header/body mismatch, tmc3/ply.cpp:134-136 vs :178-181); laserangle
+// int32 (container-preserving extension — the reference's writer
+// drops it).
 int bst_ply_write(const char* path, const int32_t* pos,
-                  const uint16_t* colors, int64_t n, double scale,
-                  double off_x, double off_y, double off_z) {
+                  const uint16_t* colors, const uint16_t* refl,
+                  const uint8_t* fi, const int32_t* la, int64_t n,
+                  double scale, double off_x, double off_y, double off_z) {
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
   std::fprintf(f, "ply\nformat binary_little_endian 1.0\n");
@@ -367,11 +389,15 @@ int bst_ply_write(const char* path, const int32_t* pos,
   if (colors)
     std::fprintf(
         f, "property uchar green\nproperty uchar blue\nproperty uchar red\n");
+  if (refl) std::fprintf(f, "property uint16 refc\n");
+  if (fi) std::fprintf(f, "property uint8 frameindex\n");
+  if (la) std::fprintf(f, "property int32 laserangle\n");
   std::fprintf(f, "element face 0\n");
   std::fprintf(f, "property list uint8 int32 vertex_index\n");
   std::fprintf(f, "end_header\n");
 
-  const int rec = 24 + (colors ? 3 : 0);
+  const int rec = 24 + (colors ? 3 : 0) + (refl ? 2 : 0) + (fi ? 2 : 0) +
+                  (la ? 4 : 0);
   std::vector<uint8_t> buf((size_t)n * rec);
   const double off[3] = {off_x, off_y, off_z};
   for (int64_t i = 0; i < n; ++i) {
@@ -380,10 +406,25 @@ int bst_ply_write(const char* path, const int32_t* pos,
       double v = pos[i * 3 + k] * scale + off[k];
       std::memcpy(p + k * 8, &v, 8);
     }
+    p += 24;
     if (colors) {
-      p[24] = (uint8_t)colors[i * 3 + 0];
-      p[25] = (uint8_t)colors[i * 3 + 1];
-      p[26] = (uint8_t)colors[i * 3 + 2];
+      p[0] = (uint8_t)colors[i * 3 + 0];
+      p[1] = (uint8_t)colors[i * 3 + 1];
+      p[2] = (uint8_t)colors[i * 3 + 2];
+      p += 3;
+    }
+    if (refl) {
+      std::memcpy(p, &refl[i], 2);
+      p += 2;
+    }
+    if (fi) {
+      const uint16_t w = fi[i];  // uint16 on the wire (see above)
+      std::memcpy(p, &w, 2);
+      p += 2;
+    }
+    if (la) {
+      std::memcpy(p, &la[i], 4);
+      p += 4;
     }
   }
   size_t wrote = fwrite(buf.data(), 1, buf.size(), f);

@@ -102,12 +102,10 @@ class TestNativeParity:
         assert pc.colors is None
 
 
-class TestNativeFallbackDiscipline:
-    """The fast path must *defer*, never silently drop or misalign."""
+class TestNativeAttributes:
+    """All five attribute sets stay on the native fast path."""
 
-    def test_frameindex_defers_to_numpy(self, tmp_path):
-        # native codec does not extract frameindex → must return None so
-        # read_ply keeps the attribute via the numpy parser
+    def test_frameindex_extracted_natively(self, tmp_path):
         text = (
             b"ply\nformat ascii 1.0\nelement vertex 2\n"
             b"property float x\nproperty float y\nproperty float z\n"
@@ -116,22 +114,77 @@ class TestNativeFallbackDiscipline:
         )
         p = str(tmp_path / "fi.ply")
         open(p, "wb").write(text)
-        assert read_ply_native(p, 1.0) is None
-        from buildingsegment_tpu.io.ply import read_ply
-
-        pc = read_ply(p, position_scale=1.0)
+        pc = read_ply_native(p, 1.0)
+        assert pc is not None
         np.testing.assert_array_equal(pc.frame_idx, [7, 9])
+        assert pc.frame_idx.dtype == np.uint8
 
-    def test_laserangle_defers_to_numpy(self, tmp_path):
+    def test_laserangle_extracted_natively(self, tmp_path):
+        # float-typed laserangle rounds to int32 like the numpy parser
         text = (
-            b"ply\nformat ascii 1.0\nelement vertex 1\n"
+            b"ply\nformat ascii 1.0\nelement vertex 2\n"
             b"property float x\nproperty float y\nproperty float z\n"
             b"property float laserangle\nend_header\n"
-            b"1 2 3 -4.5\n"
+            b"1 2 3 -4.5\n4 5 6 2.4\n"
         )
         p = str(tmp_path / "la.ply")
         open(p, "wb").write(text)
-        assert read_ply_native(p, 1.0) is None
+        pc = read_ply_native(p, 1.0)
+        assert pc is not None
+        np.testing.assert_array_equal(pc.laser_angles, [-4, 2])
+        assert pc.laser_angles.dtype == np.int32
+
+    def test_five_attr_write_bytes_identical_and_read_matches_numpy(
+        self, tmp_path, rng
+    ):
+        n = 500
+        cloud = HostPointCloud(
+            positions=rng.integers(-50_000, 50_000, (n, 3)).astype(np.int32),
+            colors=rng.integers(0, 256, (n, 3)).astype(np.uint16),
+            reflectances=rng.integers(0, 65_536, n).astype(np.uint16),
+            frame_idx=rng.integers(0, 256, n).astype(np.uint8),
+            laser_angles=rng.integers(-9_000, 9_000, n).astype(np.int32),
+        )
+        p = str(tmp_path / "five.ply")
+        assert write_ply_native(cloud, p)
+        # native writer reproduces the numpy writer byte-for-byte,
+        # including the reference's frameindex header(uint8)/body(uint16)
+        # mismatch (tmc3/ply.cpp:134-136 vs :178-181)
+        assert open(p, "rb").read() == write_ply_bytes(cloud)
+        # reading such a file back follows declared header types (the
+        # reference reader's semantics) — native and numpy parsers must
+        # agree exactly, quirk and all
+        nat = read_ply_native(p, 1.0)
+        ref = read_ply_bytes(open(p, "rb").read())
+        for attr in (
+            "positions", "colors", "reflectances", "frame_idx",
+            "laser_angles",
+        ):
+            a, b = getattr(nat, attr), getattr(ref, attr)
+            np.testing.assert_array_equal(a, b, err_msg=attr)
+            assert a.dtype == b.dtype
+
+    def test_four_attr_binary_roundtrip_exact(self, tmp_path, rng):
+        # without frameindex the wire format is self-consistent: a full
+        # native write→read cycle is lossless for the other four
+        n = 500
+        cloud = HostPointCloud(
+            positions=rng.integers(-50_000, 50_000, (n, 3)).astype(np.int32),
+            colors=rng.integers(0, 256, (n, 3)).astype(np.uint16),
+            reflectances=rng.integers(0, 65_536, n).astype(np.uint16),
+            laser_angles=rng.integers(-9_000, 9_000, n).astype(np.int32),
+        )
+        p = str(tmp_path / "four.ply")
+        assert write_ply_native(cloud, p)
+        rt = read_ply_native(p, 1.0)
+        np.testing.assert_array_equal(rt.positions, cloud.positions)
+        np.testing.assert_array_equal(rt.colors, cloud.colors & 0xFF)
+        np.testing.assert_array_equal(rt.reflectances, cloud.reflectances)
+        np.testing.assert_array_equal(rt.laser_angles, cloud.laser_angles)
+
+
+class TestNativeFallbackDiscipline:
+    """The fast path must *defer*, never silently drop or misalign."""
 
     def test_ascii_short_line_fails_not_misaligns(self, tmp_path):
         # a record with fewer values than declared properties must be a
