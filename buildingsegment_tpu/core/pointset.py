@@ -156,6 +156,35 @@ class PointBatch:
             laser_angles=g(self.laser_angles),
         )
 
+    def dedup_quantized(self, min_geom_node_size_log2: int = 0) -> "PointBatch":
+        """Drop duplicate quantized positions (container-level dedup).
+
+        TPU-native re-expression of the reference's
+        ``removeDuplicatePointInQuantizedPoint`` (tmc3/PCCPointSet.h:
+        457-472): positions are low-bit-masked by
+        ``min_geom_node_size_log2`` (when > 0), duplicates removed, and
+        ``count`` reflects the new size (the reference's return value).
+
+        Two deliberate departures from the C++ quirks, both documented:
+        (a) the reference calls ``std::unique`` WITHOUT sorting, so it
+        only collapses *adjacent* duplicates — here the sort-based
+        global dedup (:func:`core.quantize.dedup_quantized`) removes
+        every duplicate, keeping the first occurrence in index order
+        (what the C++ achieves only on pre-sorted input); (b) the
+        reference erases only the ``positions`` vector, leaving every
+        attribute vector at the old length (an out-of-sync container) —
+        here the whole row is masked out so attributes can never
+        desynchronize.  Static shapes mean rows are masked, not erased.
+        """
+        from buildingsegment_tpu.core.quantize import dedup_quantized
+
+        pos = self.positions
+        if min_geom_node_size_log2 > 0:
+            bitmask = jnp.int32(-1 << min_geom_node_size_log2)
+            pos = jnp.where(self.mask[:, None], pos & bitmask, pos)
+        keep = dedup_quantized(pos, self.mask)
+        return dataclasses.replace(self, positions=pos, mask=keep)
+
     # ------------------------------------------------------------------
     # host export
     # ------------------------------------------------------------------

@@ -18,7 +18,10 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "point_sharding", "replicated", "POINTS_AXIS"]
+__all__ = [
+    "make_mesh", "make_multihost_mesh", "point_sharding", "replicated",
+    "POINTS_AXIS",
+]
 
 POINTS_AXIS = "points"
 
@@ -43,6 +46,37 @@ def make_mesh(
                     "set XLA_FLAGS=--xla_force_host_platform_device_count"
                 )
             devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=(POINTS_AXIS,))
+
+
+def make_multihost_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D ``points`` mesh ordered host-contiguously (multi-host/DCN).
+
+    The sharded pipeline's communication is ring-structured: the only
+    per-sweep exchanges are (a) ±W halo rows between *adjacent* shards
+    (``lax.ppermute`` in dist/halo.py) and (b) O(L)-sized psum/pmin
+    label tables.  Ordering the mesh by ``(process_index, local id)``
+    maps Morton-contiguous shard ranges host-contiguously, so the halo
+    ring crosses DCN only at the H−1 host boundaries — one W-row
+    message per boundary per sweep — and rides ICI everywhere else;
+    the table reductions are small enough to be DCN-tolerant by size.
+    On a single host this is exactly :func:`make_mesh`.
+
+    (The reference has no multi-process story at all — single-thread
+    CPU binary, tmc3/TMC3.cpp:202-229; SURVEY.md §2.5 names this layout
+    as the rebuild's DCN design.)
+    """
+    devices = sorted(
+        jax.devices(),
+        key=lambda d: (d.process_index, getattr(d, "local_hardware_id", 0), d.id),
+    )
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are visible"
+            )
+        devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=(POINTS_AXIS,))
 
 

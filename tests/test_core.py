@@ -151,6 +151,38 @@ class TestDedup:
         assert not keep[4:].any()
 
 
+class TestPointBatchDedup:
+    def test_container_dedup_syncs_attributes(self, rng):
+        import jax.numpy as jnp
+
+        pos = np.array(
+            [[4, 4, 4], [1, 2, 3], [5, 6, 7], [4, 4, 4]], np.int32
+        )
+        col = np.arange(12, dtype=np.uint16).reshape(4, 3)
+        b = PointBatch.from_numpy(pos, colors=col, capacity=8)
+        d = b.dedup_quantized()
+        keep = np.asarray(d.mask)
+        # global dedup: the later [4,4,4] goes, first kept (the C++
+        # std::unique quirk only collapses adjacent rows; see docstring)
+        np.testing.assert_array_equal(
+            keep[:4], [True, True, True, False]
+        )
+        assert not keep[4:].any()
+        out = d.to_numpy()
+        np.testing.assert_array_equal(out["colors"], col[:3])
+        assert int(d.count) == 3
+
+    def test_low_bit_mask_applied_to_positions(self):
+        pos = np.array([[4, 4, 5], [6, 7, 6]], np.int32)
+        b = PointBatch.from_numpy(pos, capacity=4)
+        d = b.dedup_quantized(min_geom_node_size_log2=2)
+        # both quantize to [4,4,4] -> one survives, positions masked
+        np.testing.assert_array_equal(
+            np.asarray(d.positions)[:2], [[4, 4, 4], [4, 4, 4]]
+        )
+        np.testing.assert_array_equal(np.asarray(d.mask)[:2], [True, False])
+
+
 class TestMorton:
     def test_known_codes(self):
         pos = jnp.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]], jnp.int32)

@@ -16,7 +16,9 @@ import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from buildingsegment_tpu.config import PipelineConfig
-from buildingsegment_tpu.dist.mesh import POINTS_AXIS, make_mesh, point_sharding
+from buildingsegment_tpu.dist.mesh import (
+    POINTS_AXIS, make_mesh, make_multihost_mesh, point_sharding,
+)
 from buildingsegment_tpu.dist.sharded import sharded_pipeline, sharded_seg_body
 from buildingsegment_tpu.utils.synthetic import make_building_cloud
 
@@ -48,6 +50,16 @@ def cloud():
 
 def test_eight_fake_devices_available():
     assert len(jax.devices()) == 8
+
+
+def test_multihost_mesh_single_host_equals_make_mesh():
+    # host-contiguous ordering reduces to the plain mesh on one host
+    m1 = make_mesh(8)
+    m2 = make_multihost_mesh(8)
+    assert m2.size == 8 and m2.axis_names == (POINTS_AXIS,)
+    assert [d.id for d in m2.devices.ravel()] == [
+        d.id for d in m1.devices.ravel()
+    ]
 
 
 def test_make_mesh_refuses_truncation():
