@@ -202,6 +202,7 @@ def main(argv=None) -> int:
                         "points": total_pts,
                         "planes": [r.num_planes for r in results],
                         "mpoints_per_sec": total_pts / max(total_time, 1e-9) / 1e6,
+                        "diagnostics": [r.diagnostics for r in results],
                     }
                 )
             )
@@ -267,6 +268,7 @@ def main(argv=None) -> int:
                     "planes": out.num_planes,
                     "plane_counts": out.plane_counts.tolist(),
                     "timings": out.timings,
+                    "diagnostics": out.diagnostics,
                 }
             )
         )

@@ -167,6 +167,9 @@ def sharded_grow_body(mesh: Mesh, config: PipelineConfig, *,
         plane_center=P(),
         plane_count=P(),
         num_sweeps=P(),
+        # counters derive from psum'd tables / psum'd change counts —
+        # replicated by construction
+        diagnostics=P(),
     )
 
     # check_vma=False: the varying-manual-axes checker rejects loop

@@ -81,6 +81,10 @@ class PipelineOutput:
     plane_counts: np.ndarray       # int32[P]
     bbox_min: np.ndarray           # int32[3] original-cloud bbox min
     timings: dict                  # stage → seconds
+    diagnostics: dict = dataclasses.field(default_factory=dict)
+    # capacity/convergence sanitizer counters (SegmentationResult
+    # .diagnostics surfaced by name): peak_live_labels,
+    # labels_over_merge_cap, planes_over_capacity, hit_max_sweeps
 
 
 @functools.partial(
@@ -370,6 +374,7 @@ def segment_cloud(
     timings["total"] = t3 - t0
     timings["mpoints_per_sec"] = n / max(timings["total"], 1e-9) / 1e6
 
+    diag = np.asarray(seg.diagnostics)
     return PipelineOutput(
         cloud=out_cloud,
         plane_idx=plane_idx,
@@ -379,6 +384,12 @@ def segment_cloud(
         plane_counts=np.asarray(seg.plane_count)[:num_planes],
         bbox_min=np.asarray(lo),
         timings=timings,
+        diagnostics={
+            "peak_live_labels": int(diag[0]),
+            "labels_over_merge_cap": int(diag[1]),
+            "planes_over_capacity": int(diag[2]),
+            "hit_max_sweeps": int(diag[3]),
+        },
     )
 
 

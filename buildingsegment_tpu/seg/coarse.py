@@ -439,4 +439,8 @@ def segment_planes_multigrid(
         plane_center=plane_center,
         plane_count=cnt2,
         num_sweeps=coarse.num_sweeps,
+        # capacity/convergence sanitizers propagate from the coarse
+        # solve (the refine/finalize stages cannot create new labels,
+        # so the coarse counters bound the whole hierarchy)
+        diagnostics=coarse.diagnostics,
     )

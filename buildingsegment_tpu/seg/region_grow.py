@@ -179,6 +179,17 @@ class SegmentationResult:
             plane (row p−1 for plane id p); zero rows beyond P.
         plane_center: float32[max_planes, 3] — mean position per plane.
         plane_count: int32[max_planes] — member count per plane.
+        diagnostics: int32[4] capacity/convergence sanitizer counters
+            (SURVEY §5 / §7 hard part 3 — silently-deferred work must
+            be visible):
+              [0] peak live labels in any sweep;
+              [1] peak live labels beyond the per-sweep merge-table
+                  cap L (those labels' GLOBAL coplanar merges deferred
+                  to later sweeps — window merges still apply);
+              [2] surviving planes beyond ``max_planes`` (dropped from
+                  the plane table and the output renumbering);
+              [3] 1 if the solve stopped at ``max_sweeps`` with the
+                  change count still above the convergence tolerance.
     """
 
     plane_idx: jax.Array
@@ -187,6 +198,7 @@ class SegmentationResult:
     plane_center: jax.Array
     plane_count: jax.Array
     num_sweeps: jax.Array
+    diagnostics: jax.Array
 
 
 @functools.partial(
@@ -196,6 +208,7 @@ class SegmentationResult:
         "propagation", "window", "convergence_tol", "axis_name",
         # static so the TPU Pallas branch can bake them into the kernel
         "th_thickness", "th_normal_cos", "max_edge_dist",
+        "th_anchor_cos",
     ),
 )
 def segment_planes(
@@ -218,9 +231,23 @@ def segment_planes(
     signed_normals: bool = False,
     propagation: str = "graph",
     window: int = 16,
+    th_anchor_cos: float = 0.95,
     axis_name: str = None,
 ) -> SegmentationResult:
     """Segment a point cloud into planar regions.
+
+    ``th_anchor_cos`` — anchor-pure model estimation: a member
+    contributes to its region's mean normal/center only when its normal
+    agrees with the region *seed*'s normal (the anchor) by at least
+    this cosine.  Without it, the running mean drifts through smooth
+    normal-blend strips (e.g. the ~2×r_normal-wide band along a roof
+    ridge, where PCA neighborhoods mix both pitches) until the model
+    accepts BOTH sides of a dihedral that the pairwise cos test would
+    reject — the reference's running-mean model
+    (tmc3/my_function.cpp:241-250) has exactly this failure mode.
+    Membership/acceptance tests are unchanged; only the estimator is
+    robustified.  Set ≤ th_normal_cos to disable (every member then
+    passes the gate).
 
     Args:
         positions: int32[N, 3] bbox-shifted quantized coords.
@@ -316,13 +343,40 @@ def segment_planes(
     if curvature is not None and th_seed_curvature is not None:
         seed = seed & (curvature <= jnp.float32(th_seed_curvature))
 
-    # 2. seed-anchored label propagation to a fixed point.
-    # label[i] ∈ {seed indices} ∪ {inf}; acceptance of point t into
-    # region L tests t against the seed plane (pos[L], nrm[L]).
     # Labels live in the GLOBAL index space [0, ng); idx_arange spans it
     # (replicated when sharded), gid are the local rows' global ids.
     idx_arange = jnp.arange(ng, dtype=jnp.int32)
     gid = base + jnp.arange(n, dtype=jnp.int32)
+
+    # Anchor table: row r of the (global) label space holds the seed
+    # normal of label r — fixed for the whole solve, defined even after
+    # row r itself adopts a smaller label.  Purity gate for model sums:
+    # a member contributes to its label's model only when its normal
+    # agrees with the anchor by ≥ th_anchor_cos (see docstring).
+    anchor_gate = th_anchor_cos > th_normal_cos
+    if axis_name is None:
+        anchor_tab = jnp.where(seed[:, None], sum_nrm_src, 0.0)  # [ng, 3]
+    else:
+        # sharded: one-time global scatter + psum (each gid row is
+        # written by exactly one shard; others contribute zeros)
+        anchor_tab = _allreduce(
+            jnp.zeros((ng + 1, 3), jnp.float32)
+            .at[jnp.where(seed, gid, ng)]
+            .add(jnp.where(seed[:, None], sum_nrm_src, 0.0))[:ng],
+            "sum",
+        )
+
+    def purity(label):
+        """bool[n]: member's normal agrees with its label's anchor."""
+        if not anchor_gate:
+            return label < inf_label
+        anc = anchor_tab[jnp.clip(label, 0, ng - 1)]
+        agree = cmag(jnp.sum(sum_nrm_src * anc, axis=-1))
+        return (label < inf_label) & (agree >= jnp.float32(th_anchor_cos))
+
+    # 2. seed-anchored label propagation to a fixed point.
+    # label[i] ∈ {seed indices} ∪ {inf}; acceptance of point t into
+    # region L tests t against the seed plane (pos[L], nrm[L]).
     label0 = jnp.where(seed, gid, inf_label)
 
     def label_models(label):
@@ -330,21 +384,27 @@ def segment_planes(
 
         Returns (model_normal f32[n,3] unit, model_center f32[n,3]),
         indexed by label value (= seed index); rows of unused labels
-        are never gathered.
+        are never gathered.  Anchor-pure sums with all-member fallback
+        (see ``th_anchor_cos`` / ``acc_models``).
         """
         valid = label < inf_label
         tgt = jnp.where(valid, label, n)
-        cnt = jnp.zeros((n + 1,), jnp.float32).at[tgt].add(1.0)[:n]
-        sum_n = jnp.zeros((n + 1, 3), jnp.float32).at[tgt].add(
-            jnp.where(valid[:, None], sum_nrm_src, 0.0)
+        wp = purity(label).astype(jnp.float32)[:, None]
+        z1 = jnp.zeros((n, 1), jnp.float32)
+        payload = jnp.concatenate(
+            [
+                jnp.ones((n, 1), jnp.float32), sum_nrm_src, pos, z1,
+                wp, sum_nrm_src * wp, pos * wp, z1,
+            ],
+            axis=1,
+        )
+        acc = (
+            jnp.zeros((n + 1, 16), jnp.float32)
+            .at[tgt]
+            .add(jnp.where(valid[:, None], payload, 0.0))
         )[:n]
-        sum_p = jnp.zeros((n + 1, 3), jnp.float32).at[tgt].add(
-            jnp.where(valid[:, None], pos, 0.0)
-        )[:n]
-        safe_cnt = jnp.maximum(cnt, 1.0)[:, None]
-        mn = sum_n / safe_cnt
-        ln = jnp.sqrt(jnp.maximum(jnp.sum(mn * mn, axis=-1, keepdims=True), 1e-20))
-        return mn / ln, sum_p / safe_cnt
+        model_n, model_c, _r, _cnt = acc_models(acc)
+        return model_n, model_c
 
     def make_accepts(model_n, model_c):
         def accepts(target_pos, target_nrm, lbl):
@@ -398,16 +458,21 @@ def segment_planes(
         L = min(max_planes, n)
         valid = label < inf_label
         tgt = jnp.where(valid, label, n)
-        cnt = jnp.zeros((n + 1,), jnp.float32).at[tgt].add(1.0)[:n]
-        sum_n = jnp.zeros((n + 1, 3), jnp.float32).at[tgt].add(
-            jnp.where(valid[:, None], sum_nrm_src, 0.0)
+        wp = purity(label).astype(jnp.float32)[:, None]
+        sq1 = jnp.sum(pos * pos, -1, keepdims=True)
+        payload = jnp.concatenate(
+            [
+                jnp.ones((n, 1), jnp.float32), sum_nrm_src, pos, sq1,
+                wp, sum_nrm_src * wp, pos * wp, sq1 * wp,
+            ],
+            axis=1,
+        )
+        acc16 = (
+            jnp.zeros((n + 1, 16), jnp.float32)
+            .at[tgt]
+            .add(jnp.where(valid[:, None], payload, 0.0))
         )[:n]
-        sum_p = jnp.zeros((n + 1, 3), jnp.float32).at[tgt].add(
-            jnp.where(valid[:, None], pos, 0.0)
-        )[:n]
-        sum_sq = jnp.zeros((n + 1,), jnp.float32).at[tgt].add(
-            jnp.where(valid, jnp.sum(pos * pos, axis=-1), 0.0)
-        )[:n]
+        cnt = acc16[:, 0]
 
         # Compact live labels into [L] slots by cumsum rank — TPU top_k
         # with large k lowers to a pathological full sort (~100 s at
@@ -423,16 +488,8 @@ def segment_planes(
         )[:L]
         live = top_lab >= 0
         top_lab = jnp.maximum(top_lab, 0)
-        top_cnt = jnp.where(live, cnt[top_lab], 0.0)
-        safe_cnt = jnp.maximum(top_cnt, 1.0)
-        c = sum_p[top_lab] / safe_cnt[:, None]
-        mn = sum_n[top_lab] / safe_cnt[:, None]
-        ln = jnp.sqrt(jnp.maximum(jnp.sum(mn * mn, -1, keepdims=True), 1e-20))
-        mn = mn / ln
-        # RMS radius about the centroid
-        r = jnp.sqrt(
-            jnp.maximum(sum_sq[top_lab] / safe_cnt - jnp.sum(c * c, -1), 0.0)
-        )
+        # anchor-pure models (all-member fallback), RMS radius included
+        mn, c, r, _cnt_a = acc_models(acc16[top_lab])
 
         # pair tests as [L,3]×[3,L] matmuls — never materialize [L,L,3]
         nc = jnp.sum(mn * c, -1)  # n_a · c_a
@@ -485,8 +542,13 @@ def segment_planes(
         # separate latency-bound gather kernel; unrolling halves it)
         for _ in range(12):
             parent = jnp.minimum(parent, parent[jnp.clip(parent, 0, n - 1)])
-        return jnp.where(
-            label < inf_label, parent[jnp.clip(label, 0, n - 1)], label
+        live_cnt = rank[n - 1]
+        return (
+            jnp.where(
+                label < inf_label, parent[jnp.clip(label, 0, n - 1)], label
+            ),
+            live_cnt,
+            jnp.maximum(live_cnt - L, 0),
         )
 
     def merge_labels(label, accepts, model_n, model_c):
@@ -589,14 +651,35 @@ def segment_planes(
     # lowest labels, which win merges anyway).
     L = min(max_planes, ng, 1024)
 
+    def acc_models(rows):
+        """(unit normal, center, rms radius, cnt_all) from 16-col stats.
+
+        Columns 0-7 are all-member sums [cnt, Σn̂, Σp, Σ|p|²]; columns
+        8-15 the anchor-pure sums in the same layout.  Models come from
+        the pure sums (see ``th_anchor_cos``), falling back to the
+        all-member sums for labels whose pure count is zero (possible
+        once a seed row has itself adopted a smaller label).
+        """
+        cnt_a = rows[..., 0]
+        cnt_p = rows[..., 8]
+        usep = cnt_p > 0
+        sc = jnp.where(usep, cnt_p, jnp.maximum(cnt_a, 1.0))[..., None]
+        sn = jnp.where(usep[..., None], rows[..., 9:12], rows[..., 1:4]) / sc
+        c = jnp.where(usep[..., None], rows[..., 12:15], rows[..., 4:7]) / sc
+        sq = jnp.where(usep, rows[..., 15], rows[..., 7]) / sc[..., 0]
+        ln = jnp.sqrt(jnp.maximum(jnp.sum(sn * sn, -1, keepdims=True), 1e-20))
+        r = jnp.sqrt(jnp.maximum(sq - jnp.sum(c * c, -1), 0.0))
+        return sn / ln, c, r, cnt_a
+
     def window_body(label):
         """One fused iteration of windowized region growing.
 
         Engineering shape (every TPU cost center gets exactly one
         instance per iteration):
-          1. per-label stats via ONE combined [N,8] scatter-add — XLA
-             lowers each scatter-add to a hidden sort, so cnt/Σn/Σp/Σ|p|²
-             must share a single scatter;
+          1. per-label stats via ONE combined [N,16] scatter-add — XLA
+             lowers each scatter-add to a hidden sort, so the all-member
+             and anchor-pure [cnt, Σn̂, Σp, Σ|p|²] sums share a single
+             scatter;
           2. live labels compacted to [L] slots by cumsum rank (the
              scatter-free replacement for top_k);
           3. one slice sweep over ±window offsets computing BOTH the
@@ -610,31 +693,30 @@ def segment_planes(
         valid = label < inf_label
         tgt = jnp.where(valid, label, ng)
 
-        # 1. combined segment stats: [cnt, Σn(3), Σp(3), Σ|p|²] over the
-        # global label space — per-shard partial scatters, one psum
+        # 1. combined segment stats over the global label space —
+        # per-shard partial scatters, one psum
+        sq1 = jnp.sum(pos * pos, -1, keepdims=True)
+        wp = purity(label).astype(jnp.float32)[:, None]
         payload = jnp.concatenate(
             [
                 jnp.ones((n, 1), jnp.float32),
                 sum_nrm_src,
                 pos,
-                jnp.sum(pos * pos, -1, keepdims=True),
+                sq1,
+                wp,
+                sum_nrm_src * wp,
+                pos * wp,
+                sq1 * wp,
             ],
             axis=1,
         )
         acc = (
-            jnp.zeros((ng + 1, 8), jnp.float32)
+            jnp.zeros((ng + 1, 16), jnp.float32)
             .at[tgt]
             .add(jnp.where(valid[:, None], payload, 0.0))
         )[:ng]
         acc = _allreduce(acc, "sum")
-        cnt = acc[:, 0]
-        safe_cnt = jnp.maximum(cnt, 1.0)[:, None]
-        model_n = acc[:, 1:4] / safe_cnt
-        ln = jnp.sqrt(
-            jnp.maximum(jnp.sum(model_n * model_n, -1, keepdims=True), 1e-20)
-        )
-        model_n = model_n / ln
-        model_c = acc[:, 4:7] / safe_cnt
+        model_n, model_c, _model_r, cnt = acc_models(acc)
 
         # 2. compact live labels → [L] slots (cumsum rank, no sort) —
         # replicated compute over the (replicated) stats table.  ONE
@@ -732,21 +814,8 @@ def segment_planes(
         parent = _allreduce(parent, "min")
 
         # 4b. global coplanar-overlap pairs on the compact table
-        tl_cnt = jnp.where(live, cnt[top_lab], 0.0)
-        sc = jnp.maximum(tl_cnt, 1.0)[:, None]
-        c_tab = acc[:, 4:7][top_lab] / sc
-        n_tab = acc[:, 1:4][top_lab] / sc
-        nl = jnp.sqrt(
-            jnp.maximum(jnp.sum(n_tab * n_tab, -1, keepdims=True), 1e-20)
-        )
-        n_tab = n_tab / nl
-        r_tab = jnp.sqrt(
-            jnp.maximum(
-                acc[:, 7][top_lab] / sc[:, 0]
-                - jnp.sum(c_tab * c_tab, -1),
-                0.0,
-            )
-        )
+        # (anchor-pure models via the shared 16-col derivation)
+        n_tab, c_tab, r_tab, _cnt_tab = acc_models(acc[top_lab])
         nc = jnp.sum(n_tab * c_tab, -1)
         ncT = jnp.dot(n_tab, c_tab.T, preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST)
@@ -802,16 +871,21 @@ def segment_planes(
             )
 
         # 5. apply: one [N] gather
-        return jnp.where(
-            new < inf_label,
-            parent_final[jnp.clip(new, 0, ng - 1)],
-            new,
+        live_cnt = rank[ng - 1]
+        return (
+            jnp.where(
+                new < inf_label,
+                parent_final[jnp.clip(new, 0, ng - 1)],
+                new,
+            ),
+            live_cnt,
+            jnp.maximum(live_cnt - L, 0),
         )
 
     def body(state):
-        label, _, it = state
+        label, _, it, peak_live, peak_over = state
         if propagation == "window":
-            new = window_body(label)
+            new, live, over = window_body(label)
         else:
             model_n, model_c = label_models(label)
             accepts = make_accepts(model_n, model_c)
@@ -819,7 +893,7 @@ def segment_planes(
             for _ in range(4):
                 new = one_hop(new, accepts)
             new = merge_labels(new, accepts, model_n, model_c)
-            new = global_merge(new)
+            new, live, over = global_merge(new)
         # convergence by change-count tolerance: the final sweeps of an
         # exact fixed point only relabel a handful of stragglers (which
         # end up culled or absorbed either way) at full per-sweep cost.
@@ -829,14 +903,18 @@ def segment_planes(
         n_changed = _allreduce(
             jnp.sum((new != label).astype(jnp.int32)), "sum"
         )
-        return new, n_changed >= tol_count, it + 1
+        return (
+            new, n_changed >= tol_count, it + 1,
+            jnp.maximum(peak_live, live), jnp.maximum(peak_over, over),
+        )
 
     def cond(state):
-        _, changed, it = state
+        _, changed, it, _, _ = state
         return changed & (it < max_sweeps)
 
-    label, _, sweeps_used = lax.while_loop(
-        cond, body, (label0, jnp.bool_(True), jnp.int32(0))
+    label, unconverged, sweeps_used, peak_live, peak_over = lax.while_loop(
+        cond, body,
+        (label0, jnp.bool_(True), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
     )
     label = jnp.where(mask, label, inf_label)
 
@@ -861,22 +939,41 @@ def segment_planes(
     num_planes = jnp.sum(is_plane_seed.astype(jnp.int32))
 
     # plane table (segment means) — fixed capacity max_planes,
-    # psum-combined across shards when sharded
+    # psum-combined across shards when sharded.  Anchor-pure means with
+    # all-member fallback, same as the sweep models: the table feeds
+    # the multigrid refinement's band tests, so a drift-contaminated
+    # mean here would re-introduce the very bias the sweeps avoided.
     seg = jnp.where(plane_id > 0, plane_id - 1, max_planes)  # [N]
-    def seg_sum(values):
-        z = jnp.zeros((max_planes + 1,) + values.shape[1:], values.dtype)
-        return _allreduce(z.at[seg].add(values)[:max_planes], "sum")
-
-    cnt = seg_sum((plane_id > 0).astype(jnp.int32))
-    sum_n = seg_sum(jnp.where((plane_id > 0)[:, None], sum_nrm_src, 0.0))
-    sum_p = seg_sum(jnp.where((plane_id > 0)[:, None], pos, 0.0))
-    safe_cnt = jnp.maximum(cnt, 1).astype(jnp.float32)
-    mean_n = sum_n / safe_cnt[:, None]
-    nlen = jnp.sqrt(jnp.maximum(jnp.sum(mean_n * mean_n, axis=-1), 1e-20))
-    plane_normal = mean_n / nlen[:, None]
+    member = (plane_id > 0).astype(jnp.float32)[:, None]
+    wp_f = (
+        purity(label).astype(jnp.float32)[:, None] * member
+    )
+    z1 = jnp.zeros((n, 1), jnp.float32)
+    fin_payload = jnp.concatenate(
+        [
+            member, sum_nrm_src * member, pos * member, z1,
+            wp_f, sum_nrm_src * wp_f, pos * wp_f, z1,
+        ],
+        axis=1,
+    )
+    acc_fin = _allreduce(
+        jnp.zeros((max_planes + 1, 16), jnp.float32)
+        .at[seg]
+        .add(fin_payload)[:max_planes],
+        "sum",
+    )
+    plane_normal, plane_center, _r_fin, cnt_f = acc_models(acc_fin)
+    cnt = cnt_f.astype(jnp.int32)
     plane_normal = jnp.where((cnt > 0)[:, None], plane_normal, 0.0)
-    plane_center = jnp.where(
-        (cnt > 0)[:, None], sum_p / safe_cnt[:, None], 0.0
+    plane_center = jnp.where((cnt > 0)[:, None], plane_center, 0.0)
+
+    diagnostics = jnp.stack(
+        [
+            peak_live,
+            peak_over,
+            jnp.maximum(num_planes - max_planes, 0),
+            unconverged.astype(jnp.int32),
+        ]
     )
 
     return SegmentationResult(
@@ -886,4 +983,5 @@ def segment_planes(
         plane_center=plane_center,
         plane_count=cnt,
         num_sweeps=sweeps_used,
+        diagnostics=diagnostics,
     )

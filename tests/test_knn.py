@@ -105,7 +105,10 @@ class TestKnnWindow:
         )
         total = 15 * len(range(0, n, 19))
         recall = hits / total
-        assert recall > 0.75, f"window recall {recall}"
+        # measured 0.844 on this scene (w=64, k=16); pinned at
+        # measured-minus-margin so a sort or window-search regression
+        # (e.g. to the 0.76 class) fails loudly instead of passing
+        assert recall > 0.82, f"window recall {recall}"
 
     def test_self_slot_and_masking(self, rng):
         pts = rng.integers(0, 3000, size=(300, 3)).astype(np.int32)

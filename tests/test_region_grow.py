@@ -63,7 +63,9 @@ class TestSegmentPlanes:
         # the house has 7 planes (4 walls, 2 roof pitches, ground)
         assert 5 <= num <= 9
         agree = _agreement(truth, plane_idx)
-        assert agree > 0.9, f"truth agreement {agree}"
+        # measured 0.983 with anchor-pure models (th_anchor_cos=0.95);
+        # pinned at measured-minus-margin so estimator regressions show
+        assert agree > 0.95, f"truth agreement {agree}"
 
     def test_invariants(self, building):
         pts, truth, cap = building
@@ -131,8 +133,21 @@ class TestSegmentPlanes:
         assert (d_idx[labeled] == -1).mean() < 0.02
 
     def test_agreement_with_golden_oracle_full_house(self, building):
-        # full house incl. walls: the oracle's order-dependent drift
-        # caps achievable agreement; require a coarse match
+        # Full house incl. walls, decomposed per surface kind.
+        #
+        # Measured (anchor-pure models, th_anchor_cos=0.95): overall
+        # 0.897; roof pitches 0.998/0.995, ground 0.998; walls 0.91 /
+        # 0.71 / 0.43 / 0.82.  The wall spread is the ORACLE's doing,
+        # not ours: with signed (reference) semantics the ±Z normal
+        # orientation on vertical walls is noise-random, and the
+        # oracle's drifting running mean then chains ACROSS
+        # perpendicular walls — on this scene its plane 8 spans three
+        # different walls (1099 + 1500 + 724 points on truth surfaces
+        # 2/3/4), so a per-wall bijection against it is capped well
+        # below 1.0 by construction (SURVEY.md §2.1.1, quirk 1).  The
+        # device result keeps walls separate (gated by
+        # test_unsigned_beats_golden_on_walls + test_truth at 0.95);
+        # here walls are covered only by the overall bound.
         pts, truth, cap = building
         pos, mask, idx, normals, n = _prep(pts, cap)
         g_idx, g_planes = golden_segment(
@@ -144,7 +159,12 @@ class TestSegmentPlanes:
         )
         d_idx = np.asarray(res.plane_idx)[:n]
         agree = _agreement(g_idx, d_idx)
-        assert agree > 0.65, f"golden agreement {agree}"
+        assert agree > 0.85, f"golden agreement {agree}"
+        # stable-orientation surfaces: roof pitches (5, 6) + ground (7)
+        for sid in (5, 6, 7):
+            sel = truth == sid
+            a = _agreement(g_idx[sel], d_idx[sel])
+            assert a > 0.97, f"surface {sid} golden agreement {a}"
 
     def test_unsigned_beats_golden_on_walls(self, building):
         # the unsigned default must recover walls the signed reference
@@ -158,6 +178,29 @@ class TestSegmentPlanes:
         au = _agreement(truth, np.asarray(res_u.plane_idx)[:n])
         as_ = _agreement(truth, np.asarray(res_s.plane_idx)[:n])
         assert au >= as_
+
+    def test_capacity_diagnostics(self, building):
+        # the A2 sanitizers: silently-deferred work must show up in
+        # SegmentationResult.diagnostics instead of vanishing
+        pts, truth, cap = building
+        pos, mask, idx, normals, n = _prep(pts, cap)
+        res = segment_planes(pos, normals, idx, mask, th_point_count=400)
+        d = np.asarray(res.diagnostics)
+        assert d[0] > 0  # live labels were tracked
+        assert d[2] == 0 and d[3] == 0  # healthy run: counters quiet
+        # plane-table overflow: max_planes=2 cannot hold the ~7 planes
+        res2 = segment_planes(
+            pos, normals, idx, mask, th_point_count=400, max_planes=2
+        )
+        d2 = np.asarray(res2.diagnostics)
+        assert int(res2.num_planes) > 2
+        assert d2[2] == int(res2.num_planes) - 2
+        assert d2[1] > 0  # merge-table cap L=2 exceeded mid-solve
+        # forced non-convergence at max_sweeps=1
+        res3 = segment_planes(
+            pos, normals, idx, mask, th_point_count=400, max_sweeps=1
+        )
+        assert np.asarray(res3.diagnostics)[3] == 1
 
     def test_empty_cloud(self):
         pos = jnp.full((512, 3), 2**24, jnp.int32)
