@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -54,6 +55,12 @@ from jax import lax
 from buildingsegment_tpu.ops.normals import canonicalize_normals
 
 __all__ = ["segment_planes", "window_seeds", "SegmentationResult"]
+
+# Jump-doubling rounds per sweep for the windowized path's merge-chain
+# collapse (read at trace time; BST_JUMP_ROUNDS is a perf-lab knob —
+# each round is a latency-bound [ng] gather, and chains deeper than
+# 2^rounds simply resolve one sweep later).
+_JUMP_ROUNDS = int(os.environ.get("BST_JUMP_ROUNDS", "6"))
 
 
 @functools.partial(
@@ -354,7 +361,9 @@ def segment_planes(
     # a member contributes to its label's model only when its normal
     # agrees with the anchor by ≥ th_anchor_cos (see docstring).
     anchor_gate = th_anchor_cos > th_normal_cos
-    if axis_name is None:
+    if not anchor_gate:
+        anchor_tab = None  # disabled: stats stay 8-col, no purity gather
+    elif axis_name is None:
         anchor_tab = jnp.where(seed[:, None], sum_nrm_src, 0.0)  # [ng, 3]
     else:
         # sharded: one-time global scatter + psum (each gid row is
@@ -374,6 +383,26 @@ def segment_planes(
         agree = cmag(jnp.sum(sum_nrm_src * anc, axis=-1))
         return (label < inf_label) & (agree >= jnp.float32(th_anchor_cos))
 
+    def stats_payload(label, valid, with_sq):
+        """Per-point scatter payload for the per-label stats table.
+
+        8 all-member columns [cnt, Σn̂, Σp, Σ|p|²] when the anchor gate
+        is off; 16 (all-member + anchor-pure in the same layout) when
+        on — one combined scatter either way (each XLA scatter-add
+        hides a full sort of its update rows).
+        """
+        sq1 = (
+            jnp.sum(pos * pos, -1, keepdims=True)
+            if with_sq
+            else jnp.zeros((n, 1), jnp.float32)
+        )
+        cols = [jnp.ones((n, 1), jnp.float32), sum_nrm_src, pos, sq1]
+        if anchor_gate:
+            wp = purity(label).astype(jnp.float32)[:, None]
+            cols += [wp, sum_nrm_src * wp, pos * wp, sq1 * wp]
+        payload = jnp.concatenate(cols, axis=1)
+        return jnp.where(valid[:, None], payload, 0.0)
+
     # 2. seed-anchored label propagation to a fixed point.
     # label[i] ∈ {seed indices} ∪ {inf}; acceptance of point t into
     # region L tests t against the seed plane (pos[L], nrm[L]).
@@ -389,19 +418,11 @@ def segment_planes(
         """
         valid = label < inf_label
         tgt = jnp.where(valid, label, n)
-        wp = purity(label).astype(jnp.float32)[:, None]
-        z1 = jnp.zeros((n, 1), jnp.float32)
-        payload = jnp.concatenate(
-            [
-                jnp.ones((n, 1), jnp.float32), sum_nrm_src, pos, z1,
-                wp, sum_nrm_src * wp, pos * wp, z1,
-            ],
-            axis=1,
-        )
+        payload = stats_payload(label, valid, with_sq=False)
         acc = (
-            jnp.zeros((n + 1, 16), jnp.float32)
+            jnp.zeros((n + 1, payload.shape[1]), jnp.float32)
             .at[tgt]
-            .add(jnp.where(valid[:, None], payload, 0.0))
+            .add(payload)
         )[:n]
         model_n, model_c, _r, _cnt = acc_models(acc)
         return model_n, model_c
@@ -458,19 +479,11 @@ def segment_planes(
         L = min(max_planes, n)
         valid = label < inf_label
         tgt = jnp.where(valid, label, n)
-        wp = purity(label).astype(jnp.float32)[:, None]
-        sq1 = jnp.sum(pos * pos, -1, keepdims=True)
-        payload = jnp.concatenate(
-            [
-                jnp.ones((n, 1), jnp.float32), sum_nrm_src, pos, sq1,
-                wp, sum_nrm_src * wp, pos * wp, sq1 * wp,
-            ],
-            axis=1,
-        )
+        payload = stats_payload(label, valid, with_sq=True)
         acc16 = (
-            jnp.zeros((n + 1, 16), jnp.float32)
+            jnp.zeros((n + 1, payload.shape[1]), jnp.float32)
             .at[tgt]
-            .add(jnp.where(valid[:, None], payload, 0.0))
+            .add(payload)
         )[:n]
         cnt = acc16[:, 0]
 
@@ -652,21 +665,28 @@ def segment_planes(
     L = min(max_planes, ng, 1024)
 
     def acc_models(rows):
-        """(unit normal, center, rms radius, cnt_all) from 16-col stats.
+        """(unit normal, center, rms radius, cnt_all) from stats rows.
 
-        Columns 0-7 are all-member sums [cnt, Σn̂, Σp, Σ|p|²]; columns
-        8-15 the anchor-pure sums in the same layout.  Models come from
-        the pure sums (see ``th_anchor_cos``), falling back to the
+        Columns 0-7 are all-member sums [cnt, Σn̂, Σp, Σ|p|²]; 16-col
+        rows add the anchor-pure sums in the same layout.  Models come
+        from the pure sums (see ``th_anchor_cos``), falling back to the
         all-member sums for labels whose pure count is zero (possible
-        once a seed row has itself adopted a smaller label).
+        once a seed row has itself adopted a smaller label).  8-col
+        rows (anchor gate off) use the all-member sums directly.
         """
         cnt_a = rows[..., 0]
-        cnt_p = rows[..., 8]
-        usep = cnt_p > 0
-        sc = jnp.where(usep, cnt_p, jnp.maximum(cnt_a, 1.0))[..., None]
-        sn = jnp.where(usep[..., None], rows[..., 9:12], rows[..., 1:4]) / sc
-        c = jnp.where(usep[..., None], rows[..., 12:15], rows[..., 4:7]) / sc
-        sq = jnp.where(usep, rows[..., 15], rows[..., 7]) / sc[..., 0]
+        if rows.shape[-1] == 8:
+            sc = jnp.maximum(cnt_a, 1.0)[..., None]
+            sn = rows[..., 1:4] / sc
+            c = rows[..., 4:7] / sc
+            sq = rows[..., 7] / sc[..., 0]
+        else:
+            cnt_p = rows[..., 8]
+            usep = cnt_p > 0
+            sc = jnp.where(usep, cnt_p, jnp.maximum(cnt_a, 1.0))[..., None]
+            sn = jnp.where(usep[..., None], rows[..., 9:12], rows[..., 1:4]) / sc
+            c = jnp.where(usep[..., None], rows[..., 12:15], rows[..., 4:7]) / sc
+            sq = jnp.where(usep, rows[..., 15], rows[..., 7]) / sc[..., 0]
         ln = jnp.sqrt(jnp.maximum(jnp.sum(sn * sn, -1, keepdims=True), 1e-20))
         r = jnp.sqrt(jnp.maximum(sq - jnp.sum(c * c, -1), 0.0))
         return sn / ln, c, r, cnt_a
@@ -695,25 +715,11 @@ def segment_planes(
 
         # 1. combined segment stats over the global label space —
         # per-shard partial scatters, one psum
-        sq1 = jnp.sum(pos * pos, -1, keepdims=True)
-        wp = purity(label).astype(jnp.float32)[:, None]
-        payload = jnp.concatenate(
-            [
-                jnp.ones((n, 1), jnp.float32),
-                sum_nrm_src,
-                pos,
-                sq1,
-                wp,
-                sum_nrm_src * wp,
-                pos * wp,
-                sq1 * wp,
-            ],
-            axis=1,
-        )
+        payload = stats_payload(label, valid, with_sq=True)
         acc = (
-            jnp.zeros((ng + 1, 16), jnp.float32)
+            jnp.zeros((ng + 1, payload.shape[1]), jnp.float32)
             .at[tgt]
-            .add(jnp.where(valid[:, None], payload, 0.0))
+            .add(payload)
         )[:ng]
         acc = _allreduce(acc, "sum")
         model_n, model_c, _model_r, cnt = acc_models(acc)
@@ -865,7 +871,7 @@ def segment_planes(
         # sweep of window+global hooks creates; the outer while_loop
         # finishes any residue next sweep)
         parent_final = parent
-        for _ in range(6):
+        for _ in range(_JUMP_ROUNDS):
             parent_final = jnp.minimum(
                 parent_final, parent_final[jnp.clip(parent_final, 0, ng - 1)]
             )
@@ -944,20 +950,9 @@ def segment_planes(
     # the multigrid refinement's band tests, so a drift-contaminated
     # mean here would re-introduce the very bias the sweeps avoided.
     seg = jnp.where(plane_id > 0, plane_id - 1, max_planes)  # [N]
-    member = (plane_id > 0).astype(jnp.float32)[:, None]
-    wp_f = (
-        purity(label).astype(jnp.float32)[:, None] * member
-    )
-    z1 = jnp.zeros((n, 1), jnp.float32)
-    fin_payload = jnp.concatenate(
-        [
-            member, sum_nrm_src * member, pos * member, z1,
-            wp_f, sum_nrm_src * wp_f, pos * wp_f, z1,
-        ],
-        axis=1,
-    )
+    fin_payload = stats_payload(label, plane_id > 0, with_sq=False)
     acc_fin = _allreduce(
-        jnp.zeros((max_planes + 1, 16), jnp.float32)
+        jnp.zeros((max_planes + 1, fin_payload.shape[1]), jnp.float32)
         .at[seg]
         .add(fin_payload)[:max_planes],
         "sum",

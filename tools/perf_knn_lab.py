@@ -1,0 +1,83 @@
+"""Brute-force kNN kernel lab: tile-shape sweep at 1M points.
+
+Config 2 (exact kNN) sits at ~1.16 Mpts/s; the kernel visits ~9 sorted
+candidate tiles per 128-query tile.  This lab sweeps (query_tile,
+cand_tile) to find where the fixed per-tile costs (grid step, DMA
+latency chain, merge rounds) stop dominating.
+
+Run on the real chip:  python tools/perf_knn_lab.py [--quick]
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def _sync(out):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+
+
+def timed(fn, reps=2):
+    import time
+
+    out = fn()
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from buildingsegment_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    from buildingsegment_tpu.core.morton import morton_argsort
+    from buildingsegment_tpu.ops.pallas_knn import knn_pallas
+    from buildingsegment_tpu.utils.synthetic import make_building_cloud
+
+    quick = "--quick" in sys.argv
+    pts, _ = make_building_cloud(
+        seed=0, spacing_mm=25.0, width_mm=12_000.0, depth_mm=9_000.0,
+        wall_h_mm=6_000.0, ridge_h_mm=8_000.0, noise_mm=8.0,
+    )
+    n = len(pts)
+    capacity = -(-n // 2048) * 2048
+    pos = np.full((capacity, 3), 2**24, np.int32)
+    pos[:n] = pts
+    mask = np.zeros(capacity, bool)
+    mask[:n] = True
+    pos_j, mask_j = jnp.asarray(pos), jnp.asarray(mask)
+    order = morton_argsort(pos_j, mask_j)
+    spos = pos_j[order]
+    smask = mask_j[order]
+
+    out = {"points": n}
+    shapes = [(128, 1024), (256, 1024), (128, 512), (256, 512),
+              (512, 512), (128, 2048), (512, 1024)]
+    if quick:
+        shapes = [(128, 1024), (256, 512)]
+    for qt, ct in shapes:
+        try:
+            dt = timed(
+                lambda qt=qt, ct=ct: knn_pallas(
+                    spos, smask, k=16, query_tile=qt, cand_tile=ct
+                )
+            )
+            out[f"qt{qt}_ct{ct}_mpts"] = round(n / dt / 1e6, 3)
+        except Exception as e:  # pragma: no cover
+            out[f"qt{qt}_ct{ct}_error"] = type(e).__name__
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

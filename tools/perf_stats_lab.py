@@ -1,0 +1,101 @@
+"""Stats-sweep lab: where do the 22 ms at 1M points go?
+
+Times fused_stats_sweep variants — tile size (grid-step floor), window
+width (row count in phase 1/3 and the bisection), cap on/off (second
+bisection rank), bisection on/off (radius-only mode) — so the next
+kernel change targets the measured dominant term.
+
+Run on the real chip:  python tools/perf_stats_lab.py
+"""
+
+import json
+
+import numpy as np
+
+
+def _sync(out):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+
+
+def timed(fn, reps=8):
+    import time
+
+    out = fn()
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from buildingsegment_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    from buildingsegment_tpu.core.morton import morton_argsort
+    from buildingsegment_tpu.ops.stats_sweep import fused_stats_sweep
+    from buildingsegment_tpu.ops.window_sweep import make_slab
+    from buildingsegment_tpu.utils.synthetic import make_building_cloud
+
+    pts, _ = make_building_cloud(
+        seed=0, spacing_mm=25.0, width_mm=12_000.0, depth_mm=9_000.0,
+        wall_h_mm=6_000.0, ridge_h_mm=8_000.0, noise_mm=8.0,
+    )
+    n = len(pts)
+    capacity = -(-n // 2048) * 2048
+    pos = np.full((capacity, 3), 2**24, np.int32)
+    pos[:n] = pts
+    mask = np.zeros(capacity, bool)
+    mask[:n] = True
+    pos_j, mask_j = jnp.asarray(pos), jnp.asarray(mask)
+    order = morton_argsort(pos_j, mask_j)
+    sposf = pos_j[order].astype(jnp.float32)
+    smaskf = mask_j[order].astype(jnp.float32)
+
+    out = {"points": n}
+
+    def run(w, tile, k=15, max_nn=50):
+        slab = make_slab(
+            [sposf[:, 0], sposf[:, 1], sposf[:, 2], smaskf],
+            [-3e7, -3e7, -3e7, 0.0], w, tile, rows_out=8,
+        )
+        return fused_stats_sweep(
+            slab, capacity, k=k, w=w, tile=tile, radius=100.0,
+            max_nn=max_nn,
+        )
+
+    for w, tile in [(64, 8192), (64, 16384), (64, 4096), (48, 8192),
+                    (32, 8192), (64, 32768)]:
+        try:
+            dt = timed(lambda w=w, tile=tile: run(w, tile))
+            out[f"w{w}_t{tile}_ms"] = round(dt * 1e3, 2)
+        except Exception as e:
+            out[f"w{w}_t{tile}_error"] = type(e).__name__
+    # cap off: single-rank bisection
+    dt = timed(lambda: run(64, 8192, max_nn=None))
+    out["w64_t8192_nocap_ms"] = round(dt * 1e3, 2)
+    # radius-only: no bisection at all (normals path)
+    slab = make_slab(
+        [sposf[:, 0], sposf[:, 1], sposf[:, 2], smaskf],
+        [-3e7, -3e7, -3e7, 0.0], 64, 8192, rows_out=8,
+    )
+    dt = timed(
+        lambda: fused_stats_sweep(
+            slab, capacity, k=1, w=64, tile=8192, radius=100.0,
+            max_nn=None,
+        )
+    )
+    out["w64_t8192_radiusonly_ms"] = round(dt * 1e3, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
