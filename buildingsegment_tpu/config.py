@@ -73,6 +73,13 @@ class PipelineConfig:
     seg_group: int = 4
     seg_levels: int = 2             # recursive coarsening depth
     seg_refine_sweeps: int = 3      # per-point refinement sweeps
+    # anchor-pure model estimation (region_grow.segment_planes
+    # th_anchor_cos): members feed their region's mean model only when
+    # their normal agrees with the region seed's normal by this cosine
+    # (≤ th_normal_cos disables).  Guards the running mean against
+    # ridge blend-strip drift; in the multigrid path it applies to the
+    # coarse solve.
+    seg_anchor_cos: float = 0.95
 
     # --- colorize ---
     color_low: int = 55             # 55 + rand() % 200 per channel

@@ -131,6 +131,7 @@ def sharded_grow_body(mesh: Mesh, config: PipelineConfig, *,
             max_sweeps=config.max_sweeps,
             convergence_tol=config.seg_convergence_tol,
             signed_normals=signed_normals,
+            th_anchor_cos=config.seg_anchor_cos,
         )
         s = spos.shape[0]
         if _mg_path(config, s):

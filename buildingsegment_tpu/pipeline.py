@@ -137,14 +137,14 @@ def _window_stage1(
         "knn_k", "th_thickness", "th_normal_cos", "th_point_count",
         "max_planes", "max_sweeps", "signed_normals",
         "th_seed_curvature", "convergence_tol", "seg_group",
-        "seg_levels", "seg_refine_sweeps", "use_stats",
+        "seg_levels", "seg_refine_sweeps", "seg_anchor_cos", "use_stats",
     ),
 )
 def _window_stage2(
     spos, smask, order, stats, *, knn_k, th_thickness, th_normal_cos,
     th_point_count, max_planes, max_sweeps, signed_normals,
     th_seed_curvature, convergence_tol, seg_group, seg_levels,
-    seg_refine_sweeps, use_stats,
+    seg_refine_sweeps, use_stats, seg_anchor_cos=0.95,
 ):
     """Window-path stage 2: region growing + unsort.
 
@@ -164,6 +164,7 @@ def _window_stage2(
         max_sweeps=max_sweeps,
         convergence_tol=convergence_tol,
         signed_normals=signed_normals,
+        th_anchor_cos=seg_anchor_cos,
     )
     if use_stats:
         dk, normals, curv = stats
@@ -210,6 +211,7 @@ def run_device_pipeline(
     seg_group: int = 1,
     seg_levels: int = 1,
     seg_refine_sweeps: int = 2,
+    seg_anchor_cos: float = 0.95,
 ):
     """The on-device portion: shift → kNN → normals → segmentation.
 
@@ -238,7 +240,7 @@ def run_device_pipeline(
             th_seed_curvature=th_seed_curvature,
             convergence_tol=convergence_tol, seg_group=seg_group,
             seg_levels=seg_levels, seg_refine_sweeps=seg_refine_sweeps,
-            use_stats=use_stats,
+            use_stats=use_stats, seg_anchor_cos=seg_anchor_cos,
         )
         return shifted, lo, seg
     return _classic_pipeline(

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from buildingsegment_tpu.ops.normals import canonicalize_normals
+from buildingsegment_tpu.ops.prefix import prefix_sum_i32
 from buildingsegment_tpu.seg.region_grow import (
     SegmentationResult,
     segment_planes,
@@ -62,6 +63,7 @@ __all__ = ["segment_planes_multigrid"]
         "axis_name",
         # static so the TPU Pallas branch can bake them into the kernel
         "th_thickness", "th_normal_cos", "max_edge_dist",
+        "th_anchor_cos",
     ),
 )
 def segment_planes_multigrid(
@@ -86,6 +88,7 @@ def segment_planes_multigrid(
     group: int = 8,
     refine_sweeps: int = 2,
     levels: int = 1,
+    th_anchor_cos: float = 0.95,
     seed_override=None,
     axis_name: str = None,
 ) -> SegmentationResult:
@@ -214,6 +217,7 @@ def segment_planes_multigrid(
             group=group,
             refine_sweeps=refine_sweeps,
             levels=levels - 1,
+            th_anchor_cos=th_anchor_cos,
             axis_name=axis_name,
         )
     else:
@@ -234,6 +238,7 @@ def segment_planes_multigrid(
             signed_normals=signed_normals,
             propagation="window",
             window=window,
+            th_anchor_cos=th_anchor_cos,
             axis_name=axis_name,
         )
 
@@ -397,7 +402,7 @@ def segment_planes_multigrid(
     acc = _psum(acc)  # global when sharded
     counts_old = acc[:, 0].astype(jnp.int32)  # by old plane row (id-1)
     keep = counts_old > th_point_count
-    rank = jnp.cumsum(keep.astype(jnp.int32))  # inclusive, over rows
+    rank = prefix_sum_i32(keep.astype(jnp.int32))  # inclusive, over rows
     num_planes = rank[max_planes - 1]
 
     # per-point renumber: new_id = lut[old id] (0 where culled)

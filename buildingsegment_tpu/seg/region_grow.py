@@ -53,14 +53,20 @@ import jax.numpy as jnp
 from jax import lax
 
 from buildingsegment_tpu.ops.normals import canonicalize_normals
+from buildingsegment_tpu.ops.prefix import prefix_sum_i32
 
 __all__ = ["segment_planes", "window_seeds", "SegmentationResult"]
 
 # Jump-doubling rounds per sweep for the windowized path's merge-chain
 # collapse (read at trace time; BST_JUMP_ROUNDS is a perf-lab knob —
 # each round is a latency-bound [ng] gather, and chains deeper than
-# 2^rounds simply resolve one sweep later).
-_JUMP_ROUNDS = int(os.environ.get("BST_JUMP_ROUNDS", "6"))
+# 2^rounds simply resolve one sweep later).  Lab-measured at ng=67k:
+# 2 rounds cut the sweep from 6.9 to 5.0 ms with NO extra sweeps to
+# convergence (tools/perf_sweep_lab.py, jump6 82.7 ms/11 sweeps vs
+# jump2 56.9 ms/10) — one sweep of window+global hooks simply does not
+# build chains deeper than 4.  The fixed point itself is unchanged
+# (min-label union is confluent; residue collapses next sweep).
+_JUMP_ROUNDS = int(os.environ.get("BST_JUMP_ROUNDS", "2"))
 
 
 @functools.partial(
@@ -493,7 +499,7 @@ def segment_planes(
         # (massive over-fragmentation) fall off; the outer loop's next
         # iteration retries after earlier merges shrink the count.
         flag = cnt > 0
-        rank = jnp.cumsum(flag.astype(jnp.int32))  # inclusive
+        rank = prefix_sum_i32(flag.astype(jnp.int32))  # inclusive
         slot = jnp.where(flag & (rank <= L), rank - 1, L)
         # one scatter: -1 sentinel doubles as the liveness mask
         top_lab = (
@@ -730,7 +736,7 @@ def segment_planes(
         # the -1 sentinel doubles as the liveness mask (each scatter
         # hides a sort of its update rows).
         flag = cnt > 0
-        rank = jnp.cumsum(flag.astype(jnp.int32))
+        rank = prefix_sum_i32(flag.astype(jnp.int32))
         slot_of = jnp.where(flag & (rank <= L), rank - 1, L)  # [ng] by label
         top_lab = (
             jnp.full((L + 1,), -1, jnp.int32).at[slot_of].set(idx_arange)
@@ -937,7 +943,7 @@ def segment_planes(
     # (counts[s] > th implies s was used as a label, so `surviving`
     # already identifies exactly the surviving seed labels)
     is_plane_seed = surviving
-    rank = jnp.cumsum(is_plane_seed.astype(jnp.int32))  # inclusive
+    rank = prefix_sum_i32(is_plane_seed.astype(jnp.int32))  # inclusive
     plane_id = jnp.where(
         label < inf_label, rank[jnp.clip(label, 0, ng - 1)], 0
     ).astype(jnp.int32)

@@ -308,3 +308,27 @@ class TestMortonSortPayload:
         got = np.asarray(spos)[np.asarray(smask)]
         want = pos[np.asarray(order)[np.asarray(smask)]]
         np.testing.assert_array_equal(got, want)
+
+
+class TestPrefixSum:
+    def test_matches_cumsum(self):
+        from buildingsegment_tpu.ops.prefix import prefix_sum_i32
+        import numpy as np
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        for n in (1, 5, 128, 129, 1000, 67_712, 130_000):
+            x = rng.integers(0, 3, size=n).astype(np.int32)
+            got = np.asarray(prefix_sum_i32(jnp.asarray(x)))
+            np.testing.assert_array_equal(got, np.cumsum(x).astype(np.int32))
+
+    def test_large_totals_exact(self):
+        # totals near 2^20 stay integer-exact in the f32 matmuls
+        from buildingsegment_tpu.ops.prefix import prefix_sum_i32
+        import numpy as np
+        import jax.numpy as jnp
+
+        x = np.ones(1 << 20, np.int32)
+        got = np.asarray(prefix_sum_i32(jnp.asarray(x)))
+        assert got[-1] == 1 << 20
+        np.testing.assert_array_equal(got[:5], np.arange(1, 6))

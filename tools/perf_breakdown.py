@@ -125,8 +125,10 @@ def main():
     out["multigrid_r0_ms"] = timed(lambda: mg(refine_sweeps=0)) * 1e3
     out["multigrid_r1_ms"] = timed(lambda: mg(refine_sweeps=1)) * 1e3
     out["multigrid_l1_ms"] = timed(lambda: mg(levels=1)) * 1e3
-    out["multigrid_g8_l1_ms"] = timed(lambda: mg(group=8, levels=1)) * 1e3
-    out["multigrid_g8_l2_ms"] = timed(lambda: mg(group=8, levels=2)) * 1e3
+    out["multigrid_g16_l1_ms"] = timed(lambda: mg(group=16, levels=1)) * 1e3
+    out["multigrid_noanchor_ms"] = timed(
+        lambda: mg(th_anchor_cos=0.0)
+    ) * 1e3
 
     # the coarse solver alone at N/16 (what the recursion bottoms out in)
     g = 16

@@ -54,6 +54,14 @@ def main():
         dict(group=8, levels=2, refine_sweeps=3),
         dict(group=8, levels=2, refine_sweeps=4),
         dict(group=4, levels=3, refine_sweeps=3),
+        # anchor gate off in the coarse solve (the coherence filter
+        # already excludes normal-blend groups there — is it redundant?)
+        dict(group=4, levels=2, refine_sweeps=3, th_anchor_cos=0.0),
+        dict(group=8, levels=2, refine_sweeps=3, th_anchor_cos=0.0),
+        # one-shot ×16 coarsen: same bottom scale as g4_l2 without the
+        # mid-level coarsen/refine/finalize passes
+        dict(group=16, levels=1, refine_sweeps=3),
+        dict(group=16, levels=1, refine_sweeps=4),
     ]
 
     for name, (pts, truth) in scenes.items():
@@ -81,6 +89,8 @@ def main():
                 th_point_count=400, max_planes=1024, window=16, **cfg,
             )
             key = f"g{cfg['group']}_l{cfg['levels']}_r{cfg['refine_sweeps']}"
+            if cfg.get("th_anchor_cos") == 0.0:
+                key += "_noanchor"
             row[key] = round(
                 _truth_agreement(struth, np.asarray(res.plane_idx)[sel]), 4
             )
