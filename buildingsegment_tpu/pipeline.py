@@ -429,39 +429,51 @@ def segment_files(
     colorize, write labeled PLYs, optionally render ortho PNGs.
 
     Scans are padded into power-of-two capacity buckets so the fused
-    device program compiles once per bucket, not once per scan; host
-    PLY decoding is prefetched one scan ahead on a worker thread so it
-    overlaps the previous scan's device time.
+    device program compiles once per bucket, not once per scan.  Host
+    work is overlapped with device time from both sides: PLY decoding
+    is prefetched TWO scans ahead on a reader thread (one-deep left the
+    reader idle whenever decode was faster than the device pipeline but
+    stalled the loop the moment it was not), and the labeled-PLY write
+    + ortho PNG encode of scan i run on a writer thread while scan i+1
+    dispatches to the device — the scored config-5 path overlaps its
+    I/O instead of serializing read → device → write → render.
     """
     import concurrent.futures as _futures
 
     outputs = []
     input_paths = list(input_paths)
     output_paths = list(output_paths)
-    with _futures.ThreadPoolExecutor(max_workers=1) as pool:
+    with _futures.ThreadPoolExecutor(max_workers=1) as rpool, \
+            _futures.ThreadPoolExecutor(max_workers=1) as wpool:
         pending = [
-            pool.submit(read_ply, p, position_scale=config.position_scale)
-            for p in input_paths[:1]
+            rpool.submit(read_ply, p, position_scale=config.position_scale)
+            for p in input_paths[:2]
         ]
+        writes = []
         for i, (in_path, out_path) in enumerate(
             zip(input_paths, output_paths)
         ):
             cloud = pending[i].result()
-            if i + 1 < len(input_paths):
+            if i + 2 < len(input_paths):
                 pending.append(
-                    pool.submit(
+                    rpool.submit(
                         read_ply,
-                        input_paths[i + 1],
+                        input_paths[i + 2],
                         position_scale=config.position_scale,
                     )
                 )
             bucket = _bucket_capacity(cloud.count, config)
             cfg = dataclasses.replace(config, pad_to_multiple=bucket)
             out = segment_cloud(cloud, cfg, signed_normals=signed_normals)
-            _write_and_render(
-                out, in_path, out_path, config, render_dir
+            writes.append(
+                wpool.submit(
+                    _write_and_render, out, in_path, out_path, config,
+                    render_dir,
+                )
             )
             outputs.append(out)
+        for w in writes:
+            w.result()  # surface writer exceptions
     return outputs
 
 
