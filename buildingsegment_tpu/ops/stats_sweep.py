@@ -59,7 +59,7 @@ def _lane_pad(tile, w):
 
 
 def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *, tile, w,
-                  r_k, r_cap, r2):
+                  r_k, r_cap, r2, mxu_count=True):
     ti = pl.program_id(0)
     dma = pltpu.make_async_copy(
         slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w + _lane_pad(tile, w))],
@@ -96,23 +96,35 @@ def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *, tile, w,
         # ~3x slower than 4 chunked loops over [2W, 2048] (working-set
         # thrash), while big tiles keep the grid-step count low.
         cw = min(tile, 2048)
+        w2_ = 2 * w
+        ones_row = jnp.ones((1, w2_), jnp.float32)
 
         def bisect_chunk(cc):
+            def count_le(db, mid):
+                """Per-column count of rows with db ≤ mid."""
+                ind = jnp.where(db <= mid[None, :], 1.0, 0.0)
+                if mxu_count:
+                    # 128-row reduction as a [1, 2W] × [2W, cw] matmul
+                    # — the MXU eats the reduce the VPU serializes
+                    # (counts ≤ 2W are exact in f32)
+                    return lax.dot_general(
+                        ones_row, ind, (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )[0].astype(jnp.int32)
+                return jnp.sum(ind.astype(jnp.int32), axis=0)
+
             def bisect(i, st):
                 lo1, hi1, lo2, hi2 = st
                 mid1 = lo1 + ((hi1 - lo1) >> 1)
                 mid2 = lo2 + ((hi2 - lo2) >> 1)
                 db = dbits[:, pl.ds(cc * cw, cw)]
-                c1 = jnp.sum(
-                    (db <= mid1[None, :]).astype(jnp.int32), axis=0
-                )
+                c1 = count_le(db, mid1)
                 ge1 = c1 >= r_k
                 lo1 = jnp.where(ge1, lo1, mid1 + 1)
                 hi1 = jnp.where(ge1, mid1, hi1)
                 if r_cap:
-                    c2 = jnp.sum(
-                        (db <= mid2[None, :]).astype(jnp.int32), axis=0
-                    )
+                    c2 = count_le(db, mid2)
                     ge2 = c2 >= r_cap
                     lo2 = jnp.where(ge2, lo2, mid2 + 1)
                     hi2 = jnp.where(ge2, mid2, hi2)

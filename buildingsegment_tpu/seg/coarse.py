@@ -88,7 +88,11 @@ def segment_planes_multigrid(
     group: int = 8,
     refine_sweeps: int = 2,
     levels: int = 1,
-    th_anchor_cos: float = 0.95,
+    # anchor-pure models OFF by default at the coarse level: the
+    # coarsening coherence filter already excludes normal-blend groups,
+    # and the anchor gate measurably over-fragments there (see
+    # PipelineConfig.seg_anchor_cos)
+    th_anchor_cos: float = 0.0,
     seed_override=None,
     axis_name: str = None,
 ) -> SegmentationResult:
