@@ -59,7 +59,7 @@ def _lane_pad(tile, w):
 
 
 def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *, tile, w,
-                  r_k, r_cap, r2, mxu_count=True):
+                  r_k, r_cap, r2, mxu_count=False):
     ti = pl.program_id(0)
     dma = pltpu.make_async_copy(
         slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w + _lane_pad(tile, w))],
@@ -104,9 +104,11 @@ def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *, tile, w,
                 """Per-column count of rows with db ≤ mid."""
                 ind = jnp.where(db <= mid[None, :], 1.0, 0.0)
                 if mxu_count:
-                    # 128-row reduction as a [1, 2W] × [2W, cw] matmul
-                    # — the MXU eats the reduce the VPU serializes
-                    # (counts ≤ 2W are exact in f32)
+                    # 128-row reduction as a [1, 2W] × [2W, cw] matmul.
+                    # MEASURED DEAD END (tools/perf_stats_lab.py): the
+                    # M=1 matmul wastes the 128×128 systolic array —
+                    # w64_t8192 went 26.0 → 36.6 ms.  Kept behind the
+                    # flag so nobody re-tries it blind.
                     return lax.dot_general(
                         ones_row, ind, (((1,), (0,)), ((), ())),
                         precision=lax.Precision.HIGHEST,

@@ -276,7 +276,7 @@ def segment_planes_multigrid(
         refine_table_sweep,
     )
 
-    tile = pick_tile(n, 16384)
+    tile = pick_tile(n, 32768)  # fewer grid steps (see window_seeds)
     on_tpu = jax.devices()[0].platform != "cpu" and tile
     if on_tpu:
         table = build_plane_table(pn, pc)

@@ -124,7 +124,9 @@ def window_seeds(
         seed_sweep,
     )
 
-    tile = pick_tile(n, 16384)
+    # tile 32768 = half the grid steps of 16384; lab-measured ~1 ms
+    # faster on the seed kernel at 1M (tools/perf_slab_lab.py)
+    tile = pick_tile(n, 32768)
     if jax.devices()[0].platform != "cpu" and tile:
         slab = make_slab(
             [px, py, pz, nx_, ny_, nz_,
