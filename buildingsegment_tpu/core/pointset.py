@@ -114,6 +114,39 @@ class PointBatch:
         )
 
     @staticmethod
+    def upload(
+        positions: np.ndarray, capacity: Optional[int] = None
+    ) -> "PointBatch":
+        """Compact host→device upload of positions only.
+
+        The host↔device link is the multiscan pipeline's bottleneck
+        (~30-50 MB/s through the axon tunnel), so this constructor
+        ships the minimum: the raw coordinates — as ``uint16`` when the
+        cloud's extent fits (building scans shifted to the origin
+        almost always do: 65.5 m at mm scale), halving the transfer —
+        plus a scalar count.  The padded int32 positions and the
+        validity mask are materialized on device by a tiny jitted
+        expansion; ``plane_idx``/attributes are left ``None`` (the
+        segmentation pipeline reads only positions+mask).
+        """
+        n = positions.shape[0]
+        cap = capacity if capacity is not None else n
+        if cap < n:
+            raise ValueError(f"capacity {cap} < point count {n}")
+        compact = (
+            n > 0
+            and positions.min() >= 0
+            and positions.max() < 65535
+        )
+        raw = np.zeros((cap, 3), np.uint16 if compact else np.int32)
+        if n:
+            raw[:n] = positions.astype(raw.dtype)
+        pos, mask = _expand_upload(
+            jax.device_put(raw), jnp.int32(n)
+        )
+        return PointBatch(positions=pos, mask=mask)
+
+    @staticmethod
     def from_host_cloud(cloud, capacity: Optional[int] = None) -> "PointBatch":
         """Build from an :class:`io.ply.HostPointCloud`, carrying every
         attribute onto the device."""
@@ -206,3 +239,19 @@ class PointBatch:
 # Sentinel coordinate for padding rows: far away from any real point but
 # small enough that squared distances stay well inside float32/int64 range.
 _PAD_COORD = np.int32(2**24)
+
+
+@jax.jit
+def _expand_upload(raw, n):
+    """Expand a compact upload: padded int32 positions + validity mask.
+
+    Rows ≥ n become the large pad sentinel so they never appear as
+    nearest neighbors of real points (same convention as from_numpy).
+    """
+    cap = raw.shape[0]
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    mask = rows < n
+    pos = jnp.where(
+        mask[:, None], raw.astype(jnp.int32), jnp.int32(_PAD_COORD)
+    )
+    return pos, mask

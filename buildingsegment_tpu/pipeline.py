@@ -85,6 +85,11 @@ class PipelineOutput:
     # capacity/convergence sanitizer counters (SegmentationResult
     # .diagnostics surfaced by name): peak_live_labels,
     # labels_over_merge_cap, planes_over_capacity, hit_max_sweeps
+    # device-resident shifted positions + mask (capacity-padded) so the
+    # ortho render can reuse them instead of re-uploading 12 MB/scan
+    # through the host↔device link; None when the batch is gone
+    device_shifted: Optional[jax.Array] = None
+    device_mask: Optional[jax.Array] = None
 
 
 @functools.partial(
@@ -309,28 +314,43 @@ def _classic_pipeline(
     return shifted, lo, seg
 
 
-def segment_cloud(
-    cloud: HostPointCloud,
-    config: PipelineConfig = DEFAULT_CONFIG,
-    *,
-    signed_normals: bool = False,
-) -> PipelineOutput:
-    """Segment an in-memory cloud; returns labeled output + plane table."""
-    timings = {}
-    t0 = time.perf_counter()
+@jax.jit
+def _labels_i16(plane_idx):
+    """Labels as int16 for the device→host fetch (ids ∈ [-1, 32767])."""
+    return plane_idx.astype(jnp.int16)
 
+
+def _prepare_upload(cloud: HostPointCloud, config: PipelineConfig):
+    """Host-side shift + compact device upload.
+
+    The bbox shift (reference: buildingSeg ctor, TMC3.cpp:58-72) is an
+    int32 subtract — ~10 ms/Mpt on host vs a 0.4 s device→host fetch of
+    the shifted array through the tunnel, so it runs HERE and the
+    shifted coordinates are kept host-side for the PLY writer.  The
+    device pipeline still applies its own shift_to_origin; on
+    pre-shifted input its bbox min is exactly 0 per axis, so device and
+    host agree bit-for-bit on every coordinate.
+
+    Returns (batch, shifted_host int32[N,3], lo_host int32[3]).
+    """
     n = cloud.count
     capacity = config.padded_count(n)
-    batch = PointBatch.from_numpy(cloud.positions, capacity=capacity)
-    k_search = max(config.knn_k_pad, config.normal_max_nn)
+    if n:
+        lo_h = cloud.positions.min(axis=0).astype(np.int32)
+        shifted_h = (cloud.positions - lo_h[None, :]).astype(np.int32)
+    else:
+        lo_h = np.zeros(3, np.int32)
+        shifted_h = np.zeros((0, 3), np.int32)
+    batch = PointBatch.upload(shifted_h, capacity=capacity)
+    return batch, shifted_h, lo_h
 
-    t1 = time.perf_counter()
-    timings["host_to_device"] = t1 - t0
 
-    shifted, lo, seg = run_device_pipeline(
+def _dispatch_device(batch, config: PipelineConfig, signed_normals: bool):
+    """Dispatch the device pipeline (async) for an uploaded batch."""
+    return run_device_pipeline(
         batch.positions,
         batch.mask,
-        k_search=k_search,
+        k_search=max(config.knn_k_pad, config.normal_max_nn),
         knn_k=config.knn_k,
         normal_radius=config.normal_radius,
         normal_max_nn=config.normal_max_nn,
@@ -340,7 +360,7 @@ def segment_cloud(
         max_planes=config.max_planes,
         max_sweeps=config.max_sweeps,
         signed_normals=signed_normals,
-        knn_method=resolve_knn_method(config, capacity),
+        knn_method=resolve_knn_method(config, batch.capacity),
         knn_window_size=config.knn_window,
         th_seed_curvature=config.th_seed_curvature,
         convergence_tol=config.seg_convergence_tol,
@@ -348,11 +368,22 @@ def segment_cloud(
         seg_levels=config.seg_levels,
         seg_refine_sweeps=config.seg_refine_sweeps,
     )
-    jax.block_until_ready(seg.plane_idx)
-    t2 = time.perf_counter()
-    timings["device_pipeline"] = t2 - t1
 
-    plane_idx = np.asarray(seg.plane_idx)[:n]
+
+def _finish_output(
+    cloud, shifted_h, lo_h, shifted_dev, mask_dev, seg, pidx16,
+    config: PipelineConfig, timings: dict,
+) -> PipelineOutput:
+    """Fetch labels, colorize, assemble the host-side PipelineOutput.
+
+    All device→host traffic of the epilogue lives here so multi-scan
+    callers can run it on a writer thread, overlapped with the next
+    scan's upload/compute.  Labels travel as int16 (ids ≤ max_planes ≤
+    32767) — half the bytes of the int32 array through the tunnel.
+    """
+    n = cloud.count
+    t2 = time.perf_counter()
+    plane_idx = np.asarray(pidx16)[:n].astype(np.int32)
     num_planes = int(seg.num_planes)
     colors = colorize_planes(
         plane_idx,
@@ -365,7 +396,7 @@ def segment_cloud(
     # 131-136, 173-181); only the colors are replaced by
     # set_plane_color
     out_cloud = HostPointCloud(
-        positions=np.asarray(shifted)[:n],
+        positions=shifted_h,
         colors=colors,
         reflectances=cloud.reflectances,
         frame_idx=cloud.frame_idx,
@@ -373,7 +404,7 @@ def segment_cloud(
     )
     t3 = time.perf_counter()
     timings["colorize_host"] = t3 - t2
-    timings["total"] = t3 - t0
+    timings["total"] = t3 - timings.pop("_t0")
     timings["mpoints_per_sec"] = n / max(timings["total"], 1e-9) / 1e6
 
     diag = np.asarray(seg.diagnostics)
@@ -384,14 +415,44 @@ def segment_cloud(
         plane_normals=np.asarray(seg.plane_normal)[:num_planes],
         plane_centers=np.asarray(seg.plane_center)[:num_planes],
         plane_counts=np.asarray(seg.plane_count)[:num_planes],
-        bbox_min=np.asarray(lo),
+        # the device shift is 0 on pre-shifted input; the original bbox
+        # min was computed host-side in _prepare_upload
+        bbox_min=lo_h,
         timings=timings,
+        device_shifted=shifted_dev,
+        device_mask=mask_dev,
         diagnostics={
             "peak_live_labels": int(diag[0]),
             "labels_over_merge_cap": int(diag[1]),
             "planes_over_capacity": int(diag[2]),
             "hit_max_sweeps": int(diag[3]),
         },
+    )
+
+
+def segment_cloud(
+    cloud: HostPointCloud,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    signed_normals: bool = False,
+) -> PipelineOutput:
+    """Segment an in-memory cloud; returns labeled output + plane table."""
+    timings = {"_t0": time.perf_counter()}
+    t0 = timings["_t0"]
+
+    batch, shifted_h, lo_h = _prepare_upload(cloud, config)
+
+    t1 = time.perf_counter()
+    timings["host_to_device"] = t1 - t0
+
+    shifted, lo, seg = _dispatch_device(batch, config, signed_normals)
+    pidx16 = _labels_i16(seg.plane_idx)
+    jax.block_until_ready(pidx16)
+    timings["device_pipeline"] = time.perf_counter() - t1
+
+    return _finish_output(
+        cloud, shifted_h, lo_h, shifted, batch.mask, seg, pidx16,
+        config, timings,
     )
 
 
@@ -440,44 +501,62 @@ def segment_files(
     """
     import concurrent.futures as _futures
 
-    outputs = []
     input_paths = list(input_paths)
     output_paths = list(output_paths)
+
+    def _load_scan(path):
+        """Reader-thread stage: decode + host shift + device upload.
+
+        The upload (the largest single host→device transfer) rides the
+        reader thread so it overlaps the PREVIOUS scan's device compute
+        and epilogue instead of serializing on the main loop."""
+        t0 = time.perf_counter()
+        cloud = read_ply(path, position_scale=config.position_scale)
+        cfg = dataclasses.replace(
+            config, pad_to_multiple=_bucket_capacity(cloud.count, config)
+        )
+        batch, shifted_h, lo_h = _prepare_upload(cloud, cfg)
+        jax.block_until_ready(batch.positions)
+        return cloud, cfg, batch, shifted_h, lo_h, time.perf_counter() - t0
+
     with _futures.ThreadPoolExecutor(max_workers=1) as rpool, \
             _futures.ThreadPoolExecutor(max_workers=1) as wpool:
-        pending = [
-            rpool.submit(read_ply, p, position_scale=config.position_scale)
-            for p in input_paths[:2]
-        ]
+        pending = [rpool.submit(_load_scan, p) for p in input_paths[:2]]
         writes = []
         for i, (in_path, out_path) in enumerate(
             zip(input_paths, output_paths)
         ):
-            cloud = pending[i].result()
+            cloud, cfg, batch, shifted_h, lo_h, t_load = pending[i].result()
             if i + 2 < len(input_paths):
-                pending.append(
-                    rpool.submit(
-                        read_ply,
-                        input_paths[i + 2],
-                        position_scale=config.position_scale,
-                    )
-                )
-            bucket = _bucket_capacity(cloud.count, config)
-            cfg = dataclasses.replace(config, pad_to_multiple=bucket)
-            out = segment_cloud(cloud, cfg, signed_normals=signed_normals)
+                pending.append(rpool.submit(_load_scan, input_paths[i + 2]))
+            # main loop only DISPATCHES device work (async); every
+            # device→host fetch happens on the writer thread
+            t0 = time.perf_counter()
+            shifted, lo, seg = _dispatch_device(batch, cfg, signed_normals)
+            pidx16 = _labels_i16(seg.plane_idx)
+            timings = {"_t0": t0, "host_to_device": t_load}
             writes.append(
                 wpool.submit(
-                    _write_and_render, out, in_path, out_path, config,
-                    render_dir,
+                    _finish_and_write, cloud, shifted_h, lo_h, shifted,
+                    batch.mask, seg, pidx16, cfg, timings, in_path,
+                    out_path, config, render_dir,
                 )
             )
-            outputs.append(out)
-        for w in writes:
-            w.result()  # surface writer exceptions
+        outputs = [w.result() for w in writes]
     return outputs
 
 
-def _write_and_render(out, in_path, out_path, config, render_dir):
+def _finish_and_write(
+    cloud, shifted_h, lo_h, shifted, mask_dev, seg, pidx16, cfg,
+    timings, in_path, out_path, config, render_dir,
+):
+    """Writer-thread stage: fetch/colorize, write the labeled PLY, and
+    render the ortho PNGs (raster dispatch reuses the device-resident
+    shifted positions — no re-upload)."""
+    out = _finish_output(
+        cloud, shifted_h, lo_h, shifted, mask_dev, seg, pidx16, cfg,
+        timings,
+    )
     write_ply(
         out.cloud,
         out_path,
@@ -491,6 +570,7 @@ def _write_and_render(out, in_path, out_path, config, render_dir):
 
         base = os.path.splitext(os.path.basename(in_path))[0]
         render_ortho_views(out, os.path.join(render_dir, base), config)
+    return out
 
 
 def dump_stages(

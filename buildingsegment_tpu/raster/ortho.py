@@ -26,6 +26,7 @@ encoding is host-side.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Tuple
 
@@ -59,6 +60,7 @@ def ground_threshold(
     z_extent: int,
     *,
     bin_height: int = 1000,
+    z_true=None,
 ) -> jax.Array:
     """Quantized-median ground height (TMC3.cpp:181-198).
 
@@ -97,6 +99,10 @@ def ground_threshold(
     # if none exceeds (empty cloud), it falls off the end (i = size)
     i = jnp.argmax(cum > half)
     i = jnp.where(jnp.any(cum > half), i, num_bins)
+    if z_true is not None:
+        # z_extent is a padded shape bucket (see render_ortho_views);
+        # the fall-off-the-end quirk must use the TRUE bin count
+        i = jnp.minimum(i, z_true // bin_height + 1)
     return (i * bin_height).astype(jnp.int32)
 
 
@@ -105,12 +111,22 @@ def compute_ortho_images(
     mask: jax.Array,
     extent: Tuple[int, int, int],
     config: PipelineConfig = DEFAULT_CONFIG,
+    *,
+    true_extent=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Mean-height / log-density / (zero) rasters.
 
     Args:
         positions: int32[N, 3] shifted coords.
-        extent: static (x, y, z) bbox extents of the original cloud.
+        extent: static (x, y, z) bbox extents of the original cloud —
+            or, with ``true_extent`` given, a padded SHAPE BUCKET (so
+            nearby scan extents share one compiled program; every
+            distinct exact extent would otherwise recompile, minutes
+            each on a remote-compile TPU).  Cells beyond the true
+            extent receive no points and stay zero; callers slice the
+            raster to the true canvas before normalizing.
+        true_extent: optional dynamic int32[3] exact extents (only the
+            z component is consumed, by the ground-histogram quirk).
 
     Returns:
         (mean_height f32[H, W], log_density f32[H, W], zeros f32[H, W]),
@@ -119,7 +135,8 @@ def compute_ortho_images(
     width = extent[0] // config.raster_bin + 2
     height = extent[1] // config.raster_bin + 2
     th = ground_threshold(
-        positions, mask, extent[2], bin_height=config.raster_bin_height
+        positions, mask, extent[2], bin_height=config.raster_bin_height,
+        z_true=None if true_extent is None else true_extent[2],
     )
     density, height_sum = bilinear_splat(
         positions,
@@ -153,26 +170,77 @@ def normalize_to_png(channel: np.ndarray, target_channel: int) -> np.ndarray:
     return img
 
 
+def _bucket_extent(e: int, cell: int, cells_mult: int = 64) -> int:
+    """Round an extent up so the canvas dimension (e//cell + 2) lands on
+    a multiple of ``cells_mult`` — nearby scan extents then share one
+    compiled raster program instead of recompiling per exact extent."""
+    cells = e // cell + 2
+    cells = -(-cells // cells_mult) * cells_mult
+    return (cells - 2) * cell
+
+
+@functools.lru_cache(maxsize=None)
+def _ortho_jit(extent, raster_bin, raster_bin_height, density_offset):
+    cfg = PipelineConfig(
+        raster_bin=raster_bin,
+        raster_bin_height=raster_bin_height,
+        raster_density_offset=density_offset,
+    )
+
+    @jax.jit
+    def run(positions, mask, true_ext):
+        return compute_ortho_images(
+            positions, mask, extent, cfg, true_extent=true_ext
+        )
+
+    return run
+
+
 def render_ortho_views(pipeline_output, out_dir: str, config: PipelineConfig = DEFAULT_CONFIG) -> dict:
     """Render and write the three reference PNGs; returns their paths.
 
     ``pipeline_output`` is a :class:`~buildingsegment_tpu.pipeline
-    .PipelineOutput` (shifted cloud + bbox info).
+    .PipelineOutput` (shifted cloud + bbox info).  When it carries the
+    device-resident shifted positions (``device_shifted``), the raster
+    reuses them — no 12 MB/scan re-upload; extents are computed in
+    PADDED shape buckets and the rasters sliced back to the true canvas
+    (identical pixels: padded cells receive no points).
     """
     os.makedirs(out_dir, exist_ok=True)
     pos = pipeline_output.cloud.positions
     n = pos.shape[0]
-    extent = tuple(int(e) for e in pos.max(axis=0)) if n else (0, 0, 0)
-    mean_h, logd, ch2 = compute_ortho_images(
-        jnp.asarray(pos), jnp.ones((n,), bool), extent, config
+    true_extent = (
+        tuple(int(e) for e in pos.max(axis=0)) if n else (0, 0, 0)
     )
+    bucket = (
+        _bucket_extent(true_extent[0], config.raster_bin),
+        _bucket_extent(true_extent[1], config.raster_bin),
+        _bucket_extent(true_extent[2], config.raster_bin_height, 8),
+    )
+    if pipeline_output.device_shifted is not None:
+        dpos = pipeline_output.device_shifted
+        dmask = pipeline_output.device_mask
+    else:
+        dpos = jnp.asarray(pos)
+        dmask = jnp.ones((n,), bool)
+    run = _ortho_jit(
+        bucket, config.raster_bin, config.raster_bin_height,
+        config.raster_density_offset,
+    )
+    mean_h, logd, ch2 = run(
+        dpos, dmask, jnp.asarray(true_extent, jnp.int32)
+    )
+    true_w = true_extent[0] // config.raster_bin + 2
+    true_h = true_extent[1] // config.raster_bin + 2
     paths = {}
     for name, raster, chan in (
         (MEAN_HEIGHT_PNG, mean_h, 0),     # mean height → R (TMC3.cpp:93-98)
         (DENSITY_PNG, logd, 1),           # log density → G (TMC3.cpp:103-108)
         (DENSITY_HEIGHT_PNG, ch2, 1),     # blank ch2 → G (TMC3.cpp:112-119)
     ):
-        img = normalize_to_png(np.asarray(raster), chan)
+        img = normalize_to_png(
+            np.asarray(raster)[:true_h, :true_w], chan
+        )
         path = os.path.join(out_dir, name)
         write_png(path, img)
         paths[name] = path

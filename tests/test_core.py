@@ -36,6 +36,35 @@ class TestPointBatch:
         np.testing.assert_array_equal(out["colors"], col)
         np.testing.assert_array_equal(out["plane_idx"], [-1] * 4)
 
+    def test_upload_matches_from_numpy(self):
+        # compact uint16 path (non-negative, small extent)
+        pos = np.array([[0, 7, 3], [65000, 5, 6], [1, 2, 3]], np.int32)
+        a = PointBatch.from_numpy(pos, capacity=8)
+        b = PointBatch.upload(pos, capacity=8)
+        np.testing.assert_array_equal(
+            np.asarray(a.positions), np.asarray(b.positions)
+        )
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+    def test_upload_int32_fallback(self):
+        # negative / large coords fall back to an int32 transfer
+        for pos in (
+            np.array([[-5, 2, 3], [4, 5, 6]], np.int32),
+            np.array([[70000, 2, 3], [4, 5, 6]], np.int32),
+        ):
+            a = PointBatch.from_numpy(pos, capacity=4)
+            b = PointBatch.upload(pos, capacity=4)
+            np.testing.assert_array_equal(
+                np.asarray(a.positions), np.asarray(b.positions)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a.mask), np.asarray(b.mask)
+            )
+
+    def test_upload_empty(self):
+        b = PointBatch.upload(np.zeros((0, 3), np.int32), capacity=4)
+        assert not np.asarray(b.mask).any()
+
     def test_gather_reorders_all_fields(self):
         pos = np.array([[0, 0, 0], [1, 1, 1], [2, 2, 2]], np.int32)
         b = PointBatch.from_numpy(pos, capacity=4)

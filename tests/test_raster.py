@@ -66,6 +66,70 @@ class TestOrthoImages:
         assert np.isclose(ld[1, 1], np.log(2.0) + 20.0)
         assert (np.asarray(ch2) == 0).all()
 
+    def test_bucketed_extent_matches_exact(self, rng=None):
+        # the multiscan path rasters on a PADDED shape bucket and slices
+        # back; pixels inside the true canvas must be identical
+        rng = np.random.default_rng(7)
+        pos = rng.integers(0, 5000, (500, 3)).astype(np.int32)
+        ext = tuple(int(e) for e in pos.max(axis=0))
+        from buildingsegment_tpu.raster.ortho import _bucket_extent
+
+        bucket = (
+            _bucket_extent(ext[0], 100),
+            _bucket_extent(ext[1], 100),
+            _bucket_extent(ext[2], 1000, 8),
+        )
+        mask = jnp.ones(len(pos), bool)
+        exact = compute_ortho_images(jnp.asarray(pos), mask, ext)
+        padded = compute_ortho_images(
+            jnp.asarray(pos), mask, bucket,
+            true_extent=jnp.asarray(ext, jnp.int32),
+        )
+        tw = ext[0] // 100 + 2
+        th = ext[1] // 100 + 2
+        for e, p in zip(exact, padded):
+            np.testing.assert_allclose(
+                np.asarray(p)[:th, :tw], np.asarray(e), rtol=1e-6
+            )
+            # padded cells receive no points
+            assert not np.asarray(p)[th:].any()
+            assert not np.asarray(p)[:, tw:].any()
+
+    def test_render_views_device_reuse(self, tmp_path):
+        # render from a PipelineOutput carrying device arrays must match
+        # the host-array path pixel-for-pixel
+        from buildingsegment_tpu.pipeline import PipelineOutput
+        from buildingsegment_tpu.raster.ortho import render_ortho_views
+        from buildingsegment_tpu.io.ply import HostPointCloud
+        from buildingsegment_tpu.io.png import read_png
+
+        rng = np.random.default_rng(3)
+        pos = rng.integers(0, 3000, (300, 3)).astype(np.int32)
+        cap = 512
+        dpos = jnp.full((cap, 3), 2**24, jnp.int32).at[:300].set(pos)
+        dmask = jnp.zeros((cap,), bool).at[:300].set(True)
+
+        def out(device):
+            return PipelineOutput(
+                cloud=HostPointCloud(positions=pos),
+                plane_idx=np.zeros(300, np.int32),
+                num_planes=0,
+                plane_normals=np.zeros((0, 3), np.float32),
+                plane_centers=np.zeros((0, 3), np.float32),
+                plane_counts=np.zeros(0, np.int32),
+                bbox_min=np.zeros(3, np.int32),
+                timings={},
+                device_shifted=dpos if device else None,
+                device_mask=dmask if device else None,
+            )
+
+        pa = render_ortho_views(out(True), str(tmp_path / "a"))
+        pb = render_ortho_views(out(False), str(tmp_path / "b"))
+        for k in pa:
+            ia = np.asarray(read_png(pa[k]))
+            ib = np.asarray(read_png(pb[k]))
+            np.testing.assert_array_equal(ia, ib)
+
     def test_png_normalization(self):
         raster = np.array([[0.0, 5.0], [10.0, 2.5]])
         img = normalize_to_png(raster, 1)
