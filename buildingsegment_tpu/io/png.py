@@ -86,26 +86,48 @@ def read_png(path: str) -> np.ndarray:
     c = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(idat)
     stride = w * c
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG data")
+
+    # filter-tag sanity up front (the native path reports only rc)
+    tags = np.frombuffer(raw, np.uint8)[: h * (stride + 1)].reshape(
+        h, stride + 1
+    )[:, 0]
+    bad = tags[tags > 4]
+    if bad.size:
+        raise ValueError(f"unsupported filter {int(bad[0])}")
+
+    # hot path: native defilter (the Sub/Average/Paeth recurrences are
+    # sequential per scanline — pathological as a per-byte Python loop)
+    from buildingsegment_tpu.native.binding import png_defilter_native
+
+    out = png_defilter_native(raw, h, stride, c)
+    if out is not None:
+        return out.reshape(h, w, c)
+
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        filt = raw[y * (stride + 1)]
+        filt = tags[y]
         line = np.frombuffer(
             raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
         ).copy()
         if filt == 0:
             pass
+        elif filt == 1:  # Sub: per-channel prefix sum mod 256
+            cols = line.reshape(w, c).astype(np.int64)
+            line = (np.cumsum(cols, axis=0) & 0xFF).astype(
+                np.uint8
+            ).reshape(stride)
         elif filt == 2:  # Up
             line = (line.astype(np.int32) + prev).astype(np.uint8)
-        elif filt in (1, 3, 4):  # Sub / Average / Paeth — sequential
+        else:  # Average / Paeth — sequential left dependency
             line = line.astype(np.int32)
             pv = prev.astype(np.int32)
             for i in range(stride):
                 a = line[i - c] if i >= c else 0
                 b = pv[i]
-                if filt == 1:
-                    line[i] = (line[i] + a) & 0xFF
-                elif filt == 3:
+                if filt == 3:
                     line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
                 else:
                     cc = pv[i - c] if i >= c else 0
@@ -114,8 +136,6 @@ def read_png(path: str) -> np.ndarray:
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
                     line[i] = (line[i] + pred) & 0xFF
             line = line.astype(np.uint8)
-        else:
-            raise ValueError(f"unsupported filter {filt}")
         out[y] = line
         prev = out[y]
     return out.reshape(h, w, c)

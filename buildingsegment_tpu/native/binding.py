@@ -85,12 +85,40 @@ def _load():
         ctypes.c_double,
     ]
     lib.bst_ply_write.restype = ctypes.c_int
+    lib.bst_png_defilter.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.bst_png_defilter.restype = ctypes.c_int
     _lib = lib
     return _lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def png_defilter_native(
+    raw: bytes, h: int, stride: int, bpp: int
+) -> Optional[np.ndarray]:
+    """Defilter PNG scanlines natively; uint8[h, stride] or None
+    (None → caller should use the numpy/python fallback)."""
+    lib = _load()
+    if lib is None:
+        return None
+    rawb = np.frombuffer(raw, np.uint8)
+    if rawb.size < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), np.uint8)
+    rc = lib.bst_png_defilter(
+        rawb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, stride, bpp,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
 
 
 def read_ply_native(path: str, position_scale: float = 1.0):

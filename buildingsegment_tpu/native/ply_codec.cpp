@@ -432,4 +432,59 @@ int bst_ply_write(const char* path, const int32_t* pos,
   return wrote == buf.size() ? 0 : -3;
 }
 
+// PNG scanline defilter (spec filters 0-4).  The decoder's cold path
+// for foreign PNGs: Sub/Average/Paeth carry a left-pixel dependency
+// that cannot vectorize in numpy, so the per-byte recurrence runs here
+// (the reference links stb_image for decode; our encoder itself only
+// emits filter 0).  `raw` holds h scanlines, each 1 filter byte +
+// stride bytes; `out` receives h*stride recon bytes.  Returns 0, or
+// -1 on an out-of-spec filter tag.
+int bst_png_defilter(const uint8_t* raw, int64_t h, int64_t stride,
+                     int64_t bpp, uint8_t* out) {
+  const uint8_t* prev = nullptr;
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* line = raw + y * (stride + 1);
+    const uint8_t filt = line[0];
+    ++line;
+    uint8_t* o = out + y * stride;
+    switch (filt) {
+      case 0:
+        std::memcpy(o, line, stride);
+        break;
+      case 1:  // Sub
+        for (int64_t i = 0; i < stride; ++i)
+          o[i] = (uint8_t)(line[i] + (i >= bpp ? o[i - bpp] : 0));
+        break;
+      case 2:  // Up
+        for (int64_t i = 0; i < stride; ++i)
+          o[i] = (uint8_t)(line[i] + (prev ? prev[i] : 0));
+        break;
+      case 3:  // Average
+        for (int64_t i = 0; i < stride; ++i) {
+          const int a = i >= bpp ? o[i - bpp] : 0;
+          const int b = prev ? prev[i] : 0;
+          o[i] = (uint8_t)(line[i] + ((a + b) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (int64_t i = 0; i < stride; ++i) {
+          const int a = i >= bpp ? o[i - bpp] : 0;
+          const int b = prev ? prev[i] : 0;
+          const int c = (prev && i >= bpp) ? prev[i - bpp] : 0;
+          const int p = a + b - c;
+          const int pa = p > a ? p - a : a - p;
+          const int pb = p > b ? p - b : b - p;
+          const int pc = p > c ? p - c : c - p;
+          const int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          o[i] = (uint8_t)(line[i] + pred);
+        }
+        break;
+      default:
+        return -1;
+    }
+    prev = o;
+  }
+  return 0;
+}
+
 }  // extern "C"
