@@ -67,6 +67,19 @@ def main():
 
     _enable_compile_cache()
 
+    # A dead TPU client can wedge the terminal's session lock; each
+    # backend-init attempt blocks ~25 min then raises UNAVAILABLE.
+    # Retry a couple of times so a transient wedge doesn't void the
+    # whole benchmark run.
+    for attempt in range(3):
+        try:
+            jax.devices()
+            break
+        except RuntimeError:
+            if attempt == 2:
+                raise
+            time.sleep(60)
+
     from buildingsegment_tpu.config import PipelineConfig
     from buildingsegment_tpu.core.morton import morton_argsort
     from buildingsegment_tpu.dist.mesh import make_mesh
