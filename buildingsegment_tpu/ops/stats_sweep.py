@@ -58,8 +58,10 @@ def _lane_pad(tile, w):
     return (-(tile + 2 * w)) % 128
 
 
-def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *, tile, w,
-                  r_k, r_cap, r2, mxu_count=False):
+def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *scratch, tile, w,
+                  r_k, r_cap, r2, mxu_count=False, store_offsets=False):
+    if store_offsets:
+        dxs, dys, dzs = scratch
     ti = pl.program_id(0)
     dma = pltpu.make_async_copy(
         slab_hbm.at[:, pl.ds(ti * tile, tile + 2 * w + _lane_pad(tile, w))],
@@ -86,6 +88,13 @@ def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *, tile, w,
         dbits[slot, :] = lax.bitcast_convert_type(
             jnp.where(valid, d2, inf), jnp.int32
         )
+        if store_offsets:
+            # aligned phase-3 reads: the lane-offset slab loads above
+            # are the misaligned (vror-heavy) part of the sweep;
+            # staging the offsets once lets phase 3 stream [slot, :]
+            dxs[slot, :] = dx
+            dys[slot, :] = dy
+            dzs[slot, :] = dz
 
     if r_k or r_cap:
         # ---- phase 2: bisection for the two order statistics.
@@ -169,9 +178,14 @@ def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *, tile, w,
     syz = jnp.zeros((tile,), jnp.float32)
     for slot in range(2 * w):
         start = slot if slot < w else slot + 1
-        dx = row(0, start) - px
-        dy = row(1, start) - py
-        dz = row(2, start) - pz
+        if store_offsets:
+            dx = dxs[slot, :]
+            dy = dys[slot, :]
+            dz = dzs[slot, :]
+        else:
+            dx = row(0, start) - px
+            dy = row(1, start) - py
+            dz = row(2, start) - pz
         d2 = lax.bitcast_convert_type(dbits[slot, :], jnp.float32)
         # invalid candidates carry +inf and fail the (finite) cap
         uw = jnp.where(d2 <= r_eff2, 1.0, 0.0).astype(jnp.float32)
@@ -205,10 +219,11 @@ def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *, tile, w,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "k", "w", "tile", "max_nn", "radius",
-                     "interpret"),
+                     "interpret", "store_offsets"),
 )
 def fused_stats_sweep(slab, n, *, k, w, tile, radius,
-                      max_nn=None, interpret=False):
+                      max_nn=None, interpret=False,
+                      store_offsets=False):
     """Run the stats kernel over a pre-built slab.
 
     Slab rows (``window_sweep.make_slab``, rows_out=8): 0-2 position,
@@ -223,7 +238,16 @@ def fused_stats_sweep(slab, n, *, k, w, tile, radius,
         _stats_kernel, tile=tile, w=w, r_k=k - 1,
         r_cap=(max_nn - 1) if cap_active else 0,
         r2=float(radius) * float(radius),
+        store_offsets=store_offsets,
     )
+    scratch = [
+        pltpu.VMEM((_ROWS, tile + 2 * w + _lane_pad(tile, w)),
+                   jnp.float32),
+        pltpu.VMEM((w2, tile), jnp.int32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if store_offsets:
+        scratch += [pltpu.VMEM((w2, tile), jnp.float32)] * 3
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
@@ -233,12 +257,7 @@ def fused_stats_sweep(slab, n, *, k, w, tile, radius,
         out_specs=pl.BlockSpec((16, tile), lambda ti: (0, ti),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((_ROWS, tile + 2 * w + _lane_pad(tile, w)),
-                       jnp.float32),
-            pltpu.VMEM((w2, tile), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # Mosaic's unrolled offset loops keep ~4.7 B/tile-row of

@@ -62,14 +62,14 @@ def main():
 
     out = {"points": n}
 
-    def run(w, tile, k=15, max_nn=50):
+    def run(w, tile, k=15, max_nn=50, store_offsets=False):
         slab = make_slab(
             [sposf[:, 0], sposf[:, 1], sposf[:, 2], smaskf],
             [-3e7, -3e7, -3e7, 0.0], w, tile, rows_out=8,
         )
         return fused_stats_sweep(
             slab, capacity, k=k, w=w, tile=tile, radius=100.0,
-            max_nn=max_nn,
+            max_nn=max_nn, store_offsets=store_offsets,
         )
 
     for w, tile in [(64, 8192), (64, 16384), (64, 4096), (48, 8192),
@@ -79,6 +79,14 @@ def main():
             out[f"w{w}_t{tile}_ms"] = round(dt * 1e3, 2)
         except Exception as e:
             out[f"w{w}_t{tile}_error"] = type(e).__name__
+    # aligned phase 3: offsets staged in VMEM during phase 1
+    for w, tile in [(64, 8192), (48, 8192)]:
+        try:
+            dt = timed(lambda w=w, tile=tile: run(w, tile,
+                                                  store_offsets=True))
+            out[f"w{w}_t{tile}_stored_ms"] = round(dt * 1e3, 2)
+        except Exception as e:
+            out[f"w{w}_t{tile}_stored_error"] = type(e).__name__
     # cap off: single-rank bisection
     dt = timed(lambda: run(64, 8192, max_nn=None))
     out["w64_t8192_nocap_ms"] = round(dt * 1e3, 2)
