@@ -106,6 +106,28 @@ def make_slab(rows, fills, w, tile, axis_name=None, rows_out=_ROWS):
     return slab
 
 
+def make_spine(pos_xyz, nrm_xyz, maskf, w, tile, axis_name=None):
+    """The STATIC 8-row slab shared by every sweep of one solve:
+    rows 0-2 position, 3-5 normal, 6 mask, 7 zero.
+
+    Seeds and refinement rebuild only their per-sweep row (the seed
+    ball / the plane id) as a 4-row dynamic slab — at 1M points the
+    full 8-row rebuild per sweep was ~2 ms of pure XLA copy each."""
+    px, py, pz = pos_xyz
+    nx, ny, nz = nrm_xyz
+    return make_slab(
+        [px, py, pz, nx, ny, nz, maskf],
+        [-3e7, -3e7, -3e7, 0.0, 0.0, 0.0, 0.0],
+        w, tile, axis_name=axis_name, rows_out=8,
+    )
+
+
+def make_dyn_row(row, fill, w, tile, axis_name=None):
+    """A single per-sweep row as a 4-row slab (sublane-aligned DMA)."""
+    return make_slab([row], [fill], w, tile, axis_name=axis_name,
+                     rows_out=4)
+
+
 def _sweep_call(kernel, slab, n, w, tile, interpret, n_out=1):
     """Run ``kernel`` over row tiles of a pre-built slab.
 
@@ -206,16 +228,26 @@ def build_plane_table(plane_normal, plane_center):
 
 def _refine_table_kernel(nchunk_ref, slab_hbm, table_ref, out_ref, slab,
                          sem, *, tile, w, th_thickness, th_normal_cos,
-                         edge_gate2, big_pid, signed, clean, adopt):
+                         edge_gate2, big_pid, signed, clean, adopt,
+                         dyn_hbm=None, dyn=None, sem2=None):
     ti = pl.program_id(0)
     width = tile + 2 * w + _lane_pad(tile, w)
     dma = pltpu.make_async_copy(
         slab_hbm.at[:, pl.ds(ti * tile, width)], slab, sem,
     )
     dma.start()
+    if dyn is not None:
+        dma2 = pltpu.make_async_copy(
+            dyn_hbm.at[:, pl.ds(ti * tile, width)], dyn, sem2,
+        )
+        dma2.start()
     dma.wait()
+    if dyn is not None:
+        dma2.wait()
 
-    pidrow = slab[6, :]
+    # pair layout: spine row 6 = mask, dyn row 0 = plane id;
+    # single-slab layout: row 6 = plane id, row 7 = mask
+    pidrow = dyn[0, :] if dyn is not None else slab[6, :]
 
     def chunk(c, macc):
         base = (c * _PCHUNK).astype(jnp.float32) + 1.0  # id p ↔ row p-1
@@ -245,7 +277,7 @@ def _refine_table_kernel(nchunk_ref, slab_hbm, table_ref, out_ref, slab,
     # cleaning): does the row's own plane still accept it?
     prx, pry, prz = slab[0, :], slab[1, :], slab[2, :]
     nrx, nry, nrz = slab[3, :], slab[4, :], slab[5, :]
-    mrow = slab[7, :]
+    mrow = slab[6, :] if dyn is not None else slab[7, :]
     mnx_f, mny_f, mnz_f, mb_f = macc[0], macc[1], macc[2], macc[3]
     d_self = jnp.abs(prx * mnx_f + pry * mny_f + prz * mnz_f - mb_f)
     c_self = cmag(nrx * mnx_f + nry * mny_f + nrz * mnz_f)
@@ -264,7 +296,7 @@ def _refine_table_kernel(nchunk_ref, slab_hbm, table_ref, out_ref, slab,
 
     px, py, pz = srow(0, w), srow(1, w), srow(2, w)
     nx, ny, nz = srow(3, w), srow(4, w), srow(5, w)
-    mask0 = srow(7, w)
+    mask0 = srow(6, w) if dyn is not None else srow(7, w)
     keep0 = vrow(eff_pid_f, w)
 
     best = jnp.full((tile,), big_pid, jnp.float32)
@@ -294,6 +326,75 @@ def _refine_table_kernel(nchunk_ref, slab_hbm, table_ref, out_ref, slab,
     out_ref[...] = jnp.where(
         keep0 > 0.5, keep0, jnp.where(best < big_pid, best, 0.0)
     )
+
+
+def _refine_table_kernel_pair(nchunk_ref, spine_hbm, dyn_hbm, table_ref,
+                              out_ref, slab, dyn, sem, sem2, **cfg):
+    _refine_table_kernel(
+        nchunk_ref, spine_hbm, table_ref, out_ref, slab, sem,
+        dyn_hbm=dyn_hbm, dyn=dyn, sem2=sem2, **cfg,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "w", "tile", "th_thickness", "th_normal_cos", "edge_gate2",
+        "big_pid", "signed", "clean", "adopt", "interpret",
+    ),
+)
+def refine_table_sweep_pair(
+    spine, dyn, n, table, n_live, *, w,
+    tile, th_thickness, th_normal_cos, edge_gate2, big_pid,
+    signed=False, clean=False, adopt=True, interpret=None,
+):
+    """Refinement sweep over a shared spine + per-sweep plane-id row.
+
+    Same contract as :func:`refine_table_sweep`; spine from
+    :func:`make_spine` (rows 0-2 position, 3-5 normal, 6 mask), dyn
+    from :func:`make_dyn_row` (row 0 = plane id, 0 = none)."""
+    n_pad = -(-n // tile) * tile
+    width = tile + 2 * w + _lane_pad(tile, w)
+    n_chunk_cap = table.shape[0]
+    n_chunks = jnp.minimum(
+        (n_live.astype(jnp.int32) + _PCHUNK - 1) // _PCHUNK, n_chunk_cap
+    ).reshape((1,))
+    kernel = functools.partial(
+        _refine_table_kernel_pair, tile=tile, w=w,
+        th_thickness=th_thickness, th_normal_cos=th_normal_cos,
+        edge_gate2=edge_gate2, big_pid=big_pid, signed=signed,
+        clean=clean, adopt=adopt,
+    )
+    if interpret is None:
+        interpret = _interpret_default()
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((n_chunk_cap, 8, _PCHUNK), lambda ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda ti: (ti,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, width), jnp.float32),
+            pltpu.VMEM((4, width), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(n_chunks, spine, dyn, table)
+    if n_pad != n:
+        out = lax.slice(out, (0,), (n,))
+    return out
 
 
 @functools.partial(
@@ -369,6 +470,100 @@ def refine_table_sweep(
 # 8-row slab: 0-2 position, 3-5 normal, 6 = squared k-th-NN ball,
 # 7 = mask
 # ----------------------------------------------------------------------
+
+
+def _seed_kernel_pair(spine_hbm, dyn_hbm, out_ref, spine, dyn, sem, sem2,
+                      *, tile, w, th_thickness, th_normal_cos, signed):
+    ti = pl.program_id(0)
+    width = tile + 2 * w + _lane_pad(tile, w)
+    dma = pltpu.make_async_copy(
+        spine_hbm.at[:, pl.ds(ti * tile, width)], spine, sem,
+    )
+    dma2 = pltpu.make_async_copy(
+        dyn_hbm.at[:, pl.ds(ti * tile, width)], dyn, sem2,
+    )
+    dma.start()
+    dma2.start()
+    dma.wait()
+    dma2.wait()
+
+    def row(i, s):
+        return spine[i, pl.ds(s, tile)]
+
+    px, py, pz = row(0, w), row(1, w), row(2, w)
+    nx, ny, nz = row(3, w), row(4, w), row(5, w)
+    dk = dyn[0, pl.ds(w, tile)]
+    mask0 = row(6, w)
+    bad = jnp.zeros((tile,), jnp.float32)
+    for slot in range(2 * w):
+        start = slot if slot < w else slot + 1
+        dx = row(0, start) - px
+        dy = row(1, start) - py
+        dz = row(2, start) - pz
+        d2 = dx * dx + dy * dy + dz * dz
+        in_ball = (d2 <= dk) & (row(6, start) > 0.5) & (mask0 > 0.5)
+        pd = jnp.abs(dx * nx + dy * ny + dz * nz)
+        pc = (
+            row(3, start) * nx + row(4, start) * ny + row(5, start) * nz
+        )
+        if not signed:
+            pc = jnp.abs(pc)
+        fails = in_ball & ~(
+            (pd <= th_thickness) & (pc >= th_normal_cos)
+        )
+        bad = jnp.maximum(bad, jnp.where(fails, 1.0, 0.0))
+    out_ref[...] = bad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "w", "tile", "th_thickness", "th_normal_cos", "signed",
+        "interpret",
+    ),
+)
+def seed_sweep_pair(
+    spine, dyn, n, *, w, tile, th_thickness, th_normal_cos,
+    signed=False, interpret=None,
+):
+    """Seed sweep over a shared spine + per-solve dk row.
+
+    Same contract as :func:`seed_sweep`; spine from :func:`make_spine`
+    (rows 0-2 position, 3-5 normal, 6 mask), dyn from
+    :func:`make_dyn_row` (row 0 = squared k-th-NN ball)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n_pad = -(-n // tile) * tile
+    width = tile + 2 * w + _lane_pad(tile, w)
+    kernel = functools.partial(
+        _seed_kernel_pair, tile=tile, w=w, th_thickness=th_thickness,
+        th_normal_cos=th_normal_cos, signed=signed,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda ti: (ti,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, width), jnp.float32),
+            pltpu.VMEM((4, width), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(spine, dyn)
+    if n_pad != n:
+        out = lax.slice(out, (0,), (n,))
+    return out
 
 
 def _seed_kernel(slab_hbm, out_ref, slab, sem, *, tile, w,

@@ -167,6 +167,29 @@ def segment_planes_multigrid(
     )
     gmask = (cnt > 0) & coherent
 
+    # Shared STATIC slab (position/normal/mask rows) for the seed sweep
+    # and every refine sweep of this solve — each used to rebuild the
+    # full 8-row slab (~2 ms of XLA copy per sweep at 1M points)
+    from buildingsegment_tpu.ops.window_sweep import (
+        build_plane_table,
+        make_dyn_row,
+        make_spine,
+        pick_tile,
+        refine_table_sweep_pair,
+    )
+
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    nx_, ny_, nz_ = nrm[:, 0], nrm[:, 1], nrm[:, 2]
+    tile = pick_tile(n, 32768)  # fewer grid steps (see window_seeds)
+    on_tpu = jax.devices()[0].platform != "cpu" and tile
+    maskf = mask.astype(jnp.float32)
+    spine = (
+        make_spine((px, py, pz), (nx_, ny_, nz_), maskf, window, tile,
+                   axis_name=axis_name)
+        if on_tpu
+        else None
+    )
+
     # coarse seed rule: the group contains a strict fine-level seed
     # (the gather-free windowized depth-0 rule — see window_seeds)
     if kth_sq_dist is not None:
@@ -185,6 +208,8 @@ def segment_planes_multigrid(
             th_normal_cos=th_normal_cos,
             signed_normals=signed_normals,
             axis_name=axis_name,
+            spine=spine,
+            spine_tile=tile if spine is not None else 0,
         )
     if curvature is not None and th_seed_curvature is not None:
         fine_seed = fine_seed & (curvature <= jnp.float32(th_seed_curvature))
@@ -263,34 +288,20 @@ def segment_planes_multigrid(
         pn.astype(jnp.float32) * pc.astype(jnp.float32), axis=-1
     )
     ws = window
-    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
-    nx_, ny_, nz_ = nrm[:, 0], nrm[:, 1], nrm[:, 2]
     edge_gate2 = float(
         max_edge_dist if max_edge_dist is not None else 2.0 * th_thickness
     ) ** 2
 
-    from buildingsegment_tpu.ops.window_sweep import (
-        build_plane_table,
-        make_slab,
-        pick_tile,
-        refine_table_sweep,
-    )
-
-    tile = pick_tile(n, 32768)  # fewer grid steps (see window_seeds)
-    on_tpu = jax.devices()[0].platform != "cpu" and tile
     if on_tpu:
         table = build_plane_table(pn, pc)
-        maskf = mask.astype(jnp.float32)
         pid = pid0
         for s in range(max(1, refine_sweeps)):
-            slab = make_slab(
-                [px, py, pz, nx_, ny_, nz_,
-                 pid.astype(jnp.float32), maskf],
-                [-3e7, -3e7, -3e7, 0.0, 0.0, 0.0, 0.0, 0.0],
-                ws, tile, axis_name=axis_name, rows_out=8,
+            dyn = make_dyn_row(
+                pid.astype(jnp.float32), 0.0, ws, tile,
+                axis_name=axis_name,
             )
-            pid_f = refine_table_sweep(
-                slab, n, table, n_live,
+            pid_f = refine_table_sweep_pair(
+                spine, dyn, n, table, n_live,
                 w=ws, tile=tile,
                 th_thickness=float(th_thickness),
                 th_normal_cos=float(th_normal_cos),

@@ -72,7 +72,7 @@ _JUMP_ROUNDS = int(os.environ.get("BST_JUMP_ROUNDS", "2"))
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "window", "signed_normals", "axis_name",
+        "window", "signed_normals", "axis_name", "spine_tile",
         # static so the TPU Pallas branch can bake them into the kernel
         "th_thickness", "th_normal_cos",
     ),
@@ -88,6 +88,8 @@ def window_seeds(
     th_normal_cos: float = 0.88,
     signed_normals: bool = False,
     axis_name: str = None,
+    spine: Optional[jax.Array] = None,
+    spine_tile: int = 0,
 ) -> jax.Array:
     """Strict depth-0 seed rule over ±window slices, gather-free.
 
@@ -119,15 +121,32 @@ def window_seeds(
     # Pallas mega-kernel on TPU (VMEM-resident slab; see
     # ops/window_sweep.py); CPU keeps the XLA path
     from buildingsegment_tpu.ops.window_sweep import (
+        make_dyn_row,
         make_slab,
         pick_tile,
         seed_sweep,
+        seed_sweep_pair,
     )
 
     # tile 32768 = half the grid steps of 16384; lab-measured ~1 ms
     # faster on the seed kernel at 1M (tools/perf_slab_lab.py)
     tile = pick_tile(n, 32768)
     if jax.devices()[0].platform != "cpu" and tile:
+        if spine is not None and spine_tile == tile:
+            # shared spine (coarse.py builds it once per solve); only
+            # the seed-ball row is assembled here
+            dyn = make_dyn_row(
+                kth_sq_dist.astype(jnp.float32), 0.0, ws, tile,
+                axis_name=axis_name,
+            )
+            bad_f = seed_sweep_pair(
+                spine, dyn, n,
+                w=ws, tile=tile,
+                th_thickness=float(th_thickness),
+                th_normal_cos=float(th_normal_cos),
+                signed=signed_normals,
+            )
+            return mask & (bad_f < 0.5)
         slab = make_slab(
             [px, py, pz, nx_, ny_, nz_,
              kth_sq_dist.astype(jnp.float32),

@@ -150,6 +150,87 @@ class TestRefineTableSweep:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+class TestPairSlabVariants:
+    """spine+dyn pair kernels must equal their single-slab originals."""
+
+    def test_refine_pair_matches_single(self, scene):
+        from buildingsegment_tpu.ops.window_sweep import (
+            make_dyn_row,
+            make_spine,
+            refine_table_sweep_pair,
+        )
+
+        pos, nrm, mask, n = scene
+        w = 16
+        rng = np.random.default_rng(2)
+        max_planes = 256
+        n_live = 140
+        pid = jnp.asarray(
+            rng.integers(0, n_live + 1, size=(n,)).astype(np.int32)
+        )
+        pn = rng.normal(size=(max_planes, 3)).astype(np.float32)
+        pn /= np.linalg.norm(pn, axis=1, keepdims=True)
+        pc = rng.uniform(0, 10000, size=(max_planes, 3)).astype(np.float32)
+        pn, pc = jnp.asarray(pn), jnp.asarray(pc)
+        tile = pick_tile(n, 1024)
+        table = build_plane_table(pn, pc)
+        kw = dict(
+            w=w, tile=tile, th_thickness=300.0, th_normal_cos=0.88,
+            edge_gate2=600.0**2, big_pid=float(max_planes + 1),
+            clean=True, adopt=True, interpret=True,
+        )
+        slab = make_slab(
+            [pos[:, 0], pos[:, 1], pos[:, 2],
+             nrm[:, 0], nrm[:, 1], nrm[:, 2],
+             pid.astype(jnp.float32), mask.astype(jnp.float32)],
+            [-3e7, -3e7, -3e7, 0.0, 0.0, 0.0, 0.0, 0.0],
+            w, tile, rows_out=8,
+        )
+        want = refine_table_sweep(
+            slab, n, table, jnp.int32(n_live), **kw
+        )
+        spine = make_spine(
+            (pos[:, 0], pos[:, 1], pos[:, 2]),
+            (nrm[:, 0], nrm[:, 1], nrm[:, 2]),
+            mask.astype(jnp.float32), w, tile,
+        )
+        dyn = make_dyn_row(pid.astype(jnp.float32), 0.0, w, tile)
+        got = refine_table_sweep_pair(
+            spine, dyn, n, table, jnp.int32(n_live), **kw
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_seed_pair_matches_single(self, scene):
+        from buildingsegment_tpu.ops.window_sweep import (
+            make_dyn_row,
+            make_spine,
+            seed_sweep_pair,
+        )
+
+        pos, nrm, mask, n = scene
+        w = 16
+        tile = pick_tile(n, 1024)
+        dk = jnp.full((n,), 500.0**2, jnp.float32)
+        slab = make_slab(
+            [pos[:, 0], pos[:, 1], pos[:, 2],
+             nrm[:, 0], nrm[:, 1], nrm[:, 2],
+             dk, mask.astype(jnp.float32)],
+            [-3e7, -3e7, -3e7, 0.0, 0.0, 0.0, 0.0, 0.0],
+            w, tile, rows_out=8,
+        )
+        kw = dict(w=w, tile=tile, th_thickness=300.0,
+                  th_normal_cos=0.88, interpret=True)
+        want = seed_sweep(slab, n, **kw)
+        spine = make_spine(
+            (pos[:, 0], pos[:, 1], pos[:, 2]),
+            (nrm[:, 0], nrm[:, 1], nrm[:, 2]),
+            mask.astype(jnp.float32), w, tile,
+        )
+        dyn = make_dyn_row(dk, 0.0, w, tile)
+        got = seed_sweep_pair(spine, dyn, n, **kw)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 class TestSeedSweep:
     def test_matches_window_seeds(self, scene):
         pos, nrm, mask, n = scene
