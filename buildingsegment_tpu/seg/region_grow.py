@@ -837,15 +837,6 @@ def segment_planes(
                 mrg_ok = has & (clab < label) & near & mutual
                 best = jnp.minimum(best, jnp.where(mrg_ok, clab, inf_label))
 
-        # 4a. hook window merges: parent[label] min= best — per-shard
-        # partial scatter into the global parent table, one pmin
-        parent = (
-            jnp.concatenate([idx_arange, jnp.array([inf_label])])
-            .at[jnp.where(best < inf_label, label, ng)]
-            .min(best)
-        )[:ng]
-        parent = _allreduce(parent, "min")
-
         # 4b. global coplanar-overlap pairs on the compact table
         # (anchor-pure models via the shared 16-col derivation)
         n_tab, c_tab, r_tab, _cnt_tab = acc_models(acc[top_lab])
@@ -880,12 +871,23 @@ def segment_planes(
             ok_pair & (la != lb), jnp.minimum(la, lb), inf_label
         )
         row_min = jnp.min(pair_lo, axis=1)  # [L]
-        # replicated scatter (global pairs are identical on every shard)
+
+        # 4a+4b. ONE combined scatter-min hooks both merge kinds:
+        # window hooks (per-shard partial; resolved by the pmin) and
+        # global pairs (replicated — identical on every shard, so the
+        # pmin is a no-op on those rows).  Each scatter hides a sort of
+        # its update rows; merging halves that per-sweep cost.
+        idx_cat = jnp.concatenate([
+            jnp.where(best < inf_label, label, ng),
+            jnp.where(row_min < inf_label, top_lab, ng),
+        ])
+        val_cat = jnp.concatenate([best, row_min])
         parent = (
-            jnp.concatenate([parent, jnp.array([inf_label])])
-            .at[jnp.where(row_min < inf_label, top_lab, ng)]
-            .min(row_min)
+            jnp.concatenate([idx_arange, jnp.array([inf_label])])
+            .at[idx_cat]
+            .min(val_cat)
         )[:ng]
+        parent = _allreduce(parent, "min")
 
         # 4c. collapse merge chains by jump-doubling over the FULL [ng]
         # label space (replicated when sharded — the table is already
