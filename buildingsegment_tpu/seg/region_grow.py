@@ -410,6 +410,17 @@ def segment_planes(
         agree = cmag(jnp.sum(sum_nrm_src * anc, axis=-1))
         return (label < inf_label) & (agree >= jnp.float32(th_anchor_cos))
 
+    # Label-invariant payload columns, assembled ONCE (loop bodies only
+    # mask them): [cnt, Σn̂, Σp, Σ|p|²]
+    _sq1 = jnp.sum(pos * pos, -1, keepdims=True)
+    _payload8_sq = jnp.concatenate(
+        [jnp.ones((n, 1), jnp.float32), sum_nrm_src, pos, _sq1], axis=1
+    )
+    _payload8 = jnp.concatenate(
+        [jnp.ones((n, 1), jnp.float32), sum_nrm_src, pos,
+         jnp.zeros((n, 1), jnp.float32)], axis=1
+    )
+
     def stats_payload(label, valid, with_sq):
         """Per-point scatter payload for the per-label stats table.
 
@@ -418,16 +429,12 @@ def segment_planes(
         on — one combined scatter either way (each XLA scatter-add
         hides a full sort of its update rows).
         """
-        sq1 = (
-            jnp.sum(pos * pos, -1, keepdims=True)
-            if with_sq
-            else jnp.zeros((n, 1), jnp.float32)
-        )
-        cols = [jnp.ones((n, 1), jnp.float32), sum_nrm_src, pos, sq1]
+        base = _payload8_sq if with_sq else _payload8
         if anchor_gate:
             wp = purity(label).astype(jnp.float32)[:, None]
-            cols += [wp, sum_nrm_src * wp, pos * wp, sq1 * wp]
-        payload = jnp.concatenate(cols, axis=1)
+            payload = jnp.concatenate([base, base * wp], axis=1)
+        else:
+            payload = base
         return jnp.where(valid[:, None], payload, 0.0)
 
     # 2. seed-anchored label propagation to a fixed point.
@@ -765,13 +772,16 @@ def segment_planes(
         live = top_lab >= 0
         top_lab = jnp.maximum(top_lab, 0)
 
-        # 3. slice sweep: hop-min + merge-hook candidates
+        # 3. slice sweep: hop-min + merge-hook candidates.  ONE packed
+        # [ng, 6] model gather (XLA gathers pay per-op fixed cost on
+        # top of their ~2 GB/s streaming rate — two [ng, 3] gathers
+        # cost two of each)
         safe = jnp.clip(label, 0, ng - 1)
         has = label < inf_label
-        mpn = jnp.where(has[:, None], model_n[safe], 0.0)
-        mpc = jnp.where(has[:, None], model_c[safe], 0.0)
-        mnx, mny, mnz = mpn[:, 0], mpn[:, 1], mpn[:, 2]
-        mcx, mcy, mcz = mpc[:, 0], mpc[:, 1], mpc[:, 2]
+        model_nc = jnp.concatenate([model_n, model_c], axis=1)
+        mp = jnp.where(has[:, None], model_nc[safe], 0.0)
+        mnx, mny, mnz = mp[:, 0], mp[:, 1], mp[:, 2]
+        mcx, mcy, mcz = mp[:, 3], mp[:, 4], mp[:, 5]
 
         if _use_kernel:
             slab = make_slab(
