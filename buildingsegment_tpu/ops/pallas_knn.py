@@ -69,7 +69,7 @@ def _banded(ci: jax.Array, home: jax.Array, num_c: int) -> jax.Array:
 
 def _kernel(count_ref, meta_ref, q_ref, pos_hbm, best_d_ref,
             best_i_ref, cbuf, sem, tau_ref, *, kk: int, qt: int, ct: int,
-            n: int):
+            n: int, static_rounds: bool = False):
     qi = pl.program_id(0)
     q_start = qi * qt
 
@@ -160,12 +160,20 @@ def _kernel(count_ref, meta_ref, q_ref, pos_hbm, best_d_ref,
                 # over tied values is where compiled Mosaic and the
                 # interpreter disagree, so min/max slots are located by
                 # equality plus a first-occurrence mask instead.
-                cnt_below = jnp.sum(
-                    jnp.where(d < worst_rows[:, None], 1.0, 0.0), axis=1
-                )
-                rounds = jnp.minimum(
-                    jnp.max(cnt_below), float(kk)
-                ).astype(jnp.int32)
+                if static_rounds:
+                    # fixed kk-round trip count: wasted rounds no-op,
+                    # but Mosaic can fully unroll/pipeline the loop
+                    # (lab knob — the dynamic bound may be what keeps
+                    # the measured rate ~8x below the op-count model)
+                    rounds = jnp.int32(kk)
+                else:
+                    cnt_below = jnp.sum(
+                        jnp.where(d < worst_rows[:, None], 1.0, 0.0),
+                        axis=1,
+                    )
+                    rounds = jnp.minimum(
+                        jnp.max(cnt_below), float(kk)
+                    ).astype(jnp.int32)
 
                 def mround(_, carry):
                     dd, bd, bi = carry
@@ -215,7 +223,8 @@ def _kernel(count_ref, meta_ref, q_ref, pos_hbm, best_d_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "query_tile", "cand_tile", "interpret")
+    jax.jit, static_argnames=("k", "query_tile", "cand_tile", "interpret",
+                              "static_rounds")
 )
 def knn_pallas(
     positions: jax.Array,
@@ -225,6 +234,7 @@ def knn_pallas(
     query_tile: int = 128,
     cand_tile: int = 1024,
     interpret: bool = False,
+    static_rounds: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact brute-force kNN via the bbox-pruned Pallas kernel.
 
@@ -326,7 +336,8 @@ def knn_pallas(
     )  # [num_q, num_c, 8]
 
     kernel = functools.partial(
-        _kernel, kk=kk, qt=query_tile, ct=cand_tile, n=n
+        _kernel, kk=kk, qt=query_tile, ct=cand_tile, n=n,
+        static_rounds=static_rounds,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

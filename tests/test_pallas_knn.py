@@ -29,6 +29,17 @@ class TestPallasKnn:
         np.testing.assert_array_equal(idx[:n, 0], np.arange(n))
         np.testing.assert_allclose(d[:n], od**2, rtol=1e-6, atol=0.01)
 
+    def test_static_rounds_matches_kdtree(self, rng):
+        pts = rng.integers(0, 5000, size=(500, 3)).astype(np.int32)
+        pos, mask, n = _pad(pts, 512)
+        idx, d = knn_pallas(
+            pos, mask, k=15, query_tile=128, cand_tile=128,
+            interpret=True, static_rounds=True,
+        )
+        d = np.asarray(d)
+        od, _ = cKDTree(pts.astype(np.float64)).query(pts, k=15)
+        np.testing.assert_allclose(d[:n], od**2, rtol=1e-6, atol=0.01)
+
     def test_sorted_ascending(self, rng):
         pts = rng.integers(0, 2000, size=(256, 3)).astype(np.int32)
         pos, mask, n = _pad(pts, 256)

@@ -76,6 +76,18 @@ def main():
             out[f"qt{qt}_ct{ct}_mpts"] = round(n / dt / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out[f"qt{qt}_ct{ct}_error"] = type(e).__name__
+    # static merge-round trip count (Mosaic unroll/pipeline probe)
+    for qt, ct in ([(128, 1024)] if quick else [(128, 1024), (256, 1024)]):
+        try:
+            dt = timed(
+                lambda qt=qt, ct=ct: knn_pallas(
+                    spos, smask, k=16, query_tile=qt, cand_tile=ct,
+                    static_rounds=True,
+                )
+            )
+            out[f"qt{qt}_ct{ct}_static_mpts"] = round(n / dt / 1e6, 3)
+        except Exception as e:  # pragma: no cover
+            out[f"qt{qt}_ct{ct}_static_error"] = type(e).__name__
     print(json.dumps(out))
 
 
