@@ -77,14 +77,14 @@ class PipelineConfig:
     # th_anchor_cos): members feed their region's mean model only when
     # their normal agrees with the region seed's normal by this cosine
     # (≤ th_normal_cos disables).  Guards the running mean against
-    # ridge blend-strip drift in the SINGLE-LEVEL solver; at the
-    # multigrid COARSE level the coherence filter already excludes
-    # blend groups and the anchor instead over-fragments (quality
-    # sweep: house40 0.830/14 planes with anchor vs 0.952/7 without;
-    # block 0.942 vs 0.953) — so the production multigrid path
-    # disables it, which also drops the purity gather + half the
-    # stats-scatter width per sweep.
-    seg_anchor_cos: float = 0.0
+    # ridge blend-strip drift: tools/anchor_sweep.py (production path)
+    # shows 0.95 separates shallow-dihedral ridges that merge at every
+    # lower value, and is equal-or-better on every other scene.
+    # ``None`` (the default) lets each solver use its default (both
+    # 0.95); every pipeline entry (sharded or not) must thread this
+    # identically — a round-3 regression had the sharded path at 0.0
+    # and the unsharded at 0.95, silently breaking 8-shard ≡ 1-shard.
+    seg_anchor_cos: Optional[float] = None
 
     # --- colorize ---
     color_low: int = 55             # 55 + rand() % 200 per channel

@@ -131,8 +131,12 @@ def sharded_grow_body(mesh: Mesh, config: PipelineConfig, *,
             max_sweeps=config.max_sweeps,
             convergence_tol=config.seg_convergence_tol,
             signed_normals=signed_normals,
-            th_anchor_cos=config.seg_anchor_cos,
         )
+        # None → the solver's own default (multigrid 0.0, single-level
+        # 0.95) — MUST match pipeline._window_stage2's treatment or
+        # 8-shard ≢ 1-shard (tests/test_dist.py pins this)
+        if config.seg_anchor_cos is not None:
+            seg_kwargs["th_anchor_cos"] = config.seg_anchor_cos
         s = spos.shape[0]
         if _mg_path(config, s):
             dk, normals, curv = stats

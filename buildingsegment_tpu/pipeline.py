@@ -149,7 +149,7 @@ def _window_stage2(
     spos, smask, order, stats, *, knn_k, th_thickness, th_normal_cos,
     th_point_count, max_planes, max_sweeps, signed_normals,
     th_seed_curvature, convergence_tol, seg_group, seg_levels,
-    seg_refine_sweeps, use_stats, seg_anchor_cos=0.95,
+    seg_refine_sweeps, use_stats, seg_anchor_cos=None,
 ):
     """Window-path stage 2: region growing + unsort.
 
@@ -169,8 +169,12 @@ def _window_stage2(
         max_sweeps=max_sweeps,
         convergence_tol=convergence_tol,
         signed_normals=signed_normals,
-        th_anchor_cos=seg_anchor_cos,
     )
+    # None → each solver's own measured-best default (multigrid 0.0,
+    # single-level 0.95); every entry point must treat None the same
+    # way or 8-shard ≢ 1-shard (see PipelineConfig.seg_anchor_cos)
+    if seg_anchor_cos is not None:
+        seg_kwargs["th_anchor_cos"] = seg_anchor_cos
     if use_stats:
         dk, normals, curv = stats
         rows_i = jnp.arange(spos.shape[0], dtype=jnp.int32)
@@ -216,7 +220,7 @@ def run_device_pipeline(
     seg_group: int = 1,
     seg_levels: int = 1,
     seg_refine_sweeps: int = 2,
-    seg_anchor_cos: float = 0.95,
+    seg_anchor_cos=None,
 ):
     """The on-device portion: shift → kNN → normals → segmentation.
 
@@ -320,6 +324,38 @@ def _labels_i16(plane_idx):
     return plane_idx.astype(jnp.int16)
 
 
+@jax.jit
+def _pack_epilogue(seg):
+    """Pack every SMALL epilogue output into ONE f32 vector.
+
+    Each ``np.asarray`` through the axon tunnel costs a ~30-110 ms
+    round trip regardless of size; fetching num_planes, diagnostics,
+    plane_count, plane_normal, plane_center separately was ~5 round
+    trips (≈0.3 s) per scan.  Layout: [num_planes, num_sweeps,
+    diag(4), count(P), normal(P*3), center(P*3)] — f32 is exact for
+    every field (counts < 2^24)."""
+    p = seg.plane_count.shape[0]
+    return jnp.concatenate([
+        jnp.stack([
+            seg.num_planes.astype(jnp.float32),
+            seg.num_sweeps.astype(jnp.float32),
+        ]),
+        seg.diagnostics.astype(jnp.float32),
+        seg.plane_count.astype(jnp.float32),
+        seg.plane_normal.astype(jnp.float32).reshape(p * 3),
+        seg.plane_center.astype(jnp.float32).reshape(p * 3),
+    ])
+
+
+def _unpack_epilogue(vec, p):
+    num_planes = int(vec[0])
+    diag = vec[2:6].astype(np.int64)
+    count = vec[6:6 + p].astype(np.int32)
+    normal = vec[6 + p:6 + 4 * p].reshape(p, 3)
+    center = vec[6 + 4 * p:6 + 7 * p].reshape(p, 3)
+    return num_planes, diag, count, normal, center
+
+
 def _prepare_upload(cloud: HostPointCloud, config: PipelineConfig):
     """Host-side shift + compact device upload.
 
@@ -384,7 +420,10 @@ def _finish_output(
     n = cloud.count
     t2 = time.perf_counter()
     plane_idx = np.asarray(pidx16)[:n].astype(np.int32)
-    num_planes = int(seg.num_planes)
+    p_cap = seg.plane_count.shape[0]
+    num_planes, diag, p_count, p_normal, p_center = _unpack_epilogue(
+        np.asarray(_pack_epilogue(seg)), p_cap
+    )
     colors = colorize_planes(
         plane_idx,
         num_planes,
@@ -407,14 +446,13 @@ def _finish_output(
     timings["total"] = t3 - timings.pop("_t0")
     timings["mpoints_per_sec"] = n / max(timings["total"], 1e-9) / 1e6
 
-    diag = np.asarray(seg.diagnostics)
     return PipelineOutput(
         cloud=out_cloud,
         plane_idx=plane_idx,
         num_planes=num_planes,
-        plane_normals=np.asarray(seg.plane_normal)[:num_planes],
-        plane_centers=np.asarray(seg.plane_center)[:num_planes],
-        plane_counts=np.asarray(seg.plane_count)[:num_planes],
+        plane_normals=p_normal[:num_planes],
+        plane_centers=p_center[:num_planes],
+        plane_counts=p_count[:num_planes],
         # the device shift is 0 on pre-shifted input; the original bbox
         # min was computed host-side in _prepare_upload
         bbox_min=lo_h,

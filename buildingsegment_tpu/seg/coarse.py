@@ -88,11 +88,14 @@ def segment_planes_multigrid(
     group: int = 8,
     refine_sweeps: int = 2,
     levels: int = 1,
-    # anchor-pure models OFF by default at the coarse level: the
-    # coarsening coherence filter already excludes normal-blend groups,
-    # and the anchor gate measurably over-fragments there (see
-    # PipelineConfig.seg_anchor_cos)
-    th_anchor_cos: float = 0.0,
+    # anchor-pure models ON by default — tools/anchor_sweep.py through
+    # the PRODUCTION pipeline: 0.95 separates shallow-dihedral ridges
+    # (shallow6 0.9945/3 planes vs 0.876/2 merged at every value below
+    # 0.95) and is equal-or-better everywhere else (house40s 0.9856 vs
+    # 0.9833, house80 0.9551 vs 0.9513, block identical).  The earlier
+    # claim that the anchor over-fragments the coarse level was an
+    # artifact of the old quality sweep's radius-300 proxy normals.
+    th_anchor_cos: float = 0.95,
     seed_override=None,
     axis_name: str = None,
 ) -> SegmentationResult:
