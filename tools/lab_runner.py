@@ -22,7 +22,13 @@ def main(names):
         print(f"=== {name} ===", flush=True)
         t0 = time.perf_counter()
         try:
-            importlib.import_module(name).main()
+            mod = importlib.import_module(name)
+            # a long-waiting runner may hold module objects imported
+            # hours ago — reload so the lab measures CURRENT code
+            # (buildingsegment_tpu itself still reflects import time;
+            # prefer fresh processes for package changes)
+            mod = importlib.reload(mod)
+            mod.main()
         except Exception:
             traceback.print_exc()
         print(f"=== {name} done in {time.perf_counter() - t0:.1f}s ===",
