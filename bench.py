@@ -155,18 +155,21 @@ def main():
     )
     extras["normals_mpts"] = round(n / dt / 1e6, 2)
 
+    # diagnostic: the non-multigrid single-level solver on a 128k slice
+    # (at 1M it is pathological by design — every sweep touches [N]
+    # tables; the production segmentation number is
+    # segmentation_multigrid_mpts below)
+    n1 = min(131072, spos.shape[0])
     dt, res = _timed(
         lambda: segment_planes(
-            spos, normals, nb_i[:, :15], smask,
-            neigh_sq_dist=nb_d[:, :15], max_edge_dist=600.0,
+            spos[:n1], normals[:n1], nb_i[:n1, :15], smask[:n1],
+            neigh_sq_dist=nb_d[:n1, :15], max_edge_dist=600.0,
             th_point_count=400, max_planes=1024,
             propagation="window", window=16,
             convergence_tol=cfg.seg_convergence_tol,
         )
     )
-    # diagnostic: the non-multigrid single-level solver (the production
-    # segmentation number is segmentation_multigrid_mpts below)
-    extras["segmentation_single_level_mpts"] = round(n / dt / 1e6, 2)
+    extras["segmentation_single_level_mpts"] = round(n1 / dt / 1e6, 2)
 
     from buildingsegment_tpu.seg.coarse import segment_planes_multigrid
 
