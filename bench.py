@@ -70,14 +70,23 @@ def main():
     # A dead TPU client can wedge the terminal's session lock; each
     # backend-init attempt blocks ~25 min then raises UNAVAILABLE.
     # Retry a couple of times so a transient wedge doesn't void the
-    # whole benchmark run.
+    # whole run; if the chip stays gone, still emit the contract's one
+    # JSON line (value 0) so the outage is recorded, not a crash.
     for attempt in range(3):
         try:
             jax.devices()
             break
-        except RuntimeError:
+        except RuntimeError as e:
             if attempt == 2:
-                raise
+                print(json.dumps({
+                    "metric": "end_to_end_segmentation_throughput",
+                    "value": 0.0,
+                    "unit": "Mpoints/sec",
+                    "vs_baseline": 0.0,
+                    "error": "tpu_backend_unavailable",
+                    "detail": str(e)[:200],
+                }))
+                return
             time.sleep(60)
 
     from buildingsegment_tpu.config import PipelineConfig
