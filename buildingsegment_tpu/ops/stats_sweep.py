@@ -58,8 +58,48 @@ def _lane_pad(tile, w):
     return (-(tile + 2 * w)) % 128
 
 
+def _bitonic_rows(x, m):
+    """Sort a [rows, c] block ascending along axis 0 (pad rows to m).
+
+    Batcher's bitonic network expressed as whole-array reshapes —
+    compare-exchange partners i ↔ i^j are rows i and i+j of the
+    [m//2j, 2, j, c] view, and the ascending/descending direction of a
+    pair depends only on its outer block index (bit log2(k) of i lies
+    strictly above the h/r bits, so it is constant per block).  All
+    shapes static; lane (minor) dim untouched — Mosaic lowers the
+    leading-dim reshapes as row relabeling, no data movement across
+    lanes.  Cost: ~log²(m)/2 stages of one min+max over [m, c], vs the
+    bisection's 31 × 2 × (count + reduce) — ~4× fewer vector ops, and
+    it yields EVERY order statistic at once.
+    """
+    rows, c = x.shape
+    if rows < m:
+        x = jnp.concatenate(
+            [x, jnp.full((m - rows, c), _INF_BITS, x.dtype)], axis=0
+        )
+    k = 2
+    while k <= m:
+        j = k // 2
+        while j >= 1:
+            xr = x.reshape(m // (2 * j), 2, j, c)
+            a, b = xr[:, 0], xr[:, 1]
+            lo = jnp.minimum(a, b)
+            hi = jnp.maximum(a, b)
+            blk = lax.broadcasted_iota(
+                jnp.int32, (m // (2 * j), 1, 1), 0
+            )
+            asc = (blk * (2 * j)) & k == 0
+            first = jnp.where(asc, lo, hi)
+            second = jnp.where(asc, hi, lo)
+            x = jnp.stack([first, second], axis=1).reshape(m, c)
+            j //= 2
+        k *= 2
+    return x
+
+
 def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *scratch, tile, w,
-                  r_k, r_cap, r2, mxu_count=False, store_offsets=False):
+                  r_k, r_cap, r2, mxu_count=False, store_offsets=False,
+                  rank_mode="bisect"):
     if store_offsets:
         dxs, dys, dzs = scratch
     ti = pl.program_id(0)
@@ -96,7 +136,40 @@ def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *scratch, tile, w,
             dys[slot, :] = dy
             dzs[slot, :] = dz
 
-    if r_k or r_cap:
+    if (r_k or r_cap) and rank_mode == "bitonic":
+        # ---- phase 2 (bitonic variant): fully sort each column of the
+        # distance block along the candidate axis with a Batcher
+        # network, then read the two wanted ranks directly.  Exactness
+        # matches the bisection (both return the r-th smallest bit
+        # pattern; only values are consumed, so ties are immaterial).
+        m = 1
+        while m < 2 * w:
+            m *= 2
+        cw = min(tile, 2048)
+        dk_parts, cap_parts = [], []
+        for cc in range(tile // cw):
+            srt = _bitonic_rows(dbits[:, pl.ds(cc * cw, cw)], m)
+            # r == 0 (e.g. k = 1) matches the bisection's fixed point
+            # at bits 0 → reported as 0.0
+            dk_parts.append(
+                srt[r_k - 1, :] if r_k
+                else jnp.zeros((cw,), jnp.int32)
+            )
+            cap_parts.append(
+                srt[r_cap - 1, :] if r_cap
+                else jnp.full((cw,), _INF_BITS, jnp.int32)
+            )
+        dk_bits = jnp.concatenate(dk_parts)
+        dk_f = lax.bitcast_convert_type(dk_bits, jnp.float32)
+        out_ref[0, :] = jnp.where(dk_bits >= _INF_BITS, 0.0, dk_f)
+        if r_cap:
+            cap_f = lax.bitcast_convert_type(
+                jnp.concatenate(cap_parts), jnp.float32
+            )
+            r_eff2 = jnp.minimum(jnp.float32(r2), cap_f)
+        else:
+            r_eff2 = jnp.full((tile,), jnp.float32(r2), jnp.float32)
+    elif r_k or r_cap:
         # ---- phase 2: bisection for the two order statistics.
         # Non-negative f32 order == int32 bit-pattern order; find the
         # smallest t with count(bits ≤ t) ≥ r — the r-th smallest.
@@ -219,11 +292,11 @@ def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *scratch, tile, w,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "k", "w", "tile", "max_nn", "radius",
-                     "interpret", "store_offsets"),
+                     "interpret", "store_offsets", "rank_mode"),
 )
 def fused_stats_sweep(slab, n, *, k, w, tile, radius,
                       max_nn=None, interpret=False,
-                      store_offsets=False):
+                      store_offsets=False, rank_mode="bisect"):
     """Run the stats kernel over a pre-built slab.
 
     Slab rows (``window_sweep.make_slab``, rows_out=8): 0-2 position,
@@ -238,7 +311,7 @@ def fused_stats_sweep(slab, n, *, k, w, tile, radius,
         _stats_kernel, tile=tile, w=w, r_k=k - 1,
         r_cap=(max_nn - 1) if cap_active else 0,
         r2=float(radius) * float(radius),
-        store_offsets=store_offsets,
+        store_offsets=store_offsets, rank_mode=rank_mode,
     )
     scratch = [
         pltpu.VMEM((_ROWS, tile + 2 * w + _lane_pad(tile, w)),
@@ -280,7 +353,7 @@ def fused_stats_sweep(slab, n, *, k, w, tile, radius,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "window", "radius", "max_nn", "orient_z",
-                     "axis_name", "use_kernel"),
+                     "axis_name", "use_kernel", "rank_mode"),
 )
 def knn_normals_window_stats(
     spos: jax.Array,
@@ -293,6 +366,7 @@ def knn_normals_window_stats(
     axis_name: str = None,
     max_nn: int = None,
     use_kernel: bool = None,
+    rank_mode: str = None,
 ):
     """Stats-only fused sweep → (kth_sq_dist, normals, curvature).
 
@@ -327,9 +401,13 @@ def knn_normals_window_stats(
         [-3e7, -3e7, -3e7, 0.0],
         window, tile, axis_name=axis_name, rows_out=8,
     )
+    if rank_mode is None:
+        import os
+
+        rank_mode = os.environ.get("BST_RANK_MODE", "bisect")
     dk, s0, s1, s2 = fused_stats_sweep(
         slab, n, k=k, w=window, tile=tile, radius=radius,
-        max_nn=max_nn, interpret=False,
+        max_nn=max_nn, interpret=False, rank_mode=rank_mode,
     )
     from buildingsegment_tpu.ops.fused import finish_normals
 

@@ -84,6 +84,32 @@ def test_kernel_matches_sorted_fused(sorted_cloud, k, w, radius, max_nn):
     )
 
 
+@pytest.mark.parametrize(
+    "k,w,max_nn",
+    [(15, 32, 50), (15, 24, None), (1, 32, 50)],  # w=24 → 48 rows ≠ 2^j
+)
+def test_bitonic_rank_variant_identical(sorted_cloud, k, w, max_nn):
+    """The bitonic sort returns the same order statistics (values) as
+    the bit-pattern bisection — bit-exact, including inf/degenerate
+    rows and non-power-of-two candidate counts (padded with +inf)."""
+    sposf, smask = sorted_cloud
+    slab = make_slab(
+        [sposf[:, 0], sposf[:, 1], sposf[:, 2],
+         smask.astype(jnp.float32)],
+        [-3e7, -3e7, -3e7, 0.0], w, 1024, rows_out=8,
+    )
+    base = fused_stats_sweep(
+        slab, sposf.shape[0], k=k, w=w, tile=1024, radius=100.0,
+        max_nn=max_nn, interpret=True,
+    )
+    var = fused_stats_sweep(
+        slab, sposf.shape[0], k=k, w=w, tile=1024, radius=100.0,
+        max_nn=max_nn, interpret=True, rank_mode="bitonic",
+    )
+    for a, b in zip(base, var):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_store_offsets_variant_identical(sorted_cloud):
     """The aligned-phase-3 variant is a pure scheduling change."""
     sposf, smask = sorted_cloud

@@ -62,7 +62,8 @@ def main():
 
     out = {"points": n}
 
-    def run(w, tile, k=15, max_nn=50, store_offsets=False):
+    def run(w, tile, k=15, max_nn=50, store_offsets=False,
+            rank_mode="bisect"):
         slab = make_slab(
             [sposf[:, 0], sposf[:, 1], sposf[:, 2], smaskf],
             [-3e7, -3e7, -3e7, 0.0], w, tile, rows_out=8,
@@ -70,6 +71,7 @@ def main():
         return fused_stats_sweep(
             slab, capacity, k=k, w=w, tile=tile, radius=100.0,
             max_nn=max_nn, store_offsets=store_offsets,
+            rank_mode=rank_mode,
         )
 
     for w, tile in [(64, 8192), (64, 16384), (64, 4096), (48, 8192),
@@ -87,6 +89,18 @@ def main():
             out[f"w{w}_t{tile}_stored_ms"] = round(dt * 1e3, 2)
         except Exception as e:
             out[f"w{w}_t{tile}_stored_error"] = type(e).__name__
+    # bitonic ranking: full column sort of the distance block instead
+    # of the 31-step bit bisection (~4x fewer vector ops)
+    for w, tile, store in [(64, 8192, False), (64, 8192, True),
+                           (48, 8192, False), (64, 16384, False),
+                           (64, 4096, False), (32, 8192, False)]:
+        tag = f"w{w}_t{tile}{'_stored' if store else ''}_bitonic"
+        try:
+            dt = timed(lambda w=w, tile=tile, store=store: run(
+                w, tile, store_offsets=store, rank_mode="bitonic"))
+            out[tag + "_ms"] = round(dt * 1e3, 2)
+        except Exception as e:
+            out[tag + "_error"] = f"{type(e).__name__}: {str(e)[:80]}"
     # cap off: single-rank bisection
     dt = timed(lambda: run(64, 8192, max_nn=None))
     out["w64_t8192_nocap_ms"] = round(dt * 1e3, 2)
