@@ -63,7 +63,7 @@ __all__ = ["segment_planes_multigrid"]
         "axis_name",
         # static so the TPU Pallas branch can bake them into the kernel
         "th_thickness", "th_normal_cos", "max_edge_dist",
-        "th_anchor_cos",
+        "th_anchor_cos", "compact",
     ),
 )
 def segment_planes_multigrid(
@@ -98,6 +98,7 @@ def segment_planes_multigrid(
     th_anchor_cos: float = 0.95,
     seed_override=None,
     axis_name: str = None,
+    compact: Optional[bool] = None,
 ) -> SegmentationResult:
     """Multigrid windowized plane segmentation (Morton-sorted input).
 
@@ -251,6 +252,7 @@ def segment_planes_multigrid(
             levels=levels - 1,
             th_anchor_cos=th_anchor_cos,
             axis_name=axis_name,
+            compact=compact,
         )
     else:
         coarse = segment_planes(
@@ -272,6 +274,7 @@ def segment_planes_multigrid(
             window=window,
             th_anchor_cos=th_anchor_cos,
             axis_name=axis_name,
+            compact=compact,
         )
 
     # ------------------------------------------------------------------

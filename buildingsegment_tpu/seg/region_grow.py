@@ -242,7 +242,7 @@ class SegmentationResult:
         "propagation", "window", "convergence_tol", "axis_name",
         # static so the TPU Pallas branch can bake them into the kernel
         "th_thickness", "th_normal_cos", "max_edge_dist",
-        "th_anchor_cos",
+        "th_anchor_cos", "compact",
     ),
 )
 def segment_planes(
@@ -267,6 +267,7 @@ def segment_planes(
     window: int = 16,
     th_anchor_cos: float = 0.95,
     axis_name: str = None,
+    compact: Optional[bool] = None,
 ) -> SegmentationResult:
     """Segment a point cloud into planar regions.
 
@@ -725,7 +726,7 @@ def segment_planes(
         r = jnp.sqrt(jnp.maximum(sq - jnp.sum(c * c, -1), 0.0))
         return sn / ln, c, r, cnt_a
 
-    def window_body(label):
+    def window_body(label, singleton=False):
         """One fused iteration of windowized region growing.
 
         Engineering shape (every TPU cost center gets exactly one
@@ -743,27 +744,64 @@ def segment_planes(
              [L]-sized gathers are free, unlike [N]-sized pointer
              chasing;
           5. one [N] gather applies the collapsed parents.
+
+        ``singleton=True`` specializes the FIRST sweep (labels are all
+        singletons — label == own gid or inf by construction): the
+        stats row of label g IS point g's payload row, its model IS the
+        point's own normal/position, and the anchor is the point's own
+        normal — the [N,16] scatter-add, the anchor-purity gather and
+        the packed [N,6] model gather all collapse to elementwise ops
+        (bit-identical values: a single-update scatter adds exactly one
+        term, and the same normalize runs either way).  Single-device
+        only (``valid`` is a local mask; the sharded path keeps the
+        psum'd table).
         """
         valid = label < inf_label
-        tgt = jnp.where(valid, label, ng)
 
-        # 1. combined segment stats over the global label space —
-        # per-shard partial scatters, one psum
-        payload = stats_payload(label, valid, with_sq=True)
-        acc = (
-            jnp.zeros((ng + 1, payload.shape[1]), jnp.float32)
-            .at[tgt]
-            .add(payload)
-        )[:ng]
-        acc = _allreduce(acc, "sum")
-        model_n, model_c, _model_r, cnt = acc_models(acc)
+        if singleton:
+            if anchor_gate:
+                agree = cmag(jnp.sum(sum_nrm_src * sum_nrm_src, -1))
+                pure_v = valid & (agree >= jnp.float32(th_anchor_cos))
+                payload = jnp.concatenate(
+                    [jnp.where(valid[:, None], _payload8_sq, 0.0),
+                     jnp.where(pure_v[:, None], _payload8_sq, 0.0)],
+                    axis=1,
+                )
+            else:
+                payload = jnp.where(valid[:, None], _payload8_sq, 0.0)
+            flag = valid
+            # own-row model: same normalize as acc_models on the
+            # single-update stats row
+            ln = jnp.sqrt(jnp.maximum(
+                jnp.sum(sum_nrm_src * sum_nrm_src, -1, keepdims=True),
+                1e-20,
+            ))
+            mp = jnp.where(
+                valid[:, None],
+                jnp.concatenate([sum_nrm_src / ln, pos], axis=1),
+                0.0,
+            )
+            acc = None
+        else:
+            tgt = jnp.where(valid, label, ng)
+
+            # 1. combined segment stats over the global label space —
+            # per-shard partial scatters, one psum
+            payload = stats_payload(label, valid, with_sq=True)
+            acc = (
+                jnp.zeros((ng + 1, payload.shape[1]), jnp.float32)
+                .at[tgt]
+                .add(payload)
+            )[:ng]
+            acc = _allreduce(acc, "sum")
+            model_n, model_c, _model_r, cnt = acc_models(acc)
+            flag = cnt > 0
 
         # 2. compact live labels → [L] slots (cumsum rank, no sort) —
         # replicated compute over the (replicated) stats table.  ONE
         # scatter: every slot < L written comes from a live label, so
         # the -1 sentinel doubles as the liveness mask (each scatter
         # hides a sort of its update rows).
-        flag = cnt > 0
         rank = prefix_sum_i32(flag.astype(jnp.int32))
         slot_of = jnp.where(flag & (rank <= L), rank - 1, L)  # [ng] by label
         top_lab = (
@@ -776,10 +814,11 @@ def segment_planes(
         # [ng, 6] model gather (XLA gathers pay per-op fixed cost on
         # top of their ~2 GB/s streaming rate — two [ng, 3] gathers
         # cost two of each)
-        safe = jnp.clip(label, 0, ng - 1)
-        has = label < inf_label
-        model_nc = jnp.concatenate([model_n, model_c], axis=1)
-        mp = jnp.where(has[:, None], model_nc[safe], 0.0)
+        has = valid
+        if not singleton:
+            safe = jnp.clip(label, 0, ng - 1)
+            model_nc = jnp.concatenate([model_n, model_c], axis=1)
+            mp = jnp.where(has[:, None], model_nc[safe], 0.0)
         mnx, mny, mnz = mp[:, 0], mp[:, 1], mp[:, 2]
         mcx, mcy, mcz = mp[:, 3], mp[:, 4], mp[:, 5]
 
@@ -848,8 +887,12 @@ def segment_planes(
                 best = jnp.minimum(best, jnp.where(mrg_ok, clab, inf_label))
 
         # 4b. global coplanar-overlap pairs on the compact table
-        # (anchor-pure models via the shared 16-col derivation)
-        n_tab, c_tab, r_tab, _cnt_tab = acc_models(acc[top_lab])
+        # (anchor-pure models via the shared 16-col derivation); the
+        # singleton sweep gathers the stats rows straight from the
+        # payload — row g of the virtual table IS payload row g
+        n_tab, c_tab, r_tab, _cnt_tab = acc_models(
+            payload[top_lab] if singleton else acc[top_lab]
+        )
         nc = jnp.sum(n_tab * c_tab, -1)
         ncT = jnp.dot(n_tab, c_tab.T, preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST)
@@ -927,6 +970,13 @@ def segment_planes(
             jnp.maximum(live_cnt - L, 0),
         )
 
+    # convergence by change-count tolerance: the final sweeps of an
+    # exact fixed point only relabel a handful of stragglers (which
+    # end up culled or absorbed either way) at full per-sweep cost.
+    # The change count is summed across shards so every shard takes
+    # the same number of sweeps (while_loop must stay collective).
+    tol_count = jnp.int32(max(1, int(convergence_tol * ng)))
+
     def body(state):
         label, _, it, peak_live, peak_over = state
         if propagation == "window":
@@ -939,12 +989,6 @@ def segment_planes(
                 new = one_hop(new, accepts)
             new = merge_labels(new, accepts, model_n, model_c)
             new, live, over = global_merge(new)
-        # convergence by change-count tolerance: the final sweeps of an
-        # exact fixed point only relabel a handful of stragglers (which
-        # end up culled or absorbed either way) at full per-sweep cost.
-        # The change count is summed across shards so every shard takes
-        # the same number of sweeps (while_loop must stay collective).
-        tol_count = jnp.int32(max(1, int(convergence_tol * ng)))
         n_changed = _allreduce(
             jnp.sum((new != label).astype(jnp.int32)), "sum"
         )
@@ -957,10 +1001,174 @@ def segment_planes(
         _, changed, it, _, _ = state
         return changed & (it < max_sweeps)
 
-    label, unconverged, sweeps_used, peak_live, peak_over = lax.while_loop(
-        cond, body,
-        (label0, jnp.bool_(True), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+    # ------------------------------------------------------------------
+    # compact-space fast path (ops/compact_sweep.py): live labels
+    # collapse geometrically under window+global merges, so after a few
+    # warm XLA sweeps the whole problem fits a [COMPACT_L] slot table
+    # and each remaining sweep runs as ONE Pallas kernel instead of
+    # ~60 XLA ops (scatter hidden sorts + gathers + dispatch floors).
+    # Slots are assigned once in ascending label-rank order, so min-slot
+    # union ≡ min-label union and the fixed point is unchanged (pair
+    # coverage is a superset above the XLA path's per-sweep 1024 cap).
+    # ------------------------------------------------------------------
+    from buildingsegment_tpu.ops.compact_sweep import (
+        COMPACT_L,
+        compact_sweep,
     )
+
+    if compact is not None:
+        use_compact = compact
+    else:
+        use_compact = (
+            propagation == "window"
+            and _use_kernel
+            and (axis_name is None or lax.axis_size(axis_name) == 1)
+            and ng > COMPACT_L
+            and ng <= 262144  # whole problem must fit VMEM
+        )
+
+    if not use_compact:
+        label, unconverged, sweeps_used, peak_live, peak_over = (
+            lax.while_loop(
+                cond, body,
+                (label0, jnp.bool_(True), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0)),
+            )
+        )
+    else:
+        lc = COMPACT_L
+
+        def warm_body(state):
+            label, changed, it, peak_live, peak_over, _live = state
+            label, changed, it, peak_live, peak_over = body(
+                (label, changed, it, peak_live, peak_over)
+            )
+            # post-sweep live recount (window_body's own live count is
+            # the START-of-sweep value — using it in the cond would buy
+            # one extra warm sweep per solve)
+            flags = (
+                jnp.zeros((ng + 1,), jnp.bool_)
+                .at[jnp.minimum(label, inf_label)]
+                .set(True)
+            )[:ng]
+            live_now = jnp.sum(flags.astype(jnp.int32))
+            return (label, changed, it, peak_live, peak_over, live_now)
+
+        def warm_cond(state):
+            _, changed, it, _, _, live_now = state
+            return changed & (it < max_sweeps) & (live_now > lc)
+
+        live_init = jnp.sum((label0 < inf_label).astype(jnp.int32))
+        warm0 = (label0, jnp.bool_(True), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0), live_init)
+        if max_sweeps >= 1:
+            # peel sweep 1 with the singleton specialization (labels
+            # are all singletons at entry by construction) — skips the
+            # [N,16] stats scatter, the anchor gather and the [N,6]
+            # model gather of the first (and biggest-live) sweep
+            new1, live1, over1 = window_body(label0, singleton=True)
+            flags1 = (
+                jnp.zeros((ng + 1,), jnp.bool_)
+                .at[jnp.minimum(new1, inf_label)]
+                .set(True)
+            )[:ng]
+            live_now1 = jnp.sum(flags1.astype(jnp.int32))
+            nch1 = jnp.sum((new1 != label0).astype(jnp.int32))
+            warm0 = (new1, nch1 >= tol_count, jnp.int32(1), live1,
+                     over1, live_now1)
+        label_w, changed_w, it_w, peak_live, peak_over, live_now = (
+            lax.while_loop(warm_cond, warm_body, warm0)
+        )
+
+        # relabel to compact slots (rank order ⇒ slot order ≡ label
+        # order); lossy only above lc, where the compact loop is
+        # skipped and label_w passes through unchanged
+        flags = (
+            jnp.zeros((ng + 1,), jnp.bool_)
+            .at[jnp.minimum(label_w, inf_label)]
+            .set(True)
+        )[:ng]
+        crank = prefix_sum_i32(flags.astype(jnp.int32))
+        live0 = crank[ng - 1]
+        # the warm loop may exit before its first sweep (live_init ≤
+        # lc) — the peak counter must still see the initial live count
+        peak_live = jnp.maximum(peak_live, live0)
+        can_compact = (
+            (live0 <= lc) & changed_w & (it_w < max_sweeps)
+        )
+        slot_of = jnp.where(flags & (crank <= lc), crank - 1, lc)
+        top_lab = (
+            jnp.full((lc + 1,), -1, jnp.int32)
+            .at[slot_of]
+            .set(idx_arange)
+        )[:lc]
+        clabel0 = jnp.where(
+            label_w < inf_label,
+            slot_of[jnp.clip(label_w, 0, ng - 1)],
+            lc,
+        ).astype(jnp.float32)
+
+        # static slab shapes: tile covers the whole problem (1 grid step)
+        ctile = -(-ng // 128) * 128
+        from buildingsegment_tpu.ops.window_sweep import (
+            make_dyn_row as _mk_dyn,
+            make_slab as _mk_slab,
+        )
+
+        spine16 = _mk_slab(
+            [px, py, pz, nx_, ny_, nz_,
+             sum_nrm_src[:, 0], sum_nrm_src[:, 1], sum_nrm_src[:, 2],
+             mask.astype(jnp.float32)],
+            [-3e7, -3e7, -3e7] + [0.0] * 7,
+            ws, ctile, rows_out=16,
+        )
+        if anchor_gate:
+            anc_c = jnp.where(
+                (top_lab >= 0)[:, None],
+                anchor_tab[jnp.clip(top_lab, 0, ng - 1)],
+                0.0,
+            )  # [lc, 3]
+        else:
+            anc_c = jnp.zeros((lc, 3), jnp.float32)
+        anchor8 = jnp.concatenate(
+            [jnp.transpose(anc_c), jnp.zeros((5, lc), jnp.float32)],
+            axis=0,
+        )
+        edge_gate_val = float(
+            max_edge_dist if max_edge_dist is not None
+            else 2 * th_thickness
+        )
+
+        def compact_body(state):
+            clab, _, it = state
+            dyn = _mk_dyn(clab, float(lc), ws, ctile)
+            new_cl, nchg = compact_sweep(
+                spine16, dyn, anchor8, live0, ng,
+                w=ws, tile=ctile, lc=lc,
+                th_thickness=float(th_thickness),
+                th_normal_cos=float(th_normal_cos),
+                edge_gate2=edge_gate_val ** 2,
+                th_anchor_cos=float(th_anchor_cos),
+                anchor_gate=anchor_gate,
+                signed=signed_normals,
+                jump_rounds=_JUMP_ROUNDS,
+            )
+            return new_cl, nchg >= tol_count.astype(jnp.float32), it + 1
+
+        def compact_cond(state):
+            _, changed, it = state
+            return changed & (it < max_sweeps)
+
+        clabel, unconv_c, sweeps_used = lax.while_loop(
+            compact_cond, compact_body,
+            (clabel0, can_compact, it_w),
+        )
+        cl_i = jnp.clip(clabel.astype(jnp.int32), 0, lc - 1)
+        label_c = jnp.where(
+            clabel < float(lc), top_lab[cl_i], inf_label
+        )
+        label = jnp.where(can_compact, label_c, label_w)
+        unconverged = jnp.where(can_compact, unconv_c, changed_w)
     label = jnp.where(mask, label, inf_label)
 
     # 5. cull small planes (strict >, my_function.cpp:199) — counts are
