@@ -68,6 +68,10 @@ __all__ = ["segment_planes", "window_seeds", "SegmentationResult"]
 # (min-label union is confluent; residue collapses next sweep).
 _JUMP_ROUNDS = int(os.environ.get("BST_JUMP_ROUNDS", "2"))
 
+# Kill switch for the compact-space coarse solver (ops/compact_sweep.py)
+# — BST_COMPACT=0 restores the pure-XLA sweep loop on TPU.
+_COMPACT_DEFAULT = os.environ.get("BST_COMPACT", "1") != "0"
+
 
 @functools.partial(
     jax.jit,
@@ -1020,7 +1024,8 @@ def segment_planes(
         use_compact = compact
     else:
         use_compact = (
-            propagation == "window"
+            _COMPACT_DEFAULT
+            and propagation == "window"
             and _use_kernel
             and (axis_name is None or lax.axis_size(axis_name) == 1)
             and ng > COMPACT_L
