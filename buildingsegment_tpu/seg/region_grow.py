@@ -1021,7 +1021,9 @@ def segment_planes(
     )
 
     if compact is not None:
-        use_compact = compact
+        # the compact loop is a window_body re-expression; the graph
+        # path keeps its own machinery regardless of the override
+        use_compact = compact and propagation == "window"
     else:
         use_compact = (
             _COMPACT_DEFAULT
