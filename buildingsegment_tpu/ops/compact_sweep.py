@@ -257,9 +257,10 @@ def _compact_kernel(
         best = jnp.minimum(best, jnp.where(mrg_ok, cl, inf_slot))
 
     # ---- G. merge-hook parent table: segment-min of best by slot -----
+    # (2-D iota + reshape — Mosaic does not lower 1-D iota)
     par_ref[0, :] = lax.broadcasted_iota(
-        jnp.int32, (lc,), 0
-    ).astype(jnp.float32)
+        jnp.int32, (1, lc), 1
+    ).astype(jnp.float32).reshape((lc,))
     for s, cb in _blocks(tile):
         ids_b = lax.slice(lab0, (s,), (s + cb,))
         best_b = lax.slice(best, (s,), (s + cb,))
@@ -287,9 +288,9 @@ def _compact_kernel(
     root_gate = jnp.float32(math.sqrt(edge_gate2))
     ctrT = jnp.transpose(ctr)  # [3, lc]
     mnT = jnp.transpose(mn_tab)
-    slot_ids = lax.broadcasted_iota(jnp.int32, (lc,), 0).astype(
+    slot_ids = lax.broadcasted_iota(jnp.int32, (1, lc), 1).astype(
         jnp.float32
-    )
+    ).reshape((lc,))
     for r0 in range(0, lc, pair_block):
         rb = min(pair_block, lc - r0)
         mn_r = lax.slice(mn_tab, (r0, 0), (r0 + rb, 3))
