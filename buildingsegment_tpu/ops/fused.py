@@ -25,7 +25,7 @@ from buildingsegment_tpu.ops.normals import eigh3x3_smallest
 
 __all__ = ["knn_normals_window_sorted", "finish_normals"]
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # plain float: a device constant here would force backend init at import
 
 
 def finish_normals(s0, s1, s2, *, orient_z=True):

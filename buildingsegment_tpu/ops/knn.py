@@ -50,7 +50,7 @@ from jax import lax
 
 __all__ = ["knn", "knn_window", "knn_window_sorted", "window_offsets"]
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # plain float: a device constant here would force backend init at import
 
 
 def window_offsets(window: int) -> jax.Array:
