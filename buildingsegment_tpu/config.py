@@ -104,6 +104,19 @@ class PipelineConfig:
     contour_close_iters: int = 2
     contour_kernel_size: int = 5    # ellipse structuring element
 
+    # --- perf variant knobs (bench.py autotunes these at run time on
+    # the real chip and adopts the fastest variant that passes the
+    # quality gate; the defaults are the measured-safe paths) ---
+    # compact-space coarse solver (ops/compact_sweep.py); None defers
+    # to the BST_COMPACT env default read at import
+    seg_compact: Optional[bool] = None
+    # stats-kernel order-statistics ranking: "bisect" | "bitonic";
+    # None defers to BST_RANK_MODE (default "bisect")
+    stats_rank_mode: Optional[str] = None
+    # stats kernel phase 3: re-read candidates at stored aligned
+    # offsets instead of strided rows
+    stats_store_offsets: bool = False
+
     # --- capacity / sharding ---
     pad_to_multiple: int = 1024     # point capacity rounded up to this
     num_shards: Optional[int] = None  # None → use all local devices

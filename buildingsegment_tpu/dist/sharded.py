@@ -90,6 +90,8 @@ def sharded_stats_body(mesh: Mesh, config: PipelineConfig):
                 spos, smask, k=knn_k, window=config.knn_window,
                 radius=config.normal_radius,
                 max_nn=config.normal_max_nn, axis_name=ax,
+                rank_mode=config.stats_rank_mode,
+                store_offsets=config.stats_store_offsets,
             )
         return knn_normals_window_sorted(
             spos, smask, k=k_q, window=config.knn_window,
@@ -147,6 +149,7 @@ def sharded_grow_body(mesh: Mesh, config: PipelineConfig, *,
                 kth_sq_dist=dk, curvature=curv,
                 group=config.seg_group, levels=config.seg_levels,
                 refine_sweeps=config.seg_refine_sweeps,
+                compact=config.seg_compact,
                 axis_name=ax, **seg_kwargs,
             )
         neigh_idx, neigh_d, normals, curv = stats
@@ -162,6 +165,7 @@ def sharded_grow_body(mesh: Mesh, config: PipelineConfig, *,
             spos, normals, neigh_idx[:, :knn_k], smask,
             neigh_sq_dist=neigh_d[:, :knn_k], curvature=curv,
             seed_override=seeds, propagation="window",
+            compact=config.seg_compact,
             axis_name=ax, **seg_kwargs,
         )
 

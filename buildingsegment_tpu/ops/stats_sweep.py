@@ -353,7 +353,8 @@ def fused_stats_sweep(slab, n, *, k, w, tile, radius,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "window", "radius", "max_nn", "orient_z",
-                     "axis_name", "use_kernel", "rank_mode"),
+                     "axis_name", "use_kernel", "rank_mode",
+                     "store_offsets"),
 )
 def knn_normals_window_stats(
     spos: jax.Array,
@@ -367,6 +368,7 @@ def knn_normals_window_stats(
     max_nn: int = None,
     use_kernel: bool = None,
     rank_mode: str = None,
+    store_offsets: bool = False,
 ):
     """Stats-only fused sweep → (kth_sq_dist, normals, curvature).
 
@@ -408,6 +410,7 @@ def knn_normals_window_stats(
     dk, s0, s1, s2 = fused_stats_sweep(
         slab, n, k=k, w=window, tile=tile, radius=radius,
         max_nn=max_nn, interpret=False, rank_mode=rank_mode,
+        store_offsets=store_offsets,
     )
     from buildingsegment_tpu.ops.fused import finish_normals
 

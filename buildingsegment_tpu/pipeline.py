@@ -96,12 +96,14 @@ class PipelineOutput:
     jax.jit,
     static_argnames=(
         "knn_k", "normal_radius", "normal_max_nn", "knn_window_size",
+        "stats_rank_mode", "stats_store_offsets",
         "use_stats",
     ),
 )
 def _window_stage1(
     positions, mask, *, knn_k, normal_radius, normal_max_nn,
-    knn_window_size, use_stats,
+    knn_window_size, use_stats, stats_rank_mode=None,
+    stats_store_offsets=False,
 ):
     """Window-path stage 1: shift → Morton sort → neighborhood stats.
 
@@ -125,6 +127,8 @@ def _window_stage1(
         stats = knn_normals_window_stats(
             sposf, smask, k=knn_k, window=knn_window_size,
             radius=normal_radius, max_nn=normal_max_nn,
+            rank_mode=stats_rank_mode,
+            store_offsets=stats_store_offsets,
         )
     else:
         # fused sweep: kNN candidates and normal moments share the
@@ -143,13 +147,14 @@ def _window_stage1(
         "max_planes", "max_sweeps", "signed_normals",
         "th_seed_curvature", "convergence_tol", "seg_group",
         "seg_levels", "seg_refine_sweeps", "seg_anchor_cos", "use_stats",
+        "seg_compact",
     ),
 )
 def _window_stage2(
     spos, smask, order, stats, *, knn_k, th_thickness, th_normal_cos,
     th_point_count, max_planes, max_sweeps, signed_normals,
     th_seed_curvature, convergence_tol, seg_group, seg_levels,
-    seg_refine_sweeps, use_stats, seg_anchor_cos=None,
+    seg_refine_sweeps, use_stats, seg_anchor_cos=None, seg_compact=None,
 ):
     """Window-path stage 2: region growing + unsort.
 
@@ -183,7 +188,8 @@ def _window_stage2(
             spos, normals, g_idx, smask,
             kth_sq_dist=dk, curvature=curv,
             group=seg_group, levels=seg_levels,
-            refine_sweeps=seg_refine_sweeps, **seg_kwargs,
+            refine_sweeps=seg_refine_sweeps, compact=seg_compact,
+            **seg_kwargs,
         )
     else:
         neigh_idx, neigh_d, normals, curv = stats
@@ -191,7 +197,7 @@ def _window_stage2(
             spos, normals, neigh_idx[:, :knn_k], smask,
             neigh_sq_dist=neigh_d[:, :knn_k],
             curvature=curv,
-            propagation="window", **seg_kwargs,
+            propagation="window", compact=seg_compact, **seg_kwargs,
         )
     # unsort via the sorting network (a scatter hides a full sort
     # AND random-access writes — ~11 ms vs ~4 ms at 1M rows)
@@ -221,6 +227,9 @@ def run_device_pipeline(
     seg_levels: int = 1,
     seg_refine_sweeps: int = 2,
     seg_anchor_cos=None,
+    seg_compact=None,
+    stats_rank_mode=None,
+    stats_store_offsets=False,
 ):
     """The on-device portion: shift → kNN → normals → segmentation.
 
@@ -240,6 +249,8 @@ def run_device_pipeline(
             positions, mask, knn_k=knn_k, normal_radius=normal_radius,
             normal_max_nn=normal_max_nn,
             knn_window_size=knn_window_size, use_stats=use_stats,
+            stats_rank_mode=stats_rank_mode,
+            stats_store_offsets=stats_store_offsets,
         )
         seg = _window_stage2(
             spos, smask, order, stats, knn_k=knn_k,
@@ -250,6 +261,7 @@ def run_device_pipeline(
             convergence_tol=convergence_tol, seg_group=seg_group,
             seg_levels=seg_levels, seg_refine_sweeps=seg_refine_sweeps,
             use_stats=use_stats, seg_anchor_cos=seg_anchor_cos,
+            seg_compact=seg_compact,
         )
         return shifted, lo, seg
     return _classic_pipeline(
@@ -403,6 +415,10 @@ def _dispatch_device(batch, config: PipelineConfig, signed_normals: bool):
         seg_group=config.seg_group,
         seg_levels=config.seg_levels,
         seg_refine_sweeps=config.seg_refine_sweeps,
+        seg_anchor_cos=config.seg_anchor_cos,
+        seg_compact=config.seg_compact,
+        stats_rank_mode=config.stats_rank_mode,
+        stats_store_offsets=config.stats_store_offsets,
     )
 
 

@@ -68,9 +68,14 @@ __all__ = ["segment_planes", "window_seeds", "SegmentationResult"]
 # (min-label union is confluent; residue collapses next sweep).
 _JUMP_ROUNDS = int(os.environ.get("BST_JUMP_ROUNDS", "2"))
 
-# Kill switch for the compact-space coarse solver (ops/compact_sweep.py)
-# — BST_COMPACT=0 restores the pure-XLA sweep loop on TPU.
-_COMPACT_DEFAULT = os.environ.get("BST_COMPACT", "1") != "0"
+# Opt-in switch for the compact-space coarse solver
+# (ops/compact_sweep.py) — BST_COMPACT=1 enables it by default.  The
+# kernel is bit-exact vs the XLA loop on CPU, but its Mosaic lowering
+# has not yet been validated on real TPU hardware, so the DEFAULT path
+# stays the measured XLA sweep loop; bench.py autotunes the explicit
+# ``seg_compact`` config override (with a compile/quality fallback) and
+# the default flips once a hardware run validates it.
+_COMPACT_DEFAULT = os.environ.get("BST_COMPACT", "0") == "1"
 
 
 @functools.partial(
@@ -1022,8 +1027,16 @@ def segment_planes(
 
     if compact is not None:
         # the compact loop is a window_body re-expression; the graph
-        # path keeps its own machinery regardless of the override
-        use_compact = compact and propagation == "window"
+        # path keeps its own machinery regardless of the override.
+        # Structural limits still bind: the compact loop has no
+        # collective variant (sharded solves keep the XLA loop) and the
+        # slot table must fit VMEM.
+        use_compact = (
+            compact
+            and propagation == "window"
+            and (axis_name is None or lax.axis_size(axis_name) == 1)
+            and ng <= 262144
+        )
     else:
         use_compact = (
             _COMPACT_DEFAULT
