@@ -186,12 +186,16 @@ def _compact_kernel(
     )
 
     # ---- E. per-point model rows via one-hot lookup ------------------
+    # the chunked reads need mtab in a ref: Mosaic lowers dynamic
+    # slices of refs but NOT lax.dynamic_slice of a loaded array — so
+    # stage it in par_ref, which is free until section G overwrites it
+    par_ref[...] = mtab
     for s, cb in _blocks(width):
         ids_b = lax.slice(clab, (s,), (s + cb,))
 
         def chunk_e(c, accv):
             eq = eq_of(ids_b, c)
-            tabc = lax.dynamic_slice(mtab, (0, c * _CHUNK), (8, _CHUNK))
+            tabc = par_ref[:, pl.ds(c * _CHUNK, _CHUNK)]  # [8, 128]
             return accv + lax.dot_general(
                 tabc, eq, (((1,), (0,)), ((), ())),
                 precision=lax.Precision.HIGHEST,
