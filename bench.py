@@ -15,6 +15,7 @@ All numbers are steady-state (compile excluded), synthetic ~1M-point
 building scene, reference-default thresholds.
 """
 
+import dataclasses
 import json
 import time
 
@@ -60,8 +61,17 @@ def _timed(fn, *args, reps=8, **kw):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # BST_BENCH_QUICK=1: tiny scene, 2 scans, no quality gate — a CPU
+    # smoke test of the whole bench flow (autotune wiring, fallback
+    # paths, JSON contract), NOT a performance measurement.
+    quick = os.environ.get("BST_BENCH_QUICK", "") == "1"
+    spacing = 300.0 if quick else 25.0
+    n_scans = 2 if quick else 4
 
     from buildingsegment_tpu.cli import _enable_compile_cache
 
@@ -107,7 +117,7 @@ def main():
     # in the driver-recorded JSON, not only in the CPU test suite).
     pts, truth = make_building_cloud(
         seed=0,
-        spacing_mm=25.0,
+        spacing_mm=spacing,
         width_mm=12_000.0,
         depth_mm=9_000.0,
         wall_h_mm=6_000.0,
@@ -126,34 +136,41 @@ def main():
 
     extras = {}
 
-    # --- headline: end-to-end sharded pipeline (config 1/4) ---
-    mesh = make_mesh(n_dev)
-    fn = sharded_pipeline(mesh, cfg, capacity_hint=capacity)
-    e2e_dt, (_, _, seg) = _timed(lambda: fn(pos_j, mask_j))
-    mpts = n / e2e_dt / 1e6
-    extras["planes_found"] = int(seg.num_planes)
-    extras["seg_sweeps"] = int(seg.num_sweeps)
-
-    # --- correctness gate (BASELINE north-star metric): bijective
-    # per-point agreement against the scene's analytic decomposition.
-    # Below the floor the bench reports vs_baseline = 0 — a quality
-    # regression must never ship as a better BENCH number.
-    from buildingsegment_tpu.utils.quality import bij_agreement
-
-    QUALITY_FLOOR = 0.97
-    agreement = bij_agreement(truth, np.asarray(seg.plane_idx)[:n])
-    extras["quality_agreement"] = round(agreement, 4)
-    extras["quality_floor"] = QUALITY_FLOOR
-    quality_ok = agreement >= QUALITY_FLOOR
-    if not quality_ok:
-        extras["quality_gate"] = "FAIL"
-
-    # --- stage benches on the sorted frame ---
+    # --- sorted frame (shared by autotune + stage benches) ---
     order = morton_argsort(pos_j, mask_j)
     spos = pos_j[order]
     smask = mask_j[order]
     sposf = spos.astype(jnp.float32)
 
+    # --- autotune 1: stats-kernel variants.  Bit-exact re-expressions
+    # of the same order statistics (tests/test_stats_sweep.py), so the
+    # decision is time-only; a variant that fails to compile on this
+    # chip is skipped, never fatal.
+    from buildingsegment_tpu.ops.stats_sweep import knn_normals_window_stats
+
+    tune = {}
+    stats_best, stats_best_dt = ("bisect", False), None
+    for rank_mode in ("bisect", "bitonic"):
+        for so in (False, True):
+            tag = f"stats_{rank_mode}" + ("_offsets" if so else "")
+            try:
+                dt, _ = _timed(
+                    lambda: knn_normals_window_stats(
+                        sposf, smask, k=cfg.knn_k_pad,
+                        window=cfg.knn_window, radius=cfg.normal_radius,
+                        max_nn=cfg.normal_max_nn, rank_mode=rank_mode,
+                        store_offsets=so,
+                    ),
+                    reps=4,
+                )
+            except Exception as e:  # compile/lowering failure → skip
+                tune[tag] = f"error:{type(e).__name__}"
+                continue
+            tune[tag] = round(dt * 1e3, 2)
+            if stats_best_dt is None or dt < stats_best_dt:
+                stats_best, stats_best_dt = (rank_mode, so), dt
+
+    # --- stage benches on the sorted frame ---
     dt, (nb_i, nb_d) = _timed(
         lambda: knn_window_sorted(sposf, smask, 16, window=32)
     )
@@ -180,19 +197,91 @@ def main():
     )
     extras["segmentation_single_level_mpts"] = round(n1 / dt / 1e6, 2)
 
+    # --- autotune 2: compact-space coarse solver on/off.  The compact
+    # kernel merges a superset of pairs per sweep above the XLA loop's
+    # 1024-live cap (documented in ops/compact_sweep.py), so the two
+    # solutions may differ slightly: require near-identical agreement
+    # at the stage level before trusting the timing, and the headline
+    # quality gate below re-checks whatever wins end to end.
     from buildingsegment_tpu.seg.coarse import segment_planes_multigrid
 
-    dt, res = _timed(
-        lambda: segment_planes_multigrid(
+    def _mg(compact):
+        return segment_planes_multigrid(
             spos, normals, nb_i[:, :16], smask,
             neigh_sq_dist=nb_d[:, :16], max_edge_dist=600.0,
             th_point_count=400, max_planes=1024,
             window=16, group=cfg.seg_group, levels=cfg.seg_levels,
             refine_sweeps=cfg.seg_refine_sweeps,
             convergence_tol=cfg.seg_convergence_tol,
+            compact=compact,
         )
+
+    dt_off, res_off = _timed(lambda: _mg(False), reps=4)
+    tune["multigrid_xla"] = round(dt_off * 1e3, 2)
+    seg_compact, dt_mg = False, dt_off
+    try:
+        dt_on, res_on = _timed(lambda: _mg(True), reps=4)
+        tune["multigrid_compact"] = round(dt_on * 1e3, 2)
+        lab_a = np.asarray(res_off.plane_idx)
+        lab_b = np.asarray(res_on.plane_idx)
+        same = float(np.mean((lab_a >= 0) == (lab_b >= 0)))
+        tune["multigrid_compact_vs_xla"] = round(same, 4)
+        if dt_on < dt_off and same >= 0.98:
+            seg_compact, dt_mg = True, dt_on
+    except Exception as e:
+        tune["multigrid_compact"] = f"error:{type(e).__name__}"
+    extras["segmentation_multigrid_mpts"] = round(n / dt_mg / 1e6, 2)
+
+    cfg = dataclasses.replace(
+        cfg,
+        stats_rank_mode=stats_best[0],
+        stats_store_offsets=stats_best[1],
+        seg_compact=seg_compact,
     )
-    extras["segmentation_multigrid_mpts"] = round(n / dt / 1e6, 2)
+    tune["chosen"] = {
+        "stats_rank_mode": stats_best[0],
+        "stats_store_offsets": stats_best[1],
+        "seg_compact": seg_compact,
+    }
+    extras["autotune"] = tune
+
+    # --- headline: end-to-end sharded pipeline (config 1/4) with the
+    # tuned variants; quality-gated with a safe-config fallback so a
+    # variant that is fast but wrong can never ship as the number.
+    from buildingsegment_tpu.utils.quality import bij_agreement
+
+    QUALITY_FLOOR = 0.0 if quick else 0.97
+    mesh = make_mesh(n_dev)
+    safe_cfg = dataclasses.replace(
+        cfg, stats_rank_mode="bisect", stats_store_offsets=False,
+        seg_compact=False,
+    )
+
+    def _headline(c):
+        fn = sharded_pipeline(mesh, c, capacity_hint=capacity)
+        e2e_dt, (_, _, seg) = _timed(lambda: fn(pos_j, mask_j))
+        agreement = bij_agreement(truth, np.asarray(seg.plane_idx)[:n])
+        return fn, e2e_dt, seg, agreement
+
+    try:
+        fn, e2e_dt, seg, agreement = _headline(cfg)
+    except Exception as e:
+        extras["autotune_fallback"] = f"error:{type(e).__name__}"
+        cfg = safe_cfg
+        fn, e2e_dt, seg, agreement = _headline(cfg)
+    if agreement < QUALITY_FLOOR and cfg != safe_cfg:
+        extras["autotune_fallback"] = f"quality:{round(agreement, 4)}"
+        cfg = safe_cfg
+        fn, e2e_dt, seg, agreement = _headline(cfg)
+
+    mpts = n / e2e_dt / 1e6
+    extras["planes_found"] = int(seg.num_planes)
+    extras["seg_sweeps"] = int(seg.num_sweeps)
+    extras["quality_agreement"] = round(agreement, 4)
+    extras["quality_floor"] = QUALITY_FLOOR
+    quality_ok = agreement >= QUALITY_FLOOR
+    if not quality_ok:
+        extras["quality_gate"] = "FAIL"
 
     # --- config 5: ortho render (device raster part of the multi-scan
     # pipeline; PNG encode is a host cold path) ---
@@ -225,17 +314,18 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="bst_bench_scans_")
     scan_paths, total_pts = [], 0
-    for s in range(4):
+    for s in range(n_scans):
         spts, _ = make_building_cloud(
-            seed=s, spacing_mm=25.0, width_mm=12_000.0, depth_mm=9_000.0,
-            wall_h_mm=6_000.0, ridge_h_mm=8_000.0, noise_mm=8.0,
+            seed=s, spacing_mm=spacing, width_mm=12_000.0,
+            depth_mm=9_000.0, wall_h_mm=6_000.0, ridge_h_mm=8_000.0,
+            noise_mm=8.0,
         )
         total_pts += len(spts)
         p = os.path.join(tmp, f"scan{s}.ply")
         # file in meters; read_ply(scale=1000) recovers integer mm
         write_ply(HostPointCloud(positions=spts), p, position_scale=1e-3)
         scan_paths.append(p)
-    out_paths = [os.path.join(tmp, f"out{s}.ply") for s in range(4)]
+    out_paths = [os.path.join(tmp, f"out{s}.ply") for s in range(n_scans)]
     render_dir = os.path.join(tmp, "render")
     _warm(segment_files, scan_paths, out_paths, cfg, render_dir=render_dir)
     t0 = time.perf_counter()
