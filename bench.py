@@ -350,6 +350,17 @@ def main():
                 "vs_baseline": round(mpts / 50.0, 4) if quality_ok else 0.0,
                 "points": n,
                 "devices": n_dev,
+                # the 50 Mpts/s north star is a v5e-8 (8-chip) target;
+                # this run uses the chips listed above.  The per-chip
+                # share of that target is 50/8 = 6.25 Mpts/s; the dist
+                # layer's 8-shard solves are bit-exact vs 1-shard
+                # (tests/test_dist.py) but ICI scaling efficiency is
+                # unmeasured on this 1-chip rig, so the headline
+                # vs_baseline conservatively divides by the full 50.
+                "north_star_hardware": "v5e-8",
+                "per_chip_share_of_north_star": (
+                    round(mpts / (50.0 / 8.0), 4) if quality_ok else 0.0
+                ),
                 "seconds_per_scan": round(e2e_dt, 4),
                 **extras,
             }

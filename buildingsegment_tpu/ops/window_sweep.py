@@ -29,6 +29,7 @@ pure min/or chain, which is order-insensitive for these reductions).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -515,28 +516,116 @@ def _seed_kernel_pair(spine_hbm, dyn_hbm, out_ref, spine, dyn, sem, sem2,
     out_ref[...] = bad
 
 
+def _seed_kernel_sym(spine_hbm, dyn_hbm, out_ref, spine, dyn, sem, sem2,
+                     *, tile, w, th_thickness, th_normal_cos, signed):
+    """Symmetry-halved seed sweep: each unordered pair {i, i+d} is
+    tested ONCE per shift d = 1..w, updating BOTH endpoints.
+
+    The misaligned shifted reads dominate the seed sweep's runtime
+    (the tests themselves are ~16 vector ops on data the reads already
+    paid for), and the pair quantities are shared: d² and the normal
+    cos are symmetric, only the plane-band projection and the ball
+    radius differ per direction.  Halving the shift count halves those
+    reads at the cost of one extra misaligned read (the candidate's
+    ball) and one misaligned accumulator RMW per shift.
+
+    Halo correctness: query lanes span [0, tile+w) — a pair whose
+    lower index sits in the LEFT halo still updates its upper (core)
+    endpoint via the B direction, and B-updates landing in the RIGHT
+    halo are discarded (the next tile recomputes that pair with the
+    lower index in its own left halo).  Fill rows (sentinel position,
+    zero mask/ball) fail every gate, exactly like the 2w-shift kernel.
+    """
+    ti = pl.program_id(0)
+    width = tile + 2 * w + _lane_pad(tile, w)
+    dma = pltpu.make_async_copy(
+        spine_hbm.at[:, pl.ds(ti * tile, width)], spine, sem,
+    )
+    dma2 = pltpu.make_async_copy(
+        dyn_hbm.at[:, pl.ds(ti * tile, width)], dyn, sem2,
+    )
+    dma.start()
+    dma2.start()
+    dma.wait()
+    dma2.wait()
+
+    L = tile + w  # fixed pair-slice length (queries [0, L))
+
+    def qrow(i):
+        return spine[i, pl.ds(0, L)]
+
+    def crow(i, d):
+        return spine[i, pl.ds(d, L)]
+
+    qx, qy, qz = qrow(0), qrow(1), qrow(2)
+    qnx, qny, qnz = qrow(3), qrow(4), qrow(5)
+    qm = qrow(6)
+    qdk = dyn[0, pl.ds(0, L)]
+    # rows 1-3 of the dyn slab are zero padding — row 1 doubles as the
+    # full-width bad accumulator (both directions RMW into it)
+    dyn[1, :] = jnp.zeros((width,), jnp.float32)
+    for d in range(1, w + 1):
+        cx, cy, cz = crow(0, d), crow(1, d), crow(2, d)
+        dx = cx - qx
+        dy = cy - qy
+        dz = cz - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        cm = crow(6, d)
+        both = (cm > 0.5) & (qm > 0.5)
+        cnx, cny, cnz = crow(3, d), crow(4, d), crow(5, d)
+        pc = cnx * qnx + cny * qny + cnz * qnz
+        if not signed:
+            pc = jnp.abs(pc)
+        cos_ok = pc >= th_normal_cos
+        # A: query i, candidate i+d (projection on the QUERY normal)
+        pd_a = jnp.abs(dx * qnx + dy * qny + dz * qnz)
+        fails_a = (
+            (d2 <= qdk) & both & ~((pd_a <= th_thickness) & cos_ok)
+        )
+        # B: query i+d, candidate i (projection on the CANDIDATE normal)
+        cdk = dyn[0, pl.ds(d, L)]
+        pd_b = jnp.abs(dx * cnx + dy * cny + dz * cnz)
+        fails_b = (
+            (d2 <= cdk) & both & ~((pd_b <= th_thickness) & cos_ok)
+        )
+        dyn[1, pl.ds(0, L)] = jnp.maximum(
+            dyn[1, pl.ds(0, L)], jnp.where(fails_a, 1.0, 0.0)
+        )
+        dyn[1, pl.ds(d, L)] = jnp.maximum(
+            dyn[1, pl.ds(d, L)], jnp.where(fails_b, 1.0, 0.0)
+        )
+    out_ref[...] = dyn[1, pl.ds(w, tile)]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n", "w", "tile", "th_thickness", "th_normal_cos", "signed",
-        "interpret",
+        "interpret", "sym",
     ),
 )
 def seed_sweep_pair(
     spine, dyn, n, *, w, tile, th_thickness, th_normal_cos,
-    signed=False, interpret=None,
+    signed=False, interpret=None, sym=None,
 ):
     """Seed sweep over a shared spine + per-solve dk row.
 
     Same contract as :func:`seed_sweep`; spine from :func:`make_spine`
     (rows 0-2 position, 3-5 normal, 6 mask), dyn from
-    :func:`make_dyn_row` (row 0 = squared k-th-NN ball)."""
+    :func:`make_dyn_row` (row 0 = squared k-th-NN ball).
+
+    ``sym`` selects the symmetry-halved kernel (w pair shifts instead
+    of 2w one-directional shifts — bit-identical output); default is
+    the BST_SEED_SYM env switch, off until hardware-measured."""
     if interpret is None:
         interpret = _interpret_default()
+    if sym is None:
+        sym = os.environ.get("BST_SEED_SYM", "0") == "1"
     n_pad = -(-n // tile) * tile
     width = tile + 2 * w + _lane_pad(tile, w)
     kernel = functools.partial(
-        _seed_kernel_pair, tile=tile, w=w, th_thickness=th_thickness,
+        _seed_kernel_sym if sym else _seed_kernel_pair,
+        tile=tile, w=w, th_thickness=th_thickness,
         th_normal_cos=th_normal_cos, signed=signed,
     )
     out = pl.pallas_call(

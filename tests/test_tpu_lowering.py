@@ -113,12 +113,13 @@ def test_seed_sweeps_lower():
         n=_N1M, w=16, tile=32768,
         th_thickness=60.0, th_normal_cos=0.88, interpret=False,
     )
-    _lower_tpu(
-        seed_sweep_pair,
-        _f32(8, _SW16), _f32(4, _SW16),
-        n=_N1M, w=16, tile=32768,
-        th_thickness=60.0, th_normal_cos=0.88, interpret=False,
-    )
+    for sym in (False, True):
+        _lower_tpu(
+            seed_sweep_pair,
+            _f32(8, _SW16), _f32(4, _SW16),
+            n=_N1M, w=16, tile=32768, sym=sym,
+            th_thickness=60.0, th_normal_cos=0.88, interpret=False,
+        )
 
 
 def test_label_sweep_lowers():

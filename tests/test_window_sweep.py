@@ -230,6 +230,37 @@ class TestPairSlabVariants:
         got = seed_sweep_pair(spine, dyn, n, **kw)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    @pytest.mark.parametrize("signed", [False, True])
+    def test_seed_sym_matches_pair(self, scene, signed):
+        """Symmetry-halved kernel ≡ the 2w-shift kernel, including
+        per-point (non-constant) balls — the B direction reads the
+        candidate's ball at a shifted offset — and multi-tile grids
+        (pairs crossing tile boundaries exercise the halo hand-off)."""
+        from buildingsegment_tpu.ops.window_sweep import (
+            make_dyn_row,
+            make_spine,
+            seed_sweep_pair,
+        )
+
+        pos, nrm, mask, n = scene
+        rng = np.random.default_rng(3)
+        dk = jnp.asarray(
+            rng.uniform(100.0, 900.0, size=n).astype(np.float32) ** 2
+        )
+        for w, tile_target in [(16, 1024), (16, 512), (8, 256)]:
+            tile = pick_tile(n, tile_target)
+            spine = make_spine(
+                (pos[:, 0], pos[:, 1], pos[:, 2]),
+                (nrm[:, 0], nrm[:, 1], nrm[:, 2]),
+                mask.astype(jnp.float32), w, tile,
+            )
+            dyn = make_dyn_row(dk, 0.0, w, tile)
+            kw = dict(w=w, tile=tile, th_thickness=300.0,
+                      th_normal_cos=0.88, signed=signed, interpret=True)
+            want = seed_sweep_pair(spine, dyn, n, sym=False, **kw)
+            got = seed_sweep_pair(spine, dyn, n, sym=True, **kw)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
 
 class TestSeedSweep:
     def test_matches_window_seeds(self, scene):

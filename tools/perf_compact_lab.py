@@ -134,23 +134,31 @@ def main():
         )
         out["labels_identical"] = bool(same)
 
-    # net effect: full multigrid + e2e (sharded path picks compact
-    # automatically on a 1-device mesh)
+    # net effect: e2e with the default (XLA-loop) config vs the tuned
+    # one (compact solver + bitonic stats) — the same pair bench.py's
+    # autotune arbitrates
+    import dataclasses
+
     from buildingsegment_tpu.config import PipelineConfig
     from buildingsegment_tpu.dist.mesh import make_mesh
     from buildingsegment_tpu.dist.sharded import sharded_pipeline
 
     cfg = PipelineConfig(pad_to_multiple=2048)
     mesh = make_mesh(len(jax.devices()))
-    fn = sharded_pipeline(mesh, cfg, capacity_hint=capacity)
     pos_j = jnp.asarray(pos)
     mask_j = jnp.asarray(mask)
-    try:
-        dt = timed(lambda: fn(pos_j, mask_j))
-        out["e2e_ms"] = round(dt * 1e3, 2)
-        out["e2e_mpts"] = round(n / dt / 1e6, 2)
-    except Exception as e:
-        out["e2e_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    for tag, c in (
+        ("e2e", cfg),
+        ("e2e_tuned", dataclasses.replace(
+            cfg, seg_compact=True, stats_rank_mode="bitonic")),
+    ):
+        fn = sharded_pipeline(mesh, c, capacity_hint=capacity)
+        try:
+            dt = timed(lambda: fn(pos_j, mask_j))
+            out[f"{tag}_ms"] = round(dt * 1e3, 2)
+            out[f"{tag}_mpts"] = round(n / dt / 1e6, 2)
+        except Exception as e:
+            out[f"{tag}_error"] = f"{type(e).__name__}: {str(e)[:200]}"
     print(json.dumps(out))
 
 
