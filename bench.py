@@ -219,17 +219,28 @@ def main():
     dt_off, res_off = _timed(lambda: _mg(False), reps=4)
     tune["multigrid_xla"] = round(dt_off * 1e3, 2)
     seg_compact, dt_mg = False, dt_off
-    try:
-        dt_on, res_on = _timed(lambda: _mg(True), reps=4)
-        tune["multigrid_compact"] = round(dt_on * 1e3, 2)
-        lab_a = np.asarray(res_off.plane_idx)
-        lab_b = np.asarray(res_on.plane_idx)
-        same = float(np.mean((lab_a >= 0) == (lab_b >= 0)))
-        tune["multigrid_compact_vs_xla"] = round(same, 4)
-        if dt_on < dt_off and same >= 0.98:
-            seg_compact, dt_mg = True, dt_on
-    except Exception as e:
-        tune["multigrid_compact"] = f"error:{type(e).__name__}"
+    # The compact-solver TPU compile is a TARPIT on the axon
+    # remote-compile service: measured 2026-08-18, one compile sat
+    # >2.5 h across two pool hosts without finishing (CPU lowering via
+    # jax.export is fine — it is the TPU backend compile that never
+    # returns).  A hung compile cannot be time-boxed in-process (the
+    # native call is uninterruptible), and this script is the driver's
+    # round-end bench, so the variant is opt-in until the kernel is
+    # redesigned to compile fast.
+    if os.environ.get("BST_BENCH_COMPACT") == "1":
+        try:
+            dt_on, res_on = _timed(lambda: _mg(True), reps=4)
+            tune["multigrid_compact"] = round(dt_on * 1e3, 2)
+            lab_a = np.asarray(res_off.plane_idx)
+            lab_b = np.asarray(res_on.plane_idx)
+            same = float(np.mean((lab_a >= 0) == (lab_b >= 0)))
+            tune["multigrid_compact_vs_xla"] = round(same, 4)
+            if dt_on < dt_off and same >= 0.98:
+                seg_compact, dt_mg = True, dt_on
+        except Exception as e:
+            tune["multigrid_compact"] = f"error:{type(e).__name__}"
+    else:
+        tune["multigrid_compact"] = "skipped:compile_tarpit"
     extras["segmentation_multigrid_mpts"] = round(n / dt_mg / 1e6, 2)
 
     cfg = dataclasses.replace(
