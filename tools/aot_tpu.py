@@ -1,0 +1,121 @@
+"""Deviceless LOCAL TPU compilation harness.
+
+libtpu.so is installed in the venv, so XLA:TPU (including Mosaic) can
+compile v5e executables on this host without the chip and without the
+axon remote-compile service — which makes compile-time pathologies
+(like the compact-sweep tarpit) reproducible, time-boxable and
+killable.  Usage:
+
+    JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+    TPU_ACCELERATOR_TYPE=v5litepod-1 TPU_WORKER_HOSTNAMES=localhost \
+        python tools/aot_tpu.py compact --ng 8192
+
+The env vars matter: empty POOL_IPS keeps sitecustomize from
+registering the axon plugin; the TPU_* vars let libtpu build a
+compile-only v5e topology (topologies.get_topology_desc("", "tpu")).
+"""
+
+import argparse
+import time
+
+
+def tpu_sharding():
+    import jax
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    topo = topologies.get_topology_desc("", "tpu")
+    mesh = Mesh(topo.devices[:1], ("x",))
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def compile_compact(ng, w=16, lc=2048, anchor_gate=True, jump_rounds=2,
+                    verbose=True):
+    import jax
+    import jax.numpy as jnp
+
+    from buildingsegment_tpu.ops.compact_sweep import compact_sweep
+
+    s = tpu_sharding()
+    tile = -(-ng // 128) * 128
+    width = tile + 2 * w + ((-(tile + 2 * w)) % 128)
+
+    def sds(shape):
+        return jax.ShapeDtypeStruct(shape, jnp.float32, sharding=s)
+
+    args = (
+        sds((16, width)), sds((4, width)), sds((8, lc)),
+        jax.ShapeDtypeStruct((), jnp.int32, sharding=s),
+    )
+    t0 = time.time()
+    lowered = compact_sweep.lower(
+        *args, n=ng, w=w, tile=tile, lc=lc,
+        th_thickness=300.0, th_normal_cos=0.88, edge_gate2=360000.0,
+        th_anchor_cos=0.95, anchor_gate=anchor_gate, signed=False,
+        jump_rounds=jump_rounds, interpret=False,
+    )
+    t_lower = time.time() - t0
+    t0 = time.time()
+    lowered.compile()
+    t_comp = time.time() - t0
+    if verbose:
+        print(
+            f"ng={ng} tile={tile} w={w} lc={lc}: "
+            f"lower {t_lower:.1f}s compile {t_comp:.1f}s",
+            flush=True,
+        )
+    return t_comp
+
+
+def compile_stats(ng, w=64, tile=8192, rank_mode="bisect",
+                  store_offsets=False, verbose=True):
+    import jax
+    import jax.numpy as jnp
+
+    from buildingsegment_tpu.ops.stats_sweep import fused_stats_sweep
+
+    s = tpu_sharding()
+    width = tile + 2 * w + ((-(tile + 2 * w)) % 128)
+    n_pad = -(-ng // tile) * tile
+    slab = jax.ShapeDtypeStruct(
+        (8, n_pad + 2 * w + ((-(n_pad + 2 * w)) % 128)), jnp.float32,
+        sharding=s,
+    )
+    t0 = time.time()
+    lowered = fused_stats_sweep.lower(
+        slab, ng, k=15, w=w, tile=tile, radius=100.0, max_nn=50,
+        interpret=False, store_offsets=store_offsets,
+        rank_mode=rank_mode,
+    )
+    t_lower = time.time() - t0
+    t0 = time.time()
+    lowered.compile()
+    t_comp = time.time() - t0
+    if verbose:
+        print(f"stats ng={ng} tile={tile} w={w}: lower {t_lower:.1f}s "
+              f"compile {t_comp:.1f}s", flush=True)
+    return t_comp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("what", choices=["compact", "stats"])
+    ap.add_argument("--ng", type=int, nargs="+", default=[8192])
+    ap.add_argument("--w", type=int, default=16)
+    ap.add_argument("--lc", type=int, default=2048)
+    ap.add_argument("--jump-rounds", type=int, default=2)
+    ap.add_argument("--no-anchor", action="store_true")
+    a = ap.parse_args()
+    if a.what == "stats":
+        for ng in a.ng:
+            compile_stats(ng, w=a.w if a.w != 16 else 64)
+        return
+    for ng in a.ng:
+        compile_compact(
+            ng, w=a.w, lc=a.lc, anchor_gate=not a.no_anchor,
+            jump_rounds=a.jump_rounds,
+        )
+
+
+if __name__ == "__main__":
+    main()
