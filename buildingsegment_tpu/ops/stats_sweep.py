@@ -406,7 +406,7 @@ def knn_normals_window_stats(
     if rank_mode is None:
         import os
 
-        rank_mode = os.environ.get("BST_RANK_MODE", "bisect")
+        rank_mode = os.environ.get("BST_RANK_MODE", "bitonic")
     dk, s0, s1, s2 = fused_stats_sweep(
         slab, n, k=k, w=window, tile=tile, radius=radius,
         max_nn=max_nn, interpret=False, rank_mode=rank_mode,
