@@ -67,9 +67,10 @@ def _banded(ci: jax.Array, home: jax.Array, num_c: int) -> jax.Array:
     return (home + sign * step + num_c) % num_c
 
 
-def _kernel(count_ref, meta_ref, q_ref, pos_hbm, best_d_ref,
-            best_i_ref, cbuf, sem, tau_ref, *, kk: int, qt: int, ct: int,
-            n: int, static_rounds: bool = False):
+def _kernel(count_ref, meta_ref, q_ref, seed_d_ref, seed_i_ref,
+            pos_hbm, best_d_ref, best_i_ref, cbuf, sem, tau_ref, *,
+            kk: int, qt: int, ct: int, n: int, w_excl: int,
+            static_rounds: bool = False):
     qi = pl.program_id(0)
     q_start = qi * qt
 
@@ -78,10 +79,18 @@ def _kernel(count_ref, meta_ref, q_ref, pos_hbm, best_d_ref,
     qz = q_ref[2, :]
     qvalid = qx > _VALID_GT
 
-    # unconditional init so every later read is defined
-    best_d_ref[...] = jnp.full((qt, kk), _INF, jnp.float32)
-    best_i_ref[...] = jnp.zeros((qt, kk), jnp.int32)
-    tau_ref[0, 0] = jnp.float32(_INF)
+    # seed the best lists with the window-kNN result: those rows are
+    # already the true top-k for almost every query, so a visited tile
+    # usually improves nothing and the serial extract-min merge (the
+    # measured per-iteration latency whale) never runs.  Window
+    # candidates are excluded from the scan by Morton-rank distance
+    # (|c − q| ≤ w_excl) so a seeded candidate can never re-insert.
+    bd_init = seed_d_ref[...]
+    best_d_ref[...] = bd_init
+    best_i_ref[...] = seed_i_ref[...]
+    tau_ref[0, 0] = jnp.max(
+        jnp.where(qvalid, jnp.max(bd_init, axis=1), 0.0)
+    )
 
     count = count_ref[qi]
 
@@ -140,8 +149,9 @@ def _kernel(count_ref, meta_ref, q_ref, pos_hbm, best_d_ref,
             q_idx = q_start + iota_q
             # validity compared in 2-D on the f32 coords: a minor-dim
             # insert of an i1 vector does not lower in Mosaic
+            # window-rank exclusion subsumes the self test (|0| <= w)
             invalid = (
-                (c_idx == q_idx)
+                (jnp.abs(c_idx - q_idx) <= w_excl)
                 | (cx[None, :] <= _VALID_GT)
                 | (qx[:, None] <= _VALID_GT)
             )
@@ -282,12 +292,18 @@ def knn_pallas(
     # needs the banded prefix up to the last tile under the bound.
     from buildingsegment_tpu.ops.knn import knn_window_sorted
 
-    wk_i, wk_d = knn_window_sorted(pos, mask, k, window=max(32, k))
+    w_excl = max(32, k)
+    wk_i, wk_d = knn_window_sorted(pos, mask, k, window=w_excl)
     self_idx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     # rows with fewer than k-1 real candidates pad with self → the
     # window bound is invalid there; fall back to +inf (visit all)
     kth_ub = jnp.where(wk_i[:, k - 1] == self_idx[:, 0], jnp.inf, wk_d[:, k - 1])
     kth_ub = jnp.where(mask, kth_ub, 0.0)  # invalid rows never bind
+    # kernel seeds: window slots 1..k-1; self-padded slots (window ran
+    # dry) become +inf so the kernel rebuilds those rows from scratch
+    seed_pad = wk_i[:, 1:] == self_idx
+    seed_d = jnp.where(seed_pad, jnp.inf, wk_d[:, 1:])  # [n, kk]
+    seed_i = jnp.where(seed_pad, 0, wk_i[:, 1:])
 
     # per-tile bounding boxes over VALID rows
     big = jnp.float32(3e37)
@@ -337,7 +353,7 @@ def knn_pallas(
 
     kernel = functools.partial(
         _kernel, kk=kk, qt=query_tile, ct=cand_tile, n=n,
-        static_rounds=static_rounds,
+        w_excl=w_excl, static_rounds=static_rounds,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -352,6 +368,14 @@ def knn_pallas(
                 (4, query_tile), lambda qi, *_: (0, qi),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (query_tile, kk), lambda qi, *_: (qi, 0),
+                memory_space=pltpu.VMEM,
+            ),  # window-kNN seed distances
+            pl.BlockSpec(
+                (query_tile, kk), lambda qi, *_: (qi, 0),
+                memory_space=pltpu.VMEM,
+            ),  # window-kNN seed indices
             pl.BlockSpec(memory_space=pltpu.ANY),  # positions stay in HBM
         ],
         out_specs=(
@@ -382,7 +406,7 @@ def knn_pallas(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(counts, meta, posT, posT)
+    )(counts, meta, posT, seed_d, seed_i, posT)
 
     # sort ascending, fix empty slots, prepend self
     neg, arg = lax.top_k(-best_d, kk)
