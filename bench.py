@@ -219,15 +219,12 @@ def main():
     dt_off, res_off = _timed(lambda: _mg(False), reps=4)
     tune["multigrid_xla"] = round(dt_off * 1e3, 2)
     seg_compact, dt_mg = False, dt_off
-    # The compact-solver TPU compile is a TARPIT on the axon
-    # remote-compile service: measured 2026-08-18, one compile sat
-    # >2.5 h across two pool hosts without finishing (CPU lowering via
-    # jax.export is fine — it is the TPU backend compile that never
-    # returns).  A hung compile cannot be time-boxed in-process (the
-    # native call is uninterruptible), and this script is the driver's
-    # round-end bench, so the variant is opt-in until the kernel is
-    # redesigned to compile fast.
-    if os.environ.get("BST_BENCH_COMPACT") == "1":
+    # The compact-solver compile tarpit (>2.5 h, 2026-08-18) was
+    # root-caused to Mosaic layout pathologies and fixed — the kernel
+    # now compiles in ~4 s at production size and is validated
+    # label-identical on the chip (tools/perf_compact_lab.py).
+    # BST_BENCH_COMPACT=0 remains as a kill switch.
+    if os.environ.get("BST_BENCH_COMPACT", "1") != "0":
         try:
             dt_on, res_on = _timed(lambda: _mg(True), reps=4)
             tune["multigrid_compact"] = round(dt_on * 1e3, 2)
@@ -240,7 +237,7 @@ def main():
         except Exception as e:
             tune["multigrid_compact"] = f"error:{type(e).__name__}"
     else:
-        tune["multigrid_compact"] = "skipped:compile_tarpit"
+        tune["multigrid_compact"] = "skipped:BST_BENCH_COMPACT=0"
     extras["segmentation_multigrid_mpts"] = round(n / dt_mg / 1e6, 2)
 
     cfg = dataclasses.replace(
@@ -274,16 +271,33 @@ def main():
         agreement = bij_agreement(truth, np.asarray(seg.plane_idx)[:n])
         return fn, e2e_dt, seg, agreement
 
-    try:
-        fn, e2e_dt, seg, agreement = _headline(cfg)
-    except Exception as e:
-        extras["autotune_fallback"] = f"error:{type(e).__name__}"
+    # autotune 3: kNN window width for the headline config.  w48 was
+    # measured ~8% faster than w64 at the same truth agreement
+    # (perf_window_quality, 2026-08-18); both candidates re-measure
+    # here and the winner must clear the quality floor.
+    window_cands = [cfg.knn_window] + (
+        [48] if cfg.knn_window != 48 and not quick else []
+    )
+    best = None
+    for wv in window_cands:
+        c = dataclasses.replace(cfg, knn_window=wv)
+        try:
+            fn_c, dt_c, seg_c, ag_c = _headline(c)
+        except Exception as e:
+            tune[f"window{wv}"] = f"error:{type(e).__name__}"
+            continue
+        tune[f"window{wv}"] = {
+            "ms": round(dt_c * 1e3, 2), "agreement": round(ag_c, 4)
+        }
+        if ag_c >= QUALITY_FLOOR and (best is None or dt_c < best[2]):
+            best = (c, fn_c, dt_c, seg_c, ag_c)
+    if best is None:
+        extras["autotune_fallback"] = "all_candidates_failed_gate"
         cfg = safe_cfg
         fn, e2e_dt, seg, agreement = _headline(cfg)
-    if agreement < QUALITY_FLOOR and cfg != safe_cfg:
-        extras["autotune_fallback"] = f"quality:{round(agreement, 4)}"
-        cfg = safe_cfg
-        fn, e2e_dt, seg, agreement = _headline(cfg)
+    else:
+        cfg, fn, e2e_dt, seg, agreement = best
+        tune["chosen"]["knn_window"] = cfg.knn_window
 
     mpts = n / e2e_dt / 1e6
     extras["planes_found"] = int(seg.num_planes)

@@ -510,10 +510,13 @@ def _compact_kernel(
 
     nbj = tile // _CB
     tailj = tile - nbj * _CB
-    changed = lax.fori_loop(
-        0, nbj, lambda i, ch: apply_block(i * _CB, _CB, ch),
-        jnp.float32(0.0),
-    )
+    changed = jnp.float32(0.0)
+    if nbj:  # a 0-trip fori still TRACES its body (a _CB-wide store
+        #      would fail shape checks when tile < _CB)
+        changed = lax.fori_loop(
+            0, nbj, lambda i, ch: apply_block(i * _CB, _CB, ch),
+            changed,
+        )
     if tailj:
         changed = apply_block(nbj * _CB, tailj, changed)
 

@@ -165,3 +165,35 @@ def test_compact_empty_and_tiny():
     assert int(res.num_planes) == 2
     lab = np.asarray(res.plane_idx)
     assert (lab[np.asarray(smask)] > 0).all()
+
+
+def test_compact_tile_smaller_than_block():
+    """tile < the kernel's _CB block: the 0-trip block fori must not
+    trace a full-width store into the smaller out_lab (regression:
+    lax.fori_loop traces its body even for 0 trips)."""
+    n = 896  # < ops.compact_sweep._CB (1024)
+    rng = np.random.default_rng(11)
+    pos = np.full((n, 3), 2 ** 24, np.int32)
+    m = 700
+    pts = np.zeros((m, 3), np.int32)
+    pts[:, 0] = rng.integers(0, 8000, m)
+    pts[:, 1] = rng.integers(0, 8000, m)
+    pts[:, 2] = np.where(pts[:, 0] < 4000, 0, 2500)
+    pos[:m] = pts
+    mask = np.zeros(n, bool)
+    mask[:m] = True
+    spos, smask, _ = morton_sort(jnp.asarray(pos), jnp.asarray(mask))
+    normals = jnp.tile(
+        jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (n, 1)
+    )
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+    gidx = jnp.concatenate([rows, rows], 1)
+    kw = dict(
+        seed_override=smask, max_edge_dist=600.0, th_point_count=4,
+        max_planes=256, propagation="window", window=8,
+    )
+    a = segment_planes(spos, normals, gidx, smask, compact=False, **kw)
+    b = segment_planes(spos, normals, gidx, smask, compact=True, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(a.plane_idx), np.asarray(b.plane_idx)
+    )
