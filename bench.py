@@ -352,12 +352,26 @@ def main():
         scan_paths.append(p)
     out_paths = [os.path.join(tmp, f"out{s}.ply") for s in range(n_scans)]
     render_dir = os.path.join(tmp, "render")
-    _warm(segment_files, scan_paths, out_paths, cfg, render_dir=render_dir)
-    t0 = time.perf_counter()
-    segment_files(scan_paths, out_paths, cfg, render_dir=render_dir)
-    ms_dt = time.perf_counter() - t0
-    extras["multiscan_e2e_mpts"] = round(total_pts / ms_dt / 1e6, 2)
-    extras["multiscan_scans"] = len(scan_paths)
+    # the multiscan stage program is big enough to OOM the remote
+    # compile helper (SIGKILL) on bad days — never let that kill the
+    # driver's round-end bench; fall back to the safe (smaller) config
+    try:
+        ms_cfg = cfg
+        try:
+            _warm(segment_files, scan_paths, out_paths, ms_cfg,
+                  render_dir=render_dir, attempts=6)
+        except Exception:
+            ms_cfg = safe_cfg
+            extras["multiscan_fallback"] = "safe_cfg"
+            _warm(segment_files, scan_paths, out_paths, ms_cfg,
+                  render_dir=render_dir, attempts=6)
+        t0 = time.perf_counter()
+        segment_files(scan_paths, out_paths, ms_cfg, render_dir=render_dir)
+        ms_dt = time.perf_counter() - t0
+        extras["multiscan_e2e_mpts"] = round(total_pts / ms_dt / 1e6, 2)
+        extras["multiscan_scans"] = len(scan_paths)
+    except Exception as e:
+        extras["multiscan_error"] = f"{type(e).__name__}: {str(e)[:160]}"
 
     # --- config 2: exact brute force (Pallas kernel), 1 rep (O(N²)) ---
     try:
