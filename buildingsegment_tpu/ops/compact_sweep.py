@@ -78,8 +78,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["compact_sweep", "COMPACT_L"]
 
-#: compact slot capacity — must hold every live label at switch time
-COMPACT_L = 2048
+#: compact slot capacity — must hold every live label at switch time.
+#: 8192 admits the solve right after the peeled singleton sweep on the
+#: 1M bench scene (live 66k → 7.7k after sweep 1), skipping the ~5 ms/
+#: sweep warm XLA iterations entirely; per-sweep cost still tracks the
+#: LIVE bound (``slot_bound`` below), not the capacity, so later sweeps
+#: at ~1k live slots stay cheap.
+COMPACT_L = 8192
 _CHUNK = 128
 _CB = 1024  # column block for one-hot passes: sets the per-body live
 #             set ([128, _CB] one-hots ⇒ ~0.5 MB each) and hence the
@@ -456,7 +461,12 @@ def _compact_kernel(
         )
         return 0
 
-    lax.fori_loop(0, lc // pair_block, pair_block_body, 0)
+    # column blocks beyond the live-slot bound hold only count-0 rows
+    # (they cannot pass the gates), so bounding the outer loop by the
+    # live bound is exact — and essential at COMPACT_L=8192, where the
+    # static block count would 4× the pair cost of late small sweeps
+    nbp = (live_ref[0] + pair_block - 1) // pair_block
+    lax.fori_loop(0, nbp, pair_block_body, 0)
 
     # ---- I. jump-doubling on the [lc] parent table -------------------
     def jump_round(_, __):
@@ -547,7 +557,12 @@ def compact_sweep(
             (lc = none), rebuilt per sweep.  Only row 0 is used.
         anchor_tab: f32[8, lc] — rows 0-2 anchor normal per slot
             (zeros when ``anchor_gate`` is False).
-        live0: int32 scalar — slot count bound (slots ≥ live0 unused).
+        live0: int32 scalar — slot-id bound: every live slot id must be
+            < live0 (slots ≥ live0 unused).  Dense at entry (= live
+            count); callers should re-tighten it each sweep to the max
+            surviving slot id + 1 — min-slot merging skews survivors
+            low, so the one-hot chunk loops (the kernel's dominant
+            cost) shrink with the problem.
         n: real row count (tile covers it; one grid step).
 
     Returns (new_label f32[n] slot ids, n_changed f32 scalar).

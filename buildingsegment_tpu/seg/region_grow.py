@@ -1160,10 +1160,10 @@ def segment_planes(
         )
 
         def compact_body(state):
-            clab, _, it = state
+            clab, _, it, bound = state
             dyn = _mk_dyn(clab, float(lc), ws, ctile)
             new_cl, nchg = compact_sweep(
-                spine16, dyn, anchor8, live0, ng,
+                spine16, dyn, anchor8, bound, ng,
                 w=ws, tile=ctile, lc=lc,
                 th_thickness=float(th_thickness),
                 th_normal_cos=float(th_normal_cos),
@@ -1173,15 +1173,28 @@ def segment_planes(
                 signed=signed_normals,
                 jump_rounds=_JUMP_ROUNDS,
             )
-            return new_cl, nchg >= tol_count.astype(jnp.float32), it + 1
+            # tighten the slot-id bound to the max surviving slot + 1:
+            # min-slot merging skews survivors low, so the kernel's
+            # one-hot chunk loops (its dominant cost at a 7-8k-live
+            # entry) shrink with the problem instead of staying pinned
+            # at the entry live count
+            new_bound = jnp.maximum(
+                jnp.max(jnp.where(new_cl < float(lc), new_cl, 0.0))
+                .astype(jnp.int32) + 1,
+                1,
+            )
+            return (
+                new_cl, nchg >= tol_count.astype(jnp.float32), it + 1,
+                jnp.minimum(new_bound, bound),
+            )
 
         def compact_cond(state):
-            _, changed, it = state
+            _, changed, it, _ = state
             return changed & (it < max_sweeps)
 
-        clabel, unconv_c, sweeps_used = lax.while_loop(
+        clabel, unconv_c, sweeps_used, _bound_f = lax.while_loop(
             compact_cond, compact_body,
-            (clabel0, can_compact, it_w),
+            (clabel0, can_compact, it_w, live0),
         )
         cl_i = jnp.clip(clabel.astype(jnp.int32), 0, lc - 1)
         label_c = jnp.where(
