@@ -153,26 +153,37 @@ def main():
     from buildingsegment_tpu.ops.stats_sweep import knn_normals_window_stats
 
     tune = {}
-    stats_best, stats_best_dt = ("bisect", False), None
-    for rank_mode in ("bisect", "bitonic"):
-        for so in (False, True):
-            tag = f"stats_{rank_mode}" + ("_offsets" if so else "")
-            try:
-                dt, _ = _timed(
-                    lambda: knn_normals_window_stats(
-                        sposf, smask, k=cfg.knn_k_pad,
-                        window=cfg.knn_window, radius=cfg.normal_radius,
-                        max_nn=cfg.normal_max_nn, rank_mode=rank_mode,
-                        store_offsets=so,
-                    ),
-                    reps=4,
-                )
-            except Exception as e:  # compile/lowering failure → skip
-                tune[tag] = f"error:{type(e).__name__}"
-                continue
-            tune[tag] = round(dt * 1e3, 2)
-            if stats_best_dt is None or dt < stats_best_dt:
-                stats_best, stats_best_dt = (rank_mode, so), dt
+    stats_best, stats_best_dt = ("bisect", False, False), None
+    stats_cands = [
+        ("bisect", False, False),
+        ("bisect", True, False),
+        ("bitonic", False, False),
+        ("bitonic", True, False),
+        # symmetry-halved phase 1 on the measured-best combo
+        ("bitonic", True, True),
+    ]
+    for rank_mode, so, sym in stats_cands:
+        tag = (
+            f"stats_{rank_mode}"
+            + ("_offsets" if so else "")
+            + ("_sym" if sym else "")
+        )
+        try:
+            dt, _ = _timed(
+                lambda: knn_normals_window_stats(
+                    sposf, smask, k=cfg.knn_k_pad,
+                    window=cfg.knn_window, radius=cfg.normal_radius,
+                    max_nn=cfg.normal_max_nn, rank_mode=rank_mode,
+                    store_offsets=so, sym=sym,
+                ),
+                reps=4,
+            )
+        except Exception as e:  # compile/lowering failure → skip
+            tune[tag] = f"error:{type(e).__name__}"
+            continue
+        tune[tag] = round(dt * 1e3, 2)
+        if stats_best_dt is None or dt < stats_best_dt:
+            stats_best, stats_best_dt = (rank_mode, so, sym), dt
 
     # --- stage benches on the sorted frame ---
     dt, (nb_i, nb_d) = _timed(
@@ -254,11 +265,13 @@ def main():
         cfg,
         stats_rank_mode=stats_best[0],
         stats_store_offsets=stats_best[1],
+        stats_sym=stats_best[2],
         seg_compact=seg_compact,
     )
     tune["chosen"] = {
         "stats_rank_mode": stats_best[0],
         "stats_store_offsets": stats_best[1],
+        "stats_sym": stats_best[2],
         "seg_compact": seg_compact,
     }
     extras["autotune"] = tune
@@ -272,7 +285,7 @@ def main():
     mesh = make_mesh(n_dev)
     safe_cfg = dataclasses.replace(
         cfg, stats_rank_mode="bisect", stats_store_offsets=False,
-        seg_compact=False,
+        stats_sym=False, seg_compact=False,
     )
 
     def _headline(c):

@@ -118,6 +118,10 @@ class PipelineConfig:
     # stats kernel phase 3: re-read candidates at stored aligned
     # offsets instead of strided rows (part of the same measured win)
     stats_store_offsets: bool = True
+    # stats kernel phase 1: symmetry-halved pair sweep (bit-identical;
+    # each unordered pair computed once).  None defers to BST_STATS_SYM
+    # (default off) until the chip measurement adopts it.
+    stats_sym: Optional[bool] = None
 
     # --- capacity / sharding ---
     pad_to_multiple: int = 1024     # point capacity rounded up to this

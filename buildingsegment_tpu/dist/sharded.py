@@ -92,6 +92,7 @@ def sharded_stats_body(mesh: Mesh, config: PipelineConfig):
                 max_nn=config.normal_max_nn, axis_name=ax,
                 rank_mode=config.stats_rank_mode,
                 store_offsets=config.stats_store_offsets,
+                sym=config.stats_sym,
             )
         return knn_normals_window_sorted(
             spos, smask, k=k_q, window=config.knn_window,

@@ -99,7 +99,7 @@ def _bitonic_rows(x, m):
 
 def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *scratch, tile, w,
                   r_k, r_cap, r2, mxu_count=False, store_offsets=False,
-                  rank_mode="bisect"):
+                  rank_mode="bisect", sym=False):
     if store_offsets:
         dxs, dys, dzs = scratch
     ti = pl.program_id(0)
@@ -118,23 +118,61 @@ def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *scratch, tile, w,
     inf = jnp.float32(jnp.inf)
 
     # ---- phase 1: [2W, tile] squared-distance block (invalid → inf)
-    for slot in range(2 * w):
-        start = slot if slot < w else slot + 1
-        dx = row(0, start) - px
-        dy = row(1, start) - py
-        dz = row(2, start) - pz
-        d2 = dx * dx + dy * dy + dz * dz
-        valid = (row(3, start) > 0.5) & (mask0 > 0.5)
-        dbits[slot, :] = lax.bitcast_convert_type(
-            jnp.where(valid, d2, inf), jnp.int32
-        )
-        if store_offsets:
-            # aligned phase-3 reads: the lane-offset slab loads above
-            # are the misaligned (vror-heavy) part of the sweep;
-            # staging the offsets once lets phase 3 stream [slot, :]
-            dxs[slot, :] = dx
-            dys[slot, :] = dy
-            dzs[slot, :] = dz
+    if sym:
+        # Symmetry-halved (the _seed_kernel_sym trick): each unordered
+        # pair {j, j+d} is computed ONCE per shift d = 1..w over the
+        # extended lane range [0, L); the rows for offsets ±d are
+        # lane-shifted slices of the same pair row.  d² and the
+        # pair-validity mask are direction-symmetric, and the mirrored
+        # offset is the exact negation (IEEE subtraction rounds
+        # sign-symmetrically), so the block is BIT-IDENTICAL to the
+        # 2w-shift form at roughly half the misaligned reads + math.
+        #   positive offset +d → slot w+d−1, query lane i = pair lane
+        #     i+w; negative offset −d → slot w−d, query lane i = pair
+        #     lane i+w−d (the pair's lower index is the candidate).
+        L = tile + w
+
+        def prow(i, s):
+            return slab[i, pl.ds(s, L)]
+
+        qx, qy, qz, qm = prow(0, 0), prow(1, 0), prow(2, 0), prow(3, 0)
+        for d in range(1, w + 1):
+            dx = prow(0, d) - qx
+            dy = prow(1, d) - qy
+            dz = prow(2, d) - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            valid = (prow(3, d) > 0.5) & (qm > 0.5)
+            pd2 = lax.bitcast_convert_type(
+                jnp.where(valid, d2, inf), jnp.int32
+            )
+            dbits[w + d - 1, :] = lax.slice(pd2, (w,), (w + tile,))
+            dbits[w - d, :] = lax.slice(pd2, (w - d,), (w - d + tile,))
+            if store_offsets:
+                dxs[w + d - 1, :] = lax.slice(dx, (w,), (w + tile,))
+                dys[w + d - 1, :] = lax.slice(dy, (w,), (w + tile,))
+                dzs[w + d - 1, :] = lax.slice(dz, (w,), (w + tile,))
+                dxs[w - d, :] = -lax.slice(dx, (w - d,), (w - d + tile,))
+                dys[w - d, :] = -lax.slice(dy, (w - d,), (w - d + tile,))
+                dzs[w - d, :] = -lax.slice(dz, (w - d,), (w - d + tile,))
+    else:
+        for slot in range(2 * w):
+            start = slot if slot < w else slot + 1
+            dx = row(0, start) - px
+            dy = row(1, start) - py
+            dz = row(2, start) - pz
+            d2 = dx * dx + dy * dy + dz * dz
+            valid = (row(3, start) > 0.5) & (mask0 > 0.5)
+            dbits[slot, :] = lax.bitcast_convert_type(
+                jnp.where(valid, d2, inf), jnp.int32
+            )
+            if store_offsets:
+                # aligned phase-3 reads: the lane-offset slab loads
+                # above are the misaligned (vror-heavy) part of the
+                # sweep; staging the offsets once lets phase 3 stream
+                # [slot, :]
+                dxs[slot, :] = dx
+                dys[slot, :] = dy
+                dzs[slot, :] = dz
 
     if (r_k or r_cap) and rank_mode == "bitonic":
         # ---- phase 2 (bitonic variant): fully sort each column of the
@@ -292,11 +330,12 @@ def _stats_kernel(slab_hbm, out_ref, slab, dbits, sem, *scratch, tile, w,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "k", "w", "tile", "max_nn", "radius",
-                     "interpret", "store_offsets", "rank_mode"),
+                     "interpret", "store_offsets", "rank_mode", "sym"),
 )
 def fused_stats_sweep(slab, n, *, k, w, tile, radius,
                       max_nn=None, interpret=False,
-                      store_offsets=False, rank_mode="bisect"):
+                      store_offsets=False, rank_mode="bisect",
+                      sym=False):
     """Run the stats kernel over a pre-built slab.
 
     Slab rows (``window_sweep.make_slab``, rows_out=8): 0-2 position,
@@ -311,7 +350,7 @@ def fused_stats_sweep(slab, n, *, k, w, tile, radius,
         _stats_kernel, tile=tile, w=w, r_k=k - 1,
         r_cap=(max_nn - 1) if cap_active else 0,
         r2=float(radius) * float(radius),
-        store_offsets=store_offsets, rank_mode=rank_mode,
+        store_offsets=store_offsets, rank_mode=rank_mode, sym=sym,
     )
     scratch = [
         pltpu.VMEM((_ROWS, tile + 2 * w + _lane_pad(tile, w)),
@@ -354,7 +393,7 @@ def fused_stats_sweep(slab, n, *, k, w, tile, radius,
     jax.jit,
     static_argnames=("k", "window", "radius", "max_nn", "orient_z",
                      "axis_name", "use_kernel", "rank_mode",
-                     "store_offsets"),
+                     "store_offsets", "sym"),
 )
 def knn_normals_window_stats(
     spos: jax.Array,
@@ -369,6 +408,7 @@ def knn_normals_window_stats(
     use_kernel: bool = None,
     rank_mode: str = None,
     store_offsets: bool = False,
+    sym: bool = None,
 ):
     """Stats-only fused sweep → (kth_sq_dist, normals, curvature).
 
@@ -403,14 +443,18 @@ def knn_normals_window_stats(
         [-3e7, -3e7, -3e7, 0.0],
         window, tile, axis_name=axis_name, rows_out=8,
     )
-    if rank_mode is None:
-        import os
+    import os
 
+    if rank_mode is None:
         rank_mode = os.environ.get("BST_RANK_MODE", "bitonic")
+    if sym is None:
+        # symmetry-halved phase 1 (bit-identical); off until the chip
+        # measurement adopts it — flip via env or the bench autotune
+        sym = os.environ.get("BST_STATS_SYM", "0") == "1"
     dk, s0, s1, s2 = fused_stats_sweep(
         slab, n, k=k, w=window, tile=tile, radius=radius,
         max_nn=max_nn, interpret=False, rank_mode=rank_mode,
-        store_offsets=store_offsets,
+        store_offsets=store_offsets, sym=sym,
     )
     from buildingsegment_tpu.ops.fused import finish_normals
 

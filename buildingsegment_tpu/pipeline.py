@@ -96,14 +96,14 @@ class PipelineOutput:
     jax.jit,
     static_argnames=(
         "knn_k", "normal_radius", "normal_max_nn", "knn_window_size",
-        "stats_rank_mode", "stats_store_offsets",
+        "stats_rank_mode", "stats_store_offsets", "stats_sym",
         "use_stats",
     ),
 )
 def _window_stage1(
     positions, mask, *, knn_k, normal_radius, normal_max_nn,
     knn_window_size, use_stats, stats_rank_mode=None,
-    stats_store_offsets=False,
+    stats_store_offsets=False, stats_sym=None,
 ):
     """Window-path stage 1: shift → Morton sort → neighborhood stats.
 
@@ -129,6 +129,7 @@ def _window_stage1(
             radius=normal_radius, max_nn=normal_max_nn,
             rank_mode=stats_rank_mode,
             store_offsets=stats_store_offsets,
+            sym=stats_sym,
         )
     else:
         # fused sweep: kNN candidates and normal moments share the
@@ -230,6 +231,7 @@ def run_device_pipeline(
     seg_compact=None,
     stats_rank_mode=None,
     stats_store_offsets=False,
+    stats_sym=None,
 ):
     """The on-device portion: shift → kNN → normals → segmentation.
 
@@ -251,6 +253,7 @@ def run_device_pipeline(
             knn_window_size=knn_window_size, use_stats=use_stats,
             stats_rank_mode=stats_rank_mode,
             stats_store_offsets=stats_store_offsets,
+            stats_sym=stats_sym,
         )
         seg = _window_stage2(
             spos, smask, order, stats, knn_k=knn_k,
@@ -419,6 +422,7 @@ def _dispatch_device(batch, config: PipelineConfig, signed_normals: bool):
         seg_compact=config.seg_compact,
         stats_rank_mode=config.stats_rank_mode,
         stats_store_offsets=config.stats_store_offsets,
+        stats_sym=config.stats_sym,
     )
 
 

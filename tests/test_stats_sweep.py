@@ -130,6 +130,31 @@ def test_store_offsets_variant_identical(sorted_cloud):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("store_offsets", [False, True])
+def test_sym_variant_identical(sorted_cloud, store_offsets):
+    """The symmetry-halved phase 1 (each pair's distance computed once,
+    both offset rows filled by lane-shifted slices) is bit-identical:
+    d² and pair validity are direction-symmetric, and the mirrored
+    offset is an exact IEEE negation."""
+    sposf, smask = sorted_cloud
+    slab = make_slab(
+        [sposf[:, 0], sposf[:, 1], sposf[:, 2],
+         smask.astype(jnp.float32)],
+        [-3e7, -3e7, -3e7, 0.0], 32, 1024, rows_out=8,
+    )
+    base = fused_stats_sweep(
+        slab, sposf.shape[0], k=15, w=32, tile=1024, radius=100.0,
+        max_nn=50, interpret=True, store_offsets=store_offsets,
+    )
+    var = fused_stats_sweep(
+        slab, sposf.shape[0], k=15, w=32, tile=1024, radius=100.0,
+        max_nn=50, interpret=True, store_offsets=store_offsets,
+        sym=True,
+    )
+    for a, b in zip(base, var):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_wrapper_cpu_contract(sorted_cloud):
     """On CPU the wrapper derives stats from the sorted op — identical."""
     sposf, smask = sorted_cloud

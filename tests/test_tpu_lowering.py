@@ -91,12 +91,13 @@ _SW64 = slab_width(_N1M, 64, 8192)
 
 @pytest.mark.parametrize("rank_mode", ["bisect", "bitonic"])
 @pytest.mark.parametrize("store_offsets", [False, True])
-def test_stats_sweep_lowers(rank_mode, store_offsets):
+@pytest.mark.parametrize("sym", [False, True])
+def test_stats_sweep_lowers(rank_mode, store_offsets, sym):
     _lower_tpu(
         fused_stats_sweep,
         _f32(8, _SW64),
         n=_N1M, k=16, w=64, tile=8192, radius=100.0, max_nn=50,
-        rank_mode=rank_mode, store_offsets=store_offsets,
+        rank_mode=rank_mode, store_offsets=store_offsets, sym=sym,
         interpret=False,
     )
 
