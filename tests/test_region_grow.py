@@ -52,12 +52,21 @@ def building():
     return pts, truth, cap
 
 
+@pytest.fixture(scope="module")
+def building_solved(building):
+    """One shared default-config solve (the CPU solve is ~20 s; three
+    tests assert different properties of the same result)."""
+    pts, truth, cap = building
+    pos, mask, idx, normals, n = _prep(pts, cap)
+    res = segment_planes(pos, normals, idx, mask, th_point_count=400)
+    return res, n
+
+
 class TestSegmentPlanes:
     @pytest.mark.slow
-    def test_recovers_synthetic_planes(self, building):
+    def test_recovers_synthetic_planes(self, building, building_solved):
         pts, truth, cap = building
-        pos, mask, idx, normals, n = _prep(pts, cap)
-        res = segment_planes(pos, normals, idx, mask, th_point_count=400)
+        res, n = building_solved
         plane_idx = np.asarray(res.plane_idx)[:n]
         num = int(res.num_planes)
         # the house has 7 planes (4 walls, 2 roof pitches, ground)
@@ -67,10 +76,8 @@ class TestSegmentPlanes:
         # pinned at measured-minus-margin so estimator regressions show
         assert agree > 0.95, f"truth agreement {agree}"
 
-    def test_invariants(self, building):
-        pts, truth, cap = building
-        pos, mask, idx, normals, n = _prep(pts, cap)
-        res = segment_planes(pos, normals, idx, mask, th_point_count=400)
+    def test_invariants(self, building_solved):
+        res, n = building_solved
         plane_idx = np.asarray(res.plane_idx)
         num = int(res.num_planes)
         counts = np.asarray(res.plane_count)
@@ -86,10 +93,9 @@ class TestSegmentPlanes:
         nrm = np.asarray(res.plane_normal)[:num]
         np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-4)
 
-    def test_members_near_plane_model(self, building):
+    def test_members_near_plane_model(self, building, building_solved):
         pts, truth, cap = building
-        pos, mask, idx, normals, n = _prep(pts, cap)
-        res = segment_planes(pos, normals, idx, mask, th_point_count=400)
+        res, n = building_solved
         plane_idx = np.asarray(res.plane_idx)[:n]
         centers = np.asarray(res.plane_center)
         nrms = np.asarray(res.plane_normal)

@@ -230,7 +230,11 @@ class TestPairSlabVariants:
         got = seed_sweep_pair(spine, dyn, n, **kw)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
-    @pytest.mark.parametrize("signed", [False, True])
+    # signed=True repeats the whole interpret-mode sweep for the rarely
+    # used signed gate — slow-suite only (default run keeps [False])
+    @pytest.mark.parametrize(
+        "signed", [False, pytest.param(True, marks=pytest.mark.slow)]
+    )
     def test_seed_sym_matches_pair(self, scene, signed):
         """Symmetry-halved kernel ≡ the 2w-shift kernel, including
         per-point (non-constant) balls — the B direction reads the

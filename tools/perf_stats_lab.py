@@ -63,7 +63,7 @@ def main():
     out = {"points": n}
 
     def run(w, tile, k=15, max_nn=50, store_offsets=False,
-            rank_mode="bisect"):
+            rank_mode="bisect", sym=False):
         slab = make_slab(
             [sposf[:, 0], sposf[:, 1], sposf[:, 2], smaskf],
             [-3e7, -3e7, -3e7, 0.0], w, tile, rows_out=8,
@@ -71,7 +71,7 @@ def main():
         return fused_stats_sweep(
             slab, capacity, k=k, w=w, tile=tile, radius=100.0,
             max_nn=max_nn, store_offsets=store_offsets,
-            rank_mode=rank_mode,
+            rank_mode=rank_mode, sym=sym,
         )
 
     for w, tile in [(64, 8192), (64, 16384), (64, 4096), (48, 8192),
@@ -98,6 +98,19 @@ def main():
         try:
             dt = timed(lambda w=w, tile=tile, store=store: run(
                 w, tile, store_offsets=store, rank_mode="bitonic"))
+            out[tag + "_ms"] = round(dt * 1e3, 2)
+        except Exception as e:
+            out[tag + "_error"] = f"{type(e).__name__}: {str(e)[:80]}"
+    # symmetry-halved phase 1: each unordered pair's d² computed once
+    for w, tile, store, rank in [
+        (64, 8192, True, "bitonic"), (64, 8192, False, "bitonic"),
+        (48, 8192, True, "bitonic"), (64, 8192, True, "bisect"),
+        (64, 16384, True, "bitonic"),
+    ]:
+        tag = (f"w{w}_t{tile}{'_stored' if store else ''}_{rank}_sym")
+        try:
+            dt = timed(lambda w=w, tile=tile, store=store, rank=rank: run(
+                w, tile, store_offsets=store, rank_mode=rank, sym=True))
             out[tag + "_ms"] = round(dt * 1e3, 2)
         except Exception as e:
             out[tag + "_error"] = f"{type(e).__name__}: {str(e)[:80]}"
