@@ -79,12 +79,14 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["compact_sweep", "COMPACT_L"]
 
 #: compact slot capacity — must hold every live label at switch time.
-#: 8192 admits the solve right after the peeled singleton sweep on the
-#: 1M bench scene (live 66k → 7.7k after sweep 1), skipping the ~5 ms/
-#: sweep warm XLA iterations entirely; per-sweep cost still tracks the
-#: LIVE bound (``slot_bound`` below), not the capacity, so later sweeps
-#: at ~1k live slots stay cheap.
-COMPACT_L = 8192
+#: 8192 (enter right after the peeled singleton sweep, live 66k → 7.7k)
+#: was MEASURED SLOWER on the chip (62.8 ms coarse solve vs 25.5 at
+#: 2048, labs 2026-08-19): the first compact sweeps then run at a
+#: ~7.7k live bound, 4×ing the one-hot chunk loops that dominate the
+#: kernel, and the above-cap superset-merge semantics diverge from the
+#: XLA loop.  2048 keeps the warm XLA sweeps until live fits, where the
+#: kernel is bit-identical and ~1.4× faster than the XLA sweeps.
+COMPACT_L = 2048
 _CHUNK = 128
 _CB = 1024  # column block for one-hot passes: sets the per-body live
 #             set ([128, _CB] one-hots ⇒ ~0.5 MB each) and hence the
