@@ -27,6 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from buildingsegment_tpu.config import DEFAULT_CONFIG, PipelineConfig
 from buildingsegment_tpu.core.pointset import PointBatch
@@ -340,6 +341,37 @@ def _labels_i16(plane_idx):
 
 
 @jax.jit
+def _pack_finish(seg):
+    """Labels + epilogue as ONE int16 vector — one tunnel round trip.
+
+    Each ``np.asarray`` costs a ~24 ms round trip through the axon
+    tunnel regardless of size (measured, tools/perf_tunnel.py), so the
+    epilogue (29 KB) rides behind the int16 labels in the same fetch.
+    The f32 epilogue is split into (low, high) 16-bit halves with
+    arithmetic shifts — no bitcast-layout assumptions to get wrong —
+    and reassembled in :func:`_unpack_finish`.
+    """
+    epi = _pack_epilogue(seg)
+    b = lax.bitcast_convert_type(epi, jnp.int32)
+    lo = (b & 0xFFFF).astype(jnp.uint16).astype(jnp.int16)
+    hi = ((b >> 16) & 0xFFFF).astype(jnp.uint16).astype(jnp.int16)
+    epi16 = jnp.stack([lo, hi], axis=1).reshape(-1)
+    return jnp.concatenate([seg.plane_idx.astype(jnp.int16), epi16])
+
+
+def _unpack_finish(packed: np.ndarray, capacity: int, p_cap: int):
+    """Invert :func:`_pack_finish`: (labels int16[capacity], epilogue
+    fields via :func:`_unpack_epilogue`)."""
+    labels = packed[:capacity]
+    pairs = packed[capacity:].astype(np.int64) & 0xFFFF
+    bits = (pairs[0::2] | (pairs[1::2] << 16)).astype(np.uint32)
+    epi = bits.view(np.float32) if bits.flags.c_contiguous else (
+        np.ascontiguousarray(bits).view(np.float32)
+    )
+    return labels, _unpack_epilogue(epi, p_cap)
+
+
+@jax.jit
 def _pack_epilogue(seg):
     """Pack every SMALL epilogue output into ONE f32 vector.
 
@@ -427,7 +459,7 @@ def _dispatch_device(batch, config: PipelineConfig, signed_normals: bool):
 
 
 def _finish_output(
-    cloud, shifted_h, lo_h, shifted_dev, mask_dev, seg, pidx16,
+    cloud, shifted_h, lo_h, shifted_dev, mask_dev, seg, packed16,
     config: PipelineConfig, timings: dict,
 ) -> PipelineOutput:
     """Fetch labels, colorize, assemble the host-side PipelineOutput.
@@ -435,15 +467,19 @@ def _finish_output(
     All device→host traffic of the epilogue lives here so multi-scan
     callers can run it on a writer thread, overlapped with the next
     scan's upload/compute.  Labels travel as int16 (ids ≤ max_planes ≤
-    32767) — half the bytes of the int32 array through the tunnel.
+    32767) — half the bytes of the int32 array through the tunnel —
+    with the plane-table epilogue packed into the SAME fetch
+    (:func:`_pack_finish`): one ~24 ms round trip instead of two.
     """
     n = cloud.count
+    capacity = seg.plane_idx.shape[0]
     t2 = time.perf_counter()
-    plane_idx = np.asarray(pidx16)[:n].astype(np.int32)
     p_cap = seg.plane_count.shape[0]
-    num_planes, diag, p_count, p_normal, p_center = _unpack_epilogue(
-        np.asarray(_pack_epilogue(seg)), p_cap
+    labels16, epilogue = _unpack_finish(
+        np.asarray(packed16), capacity, p_cap
     )
+    plane_idx = labels16[:n].astype(np.int32)
+    num_planes, diag, p_count, p_normal, p_center = epilogue
     colors = colorize_planes(
         plane_idx,
         num_planes,
@@ -504,34 +540,35 @@ def segment_cloud(
     timings["host_to_device"] = t1 - t0
 
     shifted, lo, seg = _dispatch_device(batch, config, signed_normals)
-    pidx16 = _labels_i16(seg.plane_idx)
-    jax.block_until_ready(pidx16)
+    packed16 = _pack_finish(seg)
+    jax.block_until_ready(packed16)
     timings["device_pipeline"] = time.perf_counter() - t1
 
     return _finish_output(
-        cloud, shifted_h, lo_h, shifted, batch.mask, seg, pidx16,
+        cloud, shifted_h, lo_h, shifted, batch.mask, seg, packed16,
         config, timings,
     )
 
 
 def _bucket_capacity(n: int, config: PipelineConfig) -> int:
-    """Round capacity to a quarter-octave bucket ≥ padded_count.
+    """Round capacity to an eighth-octave bucket ≥ padded_count.
 
     Multi-scan runs hit the jit cache when scans share a bucket; without
     bucketing every distinct point count would recompile the fused
     pipeline (minutes on a remote-compile TPU).  Buckets are
-    2^k × {1, 1.25, 1.5, 1.75} (all pad_to_multiple-aligned): at most
-    ~25% padding overhead — a plain power-of-two bucket wastes up to 2×
-    device work on scans just past a boundary — while keeping the
-    number of compiled variants at four per octave.
+    2^k × {1, 1.125, 1.25, ..., 1.875} (all pad_to_multiple-aligned):
+    at most ~12.5% padding overhead.  Padding is paid TWICE per scan —
+    once in device compute and once in the ~35 MB/s tunnel upload — so
+    the finer grid beats the old quarter-octave one (≤25% overhead)
+    even though it doubles the worst-case number of compiled variants.
     """
     cap = config.padded_count(n)
-    octave = 1 << max(cap.bit_length() - 1, 2)
-    for num in (4, 5, 6, 7, 8):
-        bucket = octave // 4 * num
+    octave = 1 << max(cap.bit_length() - 1, 3)
+    for num in range(8, 17):
+        bucket = octave // 8 * num
         if bucket >= cap:
             break
-    # re-align to the capacity multiple (octave//4 below pad_to_multiple)
+    # re-align to the capacity multiple (octave//8 below pad_to_multiple)
     bucket = config.padded_count(bucket)
     return max(bucket, config.pad_to_multiple)
 
@@ -591,12 +628,12 @@ def segment_files(
             # device→host fetch happens on the writer thread
             t0 = time.perf_counter()
             shifted, lo, seg = _dispatch_device(batch, cfg, signed_normals)
-            pidx16 = _labels_i16(seg.plane_idx)
+            packed16 = _pack_finish(seg)
             timings = {"_t0": t0, "host_to_device": t_load}
             writes.append(
                 wpool.submit(
                     _finish_and_write, cloud, shifted_h, lo_h, shifted,
-                    batch.mask, seg, pidx16, cfg, timings, in_path,
+                    batch.mask, seg, packed16, cfg, timings, in_path,
                     out_path, config, render_dir,
                 )
             )
@@ -605,14 +642,29 @@ def segment_files(
 
 
 def _finish_and_write(
-    cloud, shifted_h, lo_h, shifted, mask_dev, seg, pidx16, cfg,
+    cloud, shifted_h, lo_h, shifted, mask_dev, seg, packed16, cfg,
     timings, in_path, out_path, config, render_dir,
 ):
     """Writer-thread stage: fetch/colorize, write the labeled PLY, and
     render the ortho PNGs (raster dispatch reuses the device-resident
-    shifted positions — no re-upload)."""
+    shifted positions — no re-upload).
+
+    The raster is DISPATCHED before the blocking label fetch so the
+    device computes it behind the writer's host work (colorize +
+    labeled-PLY write); its single packed fetch happens last."""
+    rast = None
+    if render_dir is not None:
+        import os
+
+        from buildingsegment_tpu.raster.ortho import (
+            dispatch_ortho, finish_ortho,
+        )
+
+        rast, true_ext = dispatch_ortho(
+            shifted_h, shifted, mask_dev, config
+        )
     out = _finish_output(
-        cloud, shifted_h, lo_h, shifted, mask_dev, seg, pidx16, cfg,
+        cloud, shifted_h, lo_h, shifted, mask_dev, seg, packed16, cfg,
         timings,
     )
     write_ply(
@@ -621,13 +673,11 @@ def _finish_and_write(
         position_scale=config.output_scale,
         ascii=not config.output_binary,
     )
-    if render_dir is not None:
-        import os
-
-        from buildingsegment_tpu.raster.ortho import render_ortho_views
-
+    if rast is not None:
         base = os.path.splitext(os.path.basename(in_path))[0]
-        render_ortho_views(out, os.path.join(render_dir, base), config)
+        finish_ortho(
+            rast, true_ext, os.path.join(render_dir, base), config
+        )
     return out
 
 

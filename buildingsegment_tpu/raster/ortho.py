@@ -189,11 +189,76 @@ def _ortho_jit(extent, raster_bin, raster_bin_height, density_offset):
 
     @jax.jit
     def run(positions, mask, true_ext):
-        return compute_ortho_images(
+        # pack the two LIVE rasters into one array so the host fetches
+        # them in ONE tunnel round trip (~24 ms each); ch2 is
+        # identically zero (its computation is commented out in the
+        # reference, TMC3.cpp:167-170) and is reconstructed host-side
+        mean_h, logd, _ch2 = compute_ortho_images(
             positions, mask, extent, cfg, true_extent=true_ext
         )
+        return jnp.stack([mean_h, logd])
 
     return run
+
+
+def dispatch_ortho(
+    positions_host: np.ndarray,
+    device_shifted=None,
+    device_mask=None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+):
+    """Dispatch the ortho raster (async) and return a finish handle.
+
+    Split from :func:`render_ortho_views` so multi-scan callers can
+    start the device raster BEFORE blocking on their label fetch — the
+    raster then computes behind the writer thread's host work.  Returns
+    ``(device_rasters [2, H, W], true_extent)``.
+    """
+    n = positions_host.shape[0]
+    true_extent = (
+        tuple(int(e) for e in positions_host.max(axis=0))
+        if n else (0, 0, 0)
+    )
+    bucket = (
+        _bucket_extent(true_extent[0], config.raster_bin),
+        _bucket_extent(true_extent[1], config.raster_bin),
+        _bucket_extent(true_extent[2], config.raster_bin_height, 8),
+    )
+    if device_shifted is not None:
+        dpos = device_shifted
+        dmask = device_mask
+    else:
+        dpos = jnp.asarray(positions_host)
+        dmask = jnp.ones((n,), bool)
+    run = _ortho_jit(
+        bucket, config.raster_bin, config.raster_bin_height,
+        config.raster_density_offset,
+    )
+    rasters = run(dpos, dmask, jnp.asarray(true_extent, jnp.int32))
+    return rasters, true_extent
+
+
+def finish_ortho(
+    rasters, true_extent, out_dir: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+) -> dict:
+    """Fetch the packed rasters (one round trip), encode + write PNGs."""
+    os.makedirs(out_dir, exist_ok=True)
+    true_w = true_extent[0] // config.raster_bin + 2
+    true_h = true_extent[1] // config.raster_bin + 2
+    host = np.asarray(rasters)[:, :true_h, :true_w]
+    ch2 = np.zeros_like(host[0])
+    paths = {}
+    for name, raster, chan in (
+        (MEAN_HEIGHT_PNG, host[0], 0),    # mean height → R (TMC3.cpp:93-98)
+        (DENSITY_PNG, host[1], 1),        # log density → G (TMC3.cpp:103-108)
+        (DENSITY_HEIGHT_PNG, ch2, 1),     # blank ch2 → G (TMC3.cpp:112-119)
+    ):
+        img = normalize_to_png(raster, chan)
+        path = os.path.join(out_dir, name)
+        write_png(path, img)
+        paths[name] = path
+    return paths
 
 
 def render_ortho_views(pipeline_output, out_dir: str, config: PipelineConfig = DEFAULT_CONFIG) -> dict:
@@ -206,42 +271,10 @@ def render_ortho_views(pipeline_output, out_dir: str, config: PipelineConfig = D
     PADDED shape buckets and the rasters sliced back to the true canvas
     (identical pixels: padded cells receive no points).
     """
-    os.makedirs(out_dir, exist_ok=True)
-    pos = pipeline_output.cloud.positions
-    n = pos.shape[0]
-    true_extent = (
-        tuple(int(e) for e in pos.max(axis=0)) if n else (0, 0, 0)
+    rasters, true_extent = dispatch_ortho(
+        pipeline_output.cloud.positions,
+        pipeline_output.device_shifted,
+        pipeline_output.device_mask,
+        config,
     )
-    bucket = (
-        _bucket_extent(true_extent[0], config.raster_bin),
-        _bucket_extent(true_extent[1], config.raster_bin),
-        _bucket_extent(true_extent[2], config.raster_bin_height, 8),
-    )
-    if pipeline_output.device_shifted is not None:
-        dpos = pipeline_output.device_shifted
-        dmask = pipeline_output.device_mask
-    else:
-        dpos = jnp.asarray(pos)
-        dmask = jnp.ones((n,), bool)
-    run = _ortho_jit(
-        bucket, config.raster_bin, config.raster_bin_height,
-        config.raster_density_offset,
-    )
-    mean_h, logd, ch2 = run(
-        dpos, dmask, jnp.asarray(true_extent, jnp.int32)
-    )
-    true_w = true_extent[0] // config.raster_bin + 2
-    true_h = true_extent[1] // config.raster_bin + 2
-    paths = {}
-    for name, raster, chan in (
-        (MEAN_HEIGHT_PNG, mean_h, 0),     # mean height → R (TMC3.cpp:93-98)
-        (DENSITY_PNG, logd, 1),           # log density → G (TMC3.cpp:103-108)
-        (DENSITY_HEIGHT_PNG, ch2, 1),     # blank ch2 → G (TMC3.cpp:112-119)
-    ):
-        img = normalize_to_png(
-            np.asarray(raster)[:true_h, :true_w], chan
-        )
-        path = os.path.join(out_dir, name)
-        write_png(path, img)
-        paths[name] = path
-    return paths
+    return finish_ortho(rasters, true_extent, out_dir, config)

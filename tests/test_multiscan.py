@@ -39,19 +39,63 @@ def scan_dir(tmp_path_factory):
     return str(d)
 
 
-def test_bucket_capacity_quarter_octave():
+def test_bucket_capacity_eighth_octave():
     cfg = PipelineConfig(pad_to_multiple=512)
     assert _bucket_capacity(1000, cfg) == 1024
-    assert _bucket_capacity(1025, cfg) == 1536  # 1.5 × 2^10
+    assert _bucket_capacity(1025, cfg) == 1536  # padded_count rounds up
     assert _bucket_capacity(100, cfg) == 512
     cfg2 = PipelineConfig(pad_to_multiple=1024)
-    # just past a power of two: ≤ 25% padding, not 2×
+    # just past a power of two: ≤ 12.5% padding, not 2×
     b = _bucket_capacity(1_082_304, cfg2)
-    assert b == 1_310_720 and b % 1024 == 0
+    assert b == 1_179_648 and b % 1024 == 0  # 9/8 × 2^20
     for n in (1, 777, 4097, 300_000, 2**21):
         b = _bucket_capacity(n, cfg2)
         assert b >= n and b % cfg2.pad_to_multiple == 0
+        # small n: the pad_to_multiple rounding inside padded_count
+        # dominates (≤ ~25%); at scale the eighth-octave grid holds
         assert b <= max(1.26 * n, cfg2.pad_to_multiple)
+        if n >= 100 * cfg2.pad_to_multiple:
+            assert b <= 1.14 * n
+
+
+def test_pack_finish_roundtrip():
+    """_pack_finish/_unpack_finish: labels + f32 epilogue survive the
+    one-fetch int16 packing bit-exactly."""
+    import jax.numpy as jnp
+
+    from buildingsegment_tpu.pipeline import (
+        _pack_finish, _unpack_finish,
+    )
+    from buildingsegment_tpu.seg.region_grow import SegmentationResult
+
+    rng = np.random.default_rng(0)
+    cap, p = 2048, 64
+    seg = SegmentationResult(
+        plane_idx=jnp.asarray(
+            rng.integers(-1, 30000, cap).astype(np.int32)
+        ),
+        num_planes=jnp.int32(17),
+        plane_normal=jnp.asarray(
+            rng.normal(size=(p, 3)).astype(np.float32)
+        ),
+        plane_center=jnp.asarray(
+            (rng.uniform(0, 2**24, (p, 3))).astype(np.float32)
+        ),
+        plane_count=jnp.asarray(rng.integers(0, 1 << 23, p), jnp.int32),
+        num_sweeps=jnp.int32(9),
+        diagnostics=jnp.asarray([5, 0, 2, 1], jnp.int32),
+    )
+    labels, (num_planes, diag, cnt, nrm, ctr) = _unpack_finish(
+        np.asarray(_pack_finish(seg)), cap, p
+    )
+    np.testing.assert_array_equal(
+        labels, np.asarray(seg.plane_idx, np.int16)
+    )
+    assert num_planes == 17
+    np.testing.assert_array_equal(diag, [5, 0, 2, 1])
+    np.testing.assert_array_equal(cnt, np.asarray(seg.plane_count))
+    np.testing.assert_array_equal(nrm, np.asarray(seg.plane_normal))
+    np.testing.assert_array_equal(ctr, np.asarray(seg.plane_center))
 
 
 def test_segment_files(scan_dir, tmp_path):

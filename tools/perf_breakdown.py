@@ -25,10 +25,20 @@ def _sync(out):
 
 def timed(fn, reps=8):
     """Pipelined steady-state timing: dispatch ``reps`` calls, one
-    host sync at the end (sync overhead amortizes as 1/reps)."""
+    host sync at the end (sync overhead amortizes as 1/reps).  The
+    first (compiling) call retries through remote-compile SIGKILL
+    flakes — compile progress is cached per program, so each retry
+    resumes where the last died."""
     import time
 
-    out = fn()
+    for a in range(8):
+        try:
+            out = fn()
+            break
+        except Exception as e:
+            if "remote_compile" not in str(e) or a == 7:
+                raise
+            time.sleep(min(10 + 5 * a, 40))
     _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
