@@ -451,11 +451,21 @@ def knn_normals_window_stats(
         # symmetry-halved phase 1 (bit-identical); off until the chip
         # measurement adopts it — flip via env or the bench autotune
         sym = os.environ.get("BST_STATS_SYM", "0") == "1"
-    dk, s0, s1, s2 = fused_stats_sweep(
-        slab, n, k=k, w=window, tile=tile, radius=radius,
-        max_nn=max_nn, interpret=False, rank_mode=rank_mode,
-        store_offsets=store_offsets, sym=sym,
-    )
+    if rank_mode == "mxu":
+        # block-form variant: distances + moments as MXU matmuls
+        # (ops/stats_mxu.py; near-exact — see its exactness note)
+        from buildingsegment_tpu.ops.stats_mxu import fused_stats_mxu
+
+        dk, s0, s1, s2 = fused_stats_mxu(
+            slab, n, k=k, w=window, tile=tile, radius=radius,
+            max_nn=max_nn, interpret=False,
+        )
+    else:
+        dk, s0, s1, s2 = fused_stats_sweep(
+            slab, n, k=k, w=window, tile=tile, radius=radius,
+            max_nn=max_nn, interpret=False, rank_mode=rank_mode,
+            store_offsets=store_offsets, sym=sym,
+        )
     from buildingsegment_tpu.ops.fused import finish_normals
 
     normals, curvature = finish_normals(s0, s1, s2, orient_z=orient_z)

@@ -102,6 +102,19 @@ def test_stats_sweep_lowers(rank_mode, store_offsets, sym):
     )
 
 
+def test_stats_mxu_lowers():
+    """Block-MXU stats kernel: dot_general with a dim-0 contraction
+    (lhs-transposed matmul) + in-kernel bitonic at production shape."""
+    from buildingsegment_tpu.ops.stats_mxu import fused_stats_mxu
+
+    _lower_tpu(
+        fused_stats_mxu,
+        _f32(8, _SW64),
+        n=_N1M, k=16, w=64, tile=8192, radius=100.0, max_nn=50,
+        interpret=False,
+    )
+
+
 # --- hardware-validated sweeps: lowering regression guards -----------
 
 _SW16 = slab_width(_N1M, 16, 32768)

@@ -97,15 +97,47 @@ def compile_stats(ng, w=64, tile=8192, rank_mode="bisect",
     return t_comp
 
 
+def compile_mxu(ng, w=64, tile=8192, verbose=True):
+    import jax
+    import jax.numpy as jnp
+
+    from buildingsegment_tpu.ops.stats_mxu import fused_stats_mxu
+
+    s = tpu_sharding()
+    n_pad = -(-ng // tile) * tile
+    slab = jax.ShapeDtypeStruct(
+        (8, n_pad + 2 * w + ((-(n_pad + 2 * w)) % 128)), jnp.float32,
+        sharding=s,
+    )
+    t0 = time.time()
+    lowered = fused_stats_mxu.lower(
+        slab, ng, k=15, w=w, tile=tile, radius=100.0, max_nn=50,
+        interpret=False,
+    )
+    t_lower = time.time() - t0
+    t0 = time.time()
+    lowered.compile()
+    t_comp = time.time() - t0
+    if verbose:
+        print(f"mxu ng={ng} tile={tile} w={w}: lower {t_lower:.1f}s "
+              f"compile {t_comp:.1f}s", flush=True)
+    return t_comp
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("what", choices=["compact", "stats"])
+    ap.add_argument("what", choices=["compact", "stats", "mxu"])
     ap.add_argument("--ng", type=int, nargs="+", default=[8192])
     ap.add_argument("--w", type=int, default=16)
     ap.add_argument("--lc", type=int, default=2048)
+    ap.add_argument("--tile", type=int, default=8192)
     ap.add_argument("--jump-rounds", type=int, default=2)
     ap.add_argument("--no-anchor", action="store_true")
     a = ap.parse_args()
+    if a.what == "mxu":
+        for ng in a.ng:
+            compile_mxu(ng, w=a.w if a.w != 16 else 64, tile=a.tile)
+        return
     if a.what == "stats":
         for ng in a.ng:
             compile_stats(ng, w=a.w if a.w != 16 else 64)
