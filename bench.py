@@ -156,11 +156,13 @@ def main():
     stats_best, stats_best_dt = ("bisect", False, False), None
     stats_cands = [
         ("bisect", False, False),
-        ("bisect", True, False),
-        ("bitonic", False, False),
         ("bitonic", True, False),
         # symmetry-halved phase 1 on the measured-best combo
         ("bitonic", True, True),
+        # block-MXU form (ops/stats_mxu.py): distances + moments as
+        # matmuls — near-exact, so the headline quality gate below
+        # arbitrates whatever wins here
+        ("mxu", False, False),
     ]
     for rank_mode, so, sym in stats_cands:
         tag = (
@@ -308,7 +310,10 @@ def main():
         if cfg.seg_refine_sweeps > 2:
             cand_reps.append({"knn_window": 48, "seg_refine_sweeps": 2})
     best = None
-    for reps_d in cand_reps:
+    best_reps = {}
+
+    def _try(reps_d):
+        nonlocal best, best_reps
         c = dataclasses.replace(cfg, **reps_d)
         tag = "base" if not reps_d else "_".join(
             f"{k.split('_')[-1]}{v}" for k, v in sorted(reps_d.items())
@@ -317,12 +322,22 @@ def main():
             fn_c, dt_c, seg_c, ag_c = _headline(c)
         except Exception as e:
             tune[f"cand_{tag}"] = f"error:{type(e).__name__}"
-            continue
+            return
         tune[f"cand_{tag}"] = {
             "ms": round(dt_c * 1e3, 2), "agreement": round(ag_c, 4)
         }
         if ag_c >= QUALITY_FLOOR and (best is None or dt_c < best[2]):
             best = (c, fn_c, dt_c, seg_c, ag_c)
+            best_reps = reps_d
+
+    for reps_d in cand_reps:
+        _try(reps_d)
+    # adaptive follow-up: the block-MXU seed sweep on top of whatever
+    # won so far (near-exact — the gate arbitrates)
+    if not quick and (
+        best is None or best_reps.get("seg_seed_mode") != "mxu"
+    ):
+        _try({**best_reps, "seg_seed_mode": "mxu"})
     if best is None:
         extras["autotune_fallback"] = "all_candidates_failed_gate"
         cfg = safe_cfg
@@ -345,6 +360,7 @@ def main():
         cfg, fn, e2e_dt, seg, agreement = best
         tune["chosen"]["knn_window"] = cfg.knn_window
         tune["chosen"]["seg_refine_sweeps"] = cfg.seg_refine_sweeps
+        tune["chosen"]["seg_seed_mode"] = cfg.seg_seed_mode
 
     mpts = n / e2e_dt / 1e6
     extras["planes_found"] = int(seg.num_planes)

@@ -122,6 +122,12 @@ class PipelineConfig:
     # each unordered pair computed once).  None defers to BST_STATS_SYM
     # (default off) until the chip measurement adopts it.
     stats_sym: Optional[bool] = None
+    # seed-sweep kernel: "pair" (one-directional shifts) | "sym"
+    # (symmetry-halved) | "mxu" (block-MXU matmul form,
+    # ops/stats_mxu.py — near-exact, quality-gated).  None defers to
+    # BST_SEED_MODE (default "pair") until the chip measurement adopts
+    # a variant.
+    seg_seed_mode: Optional[str] = None
 
     # --- capacity / sharding ---
     pad_to_multiple: int = 1024     # point capacity rounded up to this

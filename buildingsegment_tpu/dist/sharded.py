@@ -151,6 +151,7 @@ def sharded_grow_body(mesh: Mesh, config: PipelineConfig, *,
                 group=config.seg_group, levels=config.seg_levels,
                 refine_sweeps=config.seg_refine_sweeps,
                 compact=config.seg_compact,
+                seed_mode=config.seg_seed_mode,
                 axis_name=ax, **seg_kwargs,
             )
         neigh_idx, neigh_d, normals, curv = stats
@@ -161,6 +162,7 @@ def sharded_grow_body(mesh: Mesh, config: PipelineConfig, *,
             th_normal_cos=config.th_normal_cos,
             signed_normals=signed_normals,
             axis_name=ax,
+            seed_mode=config.seg_seed_mode,
         )
         return segment_planes(
             spos, normals, neigh_idx[:, :knn_k], smask,

@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from buildingsegment_tpu.ops.stats_sweep import _bitonic_rows
 from buildingsegment_tpu.ops.window_sweep import _lane_pad
 
-__all__ = ["fused_stats_mxu"]
+__all__ = ["fused_stats_mxu", "seed_sweep_mxu"]
 
 _BIG = 1e30  # mask payload: far beyond any real d² (python float —
 #              a module-level jnp constant would be captured by the
@@ -245,6 +245,184 @@ def _stats_mxu_kernel(
     zeros = jnp.zeros((tile,), jnp.float32)
     for r in range(11, 16):
         out_ref[r, :] = zeros
+
+
+def _seed_mxu_kernel(
+    spine_hbm, dyn_hbm, out_ref, spine, dyn, sem, sem2, *, tile, w,
+    th_thickness, th_normal_cos, signed,
+):
+    """Seed sweep in block-MXU form.
+
+    Same depth-0 strictness rule as ``window_sweep._seed_kernel_pair``
+    (every in-ball ±W candidate must pass the plane test,
+    tmc3/my_function.cpp:238): per 128-query block the three pair
+    quantities are matmuls —
+
+        D[c, q]  = |c−q|²          (distance matmul, masks folded in)
+        CN[c, q] = n_c · n_q        (normal-agreement matmul)
+        CP[c, q] = (c−o) · n_q      (projection matmul; minus the lane
+                                     vector (q−o)·n_q gives the plane
+                                     band distance)
+
+    and ``bad[q] = max_c(in_ball & ~ok)`` is a sublane reduction.
+    Same exactness regime as the stats kernel above (D rounds
+    differently from the shift form near ball boundaries).
+    """
+    ti = pl.program_id(0)
+    width = tile + 2 * w + _lane_pad(tile, w)
+    dma = pltpu.make_async_copy(
+        spine_hbm.at[:, pl.ds(ti * tile, width)], spine, sem,
+    )
+    dma2 = pltpu.make_async_copy(
+        dyn_hbm.at[:, pl.ds(ti * tile, width)], dyn, sem2,
+    )
+    dma.start()
+    dma2.start()
+    dma.wait()
+    dma2.wait()
+
+    C = 128 + 2 * w
+    CL = -(-C // 128) * 128
+
+    ci = lax.broadcasted_iota(jnp.int32, (C, 128), 0)
+    qi = lax.broadcasted_iota(jnp.int32, (C, 128), 1)
+    off = ci - w - qi
+    # candidates: in-window, self EXCLUDED (slot 0 skipped,
+    # my_function.cpp:224)
+    win_add = jnp.where(
+        (off >= -w) & (off <= w) & (off != 0), 0.0, _BIG
+    )
+
+    def block(b, _):
+        cs = b * 128
+        lx = spine[0, pl.ds(cs, CL)]
+        ly = spine[1, pl.ds(cs, CL)]
+        lz = spine[2, pl.ds(cs, CL)]
+        lnx = spine[3, pl.ds(cs, CL)]
+        lny = spine[4, pl.ds(cs, CL)]
+        lnz = spine[5, pl.ds(cs, CL)]
+        lm = spine[6, pl.ds(cs, CL)]
+        ldk = dyn[0, pl.ds(cs, CL)]
+
+        def cpart(v):
+            return lax.slice(v, (0,), (C,))
+
+        def qpart(v):
+            return lax.slice(v, (w,), (w + 128,))
+
+        cx, cy, cz, cm = cpart(lx), cpart(ly), cpart(lz), cpart(lm)
+        cnx, cny, cnz = cpart(lnx), cpart(lny), cpart(lnz)
+        qx, qy, qz, qm = qpart(lx), qpart(ly), qpart(lz), qpart(lm)
+        qnx, qny, qnz = qpart(lnx), qpart(lny), qpart(lnz)
+        qdk = qpart(ldk)
+
+        ox = jnp.min(jnp.where(cm > 0.5, cx, jnp.float32(3e7)))
+        oy = jnp.min(jnp.where(cm > 0.5, cy, jnp.float32(3e7)))
+        oz = jnp.min(jnp.where(cm > 0.5, cz, jnp.float32(3e7)))
+        any_valid = jnp.max(cm) > 0.5
+        ox = jnp.where(any_valid, ox, 0.0)
+        oy = jnp.where(any_valid, oy, 0.0)
+        oz = jnp.where(any_valid, oz, 0.0)
+        cxo, cyo, czo = cx - ox, cy - oy, cz - oz
+        qxo, qyo, qzo = qx - ox, qy - oy, qz - oz
+        c2 = cxo * cxo + cyo * cyo + czo * czo
+        q2 = qxo * qxo + qyo * qyo + qzo * qzo
+        ones_c = jnp.ones((C,), jnp.float32)
+        ones_q = jnp.ones((128,), jnp.float32)
+        zer_c = jnp.zeros((C,), jnp.float32)
+        zer_q = jnp.zeros((128,), jnp.float32)
+
+        dd = lax.dot_general(
+            jnp.stack([cxo, cyo, czo, c2, ones_c,
+                       jnp.where(cm > 0.5, 0.0, _BIG), ones_c,
+                       zer_c], 0),
+            jnp.stack([-2.0 * qxo, -2.0 * qyo, -2.0 * qzo, ones_q, q2,
+                       ones_q, jnp.where(qm > 0.5, 0.0, _BIG),
+                       zer_q], 0),
+            (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        # normal cos + projection share one matmul pair structure
+        cn = lax.dot_general(
+            jnp.stack([cnx, cny, cnz, zer_c, zer_c, zer_c, zer_c,
+                       zer_c], 0),
+            jnp.stack([qnx, qny, qnz, zer_q, zer_q, zer_q, zer_q,
+                       zer_q], 0),
+            (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        cp = lax.dot_general(
+            jnp.stack([cxo, cyo, czo, zer_c, zer_c, zer_c, zer_c,
+                       zer_c], 0),
+            jnp.stack([qnx, qny, qnz, zer_q, zer_q, zer_q, zer_q,
+                       zer_q], 0),
+            (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        qdotn = qxo * qnx + qyo * qny + qzo * qnz
+        pd = jnp.abs(cp - qdotn[None, :])
+        pc = cn if signed else jnp.abs(cn)
+        in_ball = (dd + win_add) <= qdk[None, :]
+        fails = in_ball & ~(
+            (pd <= th_thickness) & (pc >= th_normal_cos)
+        )
+        # 2-D output row 0: dimension-1 dynamic stores need only
+        # 128-alignment (1-D stores would need 1024, and 1-D
+        # concatenates past the first lane tile do not lower)
+        out_ref[0, pl.ds(cs, 128)] = jnp.max(
+            jnp.where(fails, 1.0, 0.0), axis=0
+        )
+        return 0
+
+    lax.fori_loop(0, tile // 128, block, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "w", "tile", "th_thickness", "th_normal_cos",
+                     "signed", "interpret"),
+)
+def seed_sweep_mxu(
+    spine, dyn, n, *, w, tile, th_thickness, th_normal_cos,
+    signed=False, interpret=False,
+):
+    """Block-MXU seed sweep — same contract as
+    :func:`ops.window_sweep.seed_sweep_pair` (spine rows 0-2 position,
+    3-5 normal, 6 mask; dyn row 0 the squared k-th-NN ball; returns
+    f32[n] bad-flags), with the matmul exactness caveat."""
+    n_pad = -(-n // tile) * tile
+    width = tile + 2 * w + _lane_pad(tile, w)
+    kernel = functools.partial(
+        _seed_mxu_kernel, tile=tile, w=w,
+        th_thickness=th_thickness, th_normal_cos=th_normal_cos,
+        signed=signed,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((8, tile), lambda ti: (0, ti),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, width), jnp.float32),
+            pltpu.VMEM((4, width), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(spine, dyn)
+    return lax.slice(out, (0, 0), (1, n)).reshape(n)
 
 
 @functools.partial(

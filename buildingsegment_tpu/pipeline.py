@@ -149,7 +149,7 @@ def _window_stage1(
         "max_planes", "max_sweeps", "signed_normals",
         "th_seed_curvature", "convergence_tol", "seg_group",
         "seg_levels", "seg_refine_sweeps", "seg_anchor_cos", "use_stats",
-        "seg_compact",
+        "seg_compact", "seg_seed_mode",
     ),
 )
 def _window_stage2(
@@ -157,6 +157,7 @@ def _window_stage2(
     th_point_count, max_planes, max_sweeps, signed_normals,
     th_seed_curvature, convergence_tol, seg_group, seg_levels,
     seg_refine_sweeps, use_stats, seg_anchor_cos=None, seg_compact=None,
+    seg_seed_mode=None,
 ):
     """Window-path stage 2: region growing + unsort.
 
@@ -191,6 +192,7 @@ def _window_stage2(
             kth_sq_dist=dk, curvature=curv,
             group=seg_group, levels=seg_levels,
             refine_sweeps=seg_refine_sweeps, compact=seg_compact,
+            seed_mode=seg_seed_mode,
             **seg_kwargs,
         )
     else:
@@ -230,6 +232,7 @@ def run_device_pipeline(
     seg_refine_sweeps: int = 2,
     seg_anchor_cos=None,
     seg_compact=None,
+    seg_seed_mode=None,
     stats_rank_mode=None,
     stats_store_offsets=False,
     stats_sym=None,
@@ -265,7 +268,7 @@ def run_device_pipeline(
             convergence_tol=convergence_tol, seg_group=seg_group,
             seg_levels=seg_levels, seg_refine_sweeps=seg_refine_sweeps,
             use_stats=use_stats, seg_anchor_cos=seg_anchor_cos,
-            seg_compact=seg_compact,
+            seg_compact=seg_compact, seg_seed_mode=seg_seed_mode,
         )
         return shifted, lo, seg
     return _classic_pipeline(
@@ -452,6 +455,7 @@ def _dispatch_device(batch, config: PipelineConfig, signed_normals: bool):
         seg_refine_sweeps=config.seg_refine_sweeps,
         seg_anchor_cos=config.seg_anchor_cos,
         seg_compact=config.seg_compact,
+        seg_seed_mode=config.seg_seed_mode,
         stats_rank_mode=config.stats_rank_mode,
         stats_store_offsets=config.stats_store_offsets,
         stats_sym=config.stats_sym,

@@ -63,7 +63,7 @@ __all__ = ["segment_planes_multigrid"]
         "axis_name",
         # static so the TPU Pallas branch can bake them into the kernel
         "th_thickness", "th_normal_cos", "max_edge_dist",
-        "th_anchor_cos", "compact",
+        "th_anchor_cos", "compact", "seed_mode",
     ),
 )
 def segment_planes_multigrid(
@@ -99,6 +99,7 @@ def segment_planes_multigrid(
     seed_override=None,
     axis_name: str = None,
     compact: Optional[bool] = None,
+    seed_mode: Optional[str] = None,
 ) -> SegmentationResult:
     """Multigrid windowized plane segmentation (Morton-sorted input).
 
@@ -214,6 +215,7 @@ def segment_planes_multigrid(
             axis_name=axis_name,
             spine=spine,
             spine_tile=tile if spine is not None else 0,
+            seed_mode=seed_mode,
         )
     if curvature is not None and th_seed_curvature is not None:
         fine_seed = fine_seed & (curvature <= jnp.float32(th_seed_curvature))

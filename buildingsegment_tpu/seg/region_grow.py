@@ -83,7 +83,7 @@ _COMPACT_DEFAULT = os.environ.get("BST_COMPACT", "0") == "1"
     static_argnames=(
         "window", "signed_normals", "axis_name", "spine_tile",
         # static so the TPU Pallas branch can bake them into the kernel
-        "th_thickness", "th_normal_cos",
+        "th_thickness", "th_normal_cos", "seed_mode",
     ),
 )
 def window_seeds(
@@ -99,6 +99,7 @@ def window_seeds(
     axis_name: str = None,
     spine: Optional[jax.Array] = None,
     spine_tile: int = 0,
+    seed_mode: Optional[str] = None,
 ) -> jax.Array:
     """Strict depth-0 seed rule over ±window slices, gather-free.
 
@@ -140,6 +141,8 @@ def window_seeds(
     # tile 32768 = half the grid steps of 16384; lab-measured ~1 ms
     # faster on the seed kernel at 1M (tools/perf_slab_lab.py)
     tile = pick_tile(n, 32768)
+    if seed_mode is None:
+        seed_mode = os.environ.get("BST_SEED_MODE", "pair")
     if jax.devices()[0].platform != "cpu" and tile:
         if spine is not None and spine_tile == tile:
             # shared spine (coarse.py builds it once per solve); only
@@ -148,9 +151,42 @@ def window_seeds(
                 kth_sq_dist.astype(jnp.float32), 0.0, ws, tile,
                 axis_name=axis_name,
             )
-            bad_f = seed_sweep_pair(
-                spine, dyn, n,
-                w=ws, tile=tile,
+            if seed_mode == "mxu":
+                from buildingsegment_tpu.ops.stats_mxu import (
+                    seed_sweep_mxu,
+                )
+
+                bad_f = seed_sweep_mxu(
+                    spine, dyn, n, w=ws, tile=tile,
+                    th_thickness=float(th_thickness),
+                    th_normal_cos=float(th_normal_cos),
+                    signed=signed_normals,
+                )
+            else:
+                bad_f = seed_sweep_pair(
+                    spine, dyn, n,
+                    w=ws, tile=tile,
+                    th_thickness=float(th_thickness),
+                    th_normal_cos=float(th_normal_cos),
+                    signed=signed_normals,
+                    sym=(seed_mode == "sym"),
+                )
+            return mask & (bad_f < 0.5)
+        if seed_mode == "mxu":
+            from buildingsegment_tpu.ops.stats_mxu import seed_sweep_mxu
+            from buildingsegment_tpu.ops.window_sweep import make_spine
+
+            sp = make_spine(
+                (px, py, pz), (nx_, ny_, nz_),
+                mask.astype(jnp.float32), ws, tile,
+                axis_name=axis_name,
+            )
+            dyn = make_dyn_row(
+                kth_sq_dist.astype(jnp.float32), 0.0, ws, tile,
+                axis_name=axis_name,
+            )
+            bad_f = seed_sweep_mxu(
+                sp, dyn, n, w=ws, tile=tile,
                 th_thickness=float(th_thickness),
                 th_normal_cos=float(th_normal_cos),
                 signed=signed_normals,

@@ -145,3 +145,89 @@ def test_production_span_tolerance():
     assert np.max(
         np.abs(np.asarray(curv_r) - np.asarray(curv_g))[same_ct]
     ) < 1e-3
+
+
+# --- seed sweep in block-MXU form ------------------------------------
+
+def _spine_dyn(sposf, smask, nrm, dk, w, tile):
+    from buildingsegment_tpu.ops.window_sweep import (
+        make_dyn_row, make_spine,
+    )
+
+    spine = make_spine(
+        (sposf[:, 0], sposf[:, 1], sposf[:, 2]),
+        (nrm[:, 0], nrm[:, 1], nrm[:, 2]),
+        smask.astype(jnp.float32), w, tile,
+    )
+    dyn = make_dyn_row(dk.astype(jnp.float32), 0.0, w, tile)
+    return spine, dyn
+
+
+@pytest.mark.parametrize("w,signed", [(16, False), (16, True), (32, False)])
+def test_seed_mxu_small_span_bit_exact(w, signed):
+    from buildingsegment_tpu.ops.stats_mxu import seed_sweep_mxu
+    from buildingsegment_tpu.ops.window_sweep import seed_sweep_pair
+
+    rng = np.random.default_rng(3)
+    pts = rng.integers(0, 250, (2000, 3)).astype(np.int32)
+    sposf, smask = _prep(pts, 4096)
+    nrm = rng.normal(size=(4096, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    # seed balls around typical kNN radii at this density
+    dk = jnp.asarray(
+        rng.uniform(100.0, 4000.0, 4096).astype(np.float32)
+    )
+    spine, dyn = _spine_dyn(sposf, smask, jnp.asarray(nrm), dk, w, 1024)
+    kw = dict(w=w, tile=1024, th_thickness=30.0, th_normal_cos=0.88,
+              signed=signed, interpret=True)
+    ref = seed_sweep_pair(spine, dyn, 4096, **kw)
+    got = seed_sweep_mxu(spine, dyn, 4096, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_seed_mxu_production_span():
+    """Building scene, reference thresholds: seed flags match the pair
+    kernel except possibly on ball-boundary rounding (none observed on
+    this scene — assert a tight mismatch budget, not zero, to keep the
+    test robust to future span growth)."""
+    from buildingsegment_tpu.ops.stats_mxu import seed_sweep_mxu
+    from buildingsegment_tpu.ops.window_sweep import seed_sweep_pair
+    from buildingsegment_tpu.utils.synthetic import make_building_cloud
+    from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
+
+    pts, _ = make_building_cloud(
+        seed=5, spacing_mm=120.0, width_mm=5000.0, depth_mm=4000.0,
+        wall_h_mm=3000.0, ridge_h_mm=4000.0,
+    )
+    sposf, smask = _prep(pts, 16384)
+    _, nb_d, nrm, _ = knn_normals_window_sorted(
+        sposf, smask, 16, window=32, radius=100.0, max_nn=50
+    )
+    dk = nb_d[:, 14]
+    spine, dyn = _spine_dyn(sposf, smask, nrm, dk, 16, 1024)
+    kw = dict(w=16, tile=1024, th_thickness=300.0, th_normal_cos=0.88,
+              signed=False, interpret=True)
+    ref = np.asarray(seed_sweep_pair(spine, dyn, 16384, **kw))
+    got = np.asarray(seed_sweep_mxu(spine, dyn, 16384, **kw))
+    mism = np.mean(ref != got)
+    assert mism < 0.001, mism
+
+
+def test_window_seeds_mxu_route():
+    """window_seeds(seed_mode='mxu') equals the default route on CPU
+    (both fall through to the XLA path there) and the kwarg is accepted
+    end-to-end through the multigrid wrapper."""
+    from buildingsegment_tpu.seg.region_grow import window_seeds
+    from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
+
+    rng = np.random.default_rng(4)
+    pts = rng.integers(0, 250, (1500, 3)).astype(np.int32)
+    sposf, smask = _prep(pts, 2048)
+    _, nb_d, nrm, _ = knn_normals_window_sorted(
+        sposf, smask, 16, window=16, radius=100.0, max_nn=50
+    )
+    a = window_seeds(sposf, nrm, smask, nb_d[:, 14], window=16)
+    b = window_seeds(
+        sposf, nrm, smask, nb_d[:, 14], window=16, seed_mode="mxu"
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

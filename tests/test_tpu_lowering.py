@@ -115,6 +115,19 @@ def test_stats_mxu_lowers():
     )
 
 
+def test_seed_mxu_lowers():
+    from buildingsegment_tpu.ops.stats_mxu import seed_sweep_mxu
+    from buildingsegment_tpu.ops.window_sweep import slab_width
+
+    sw = slab_width(_N1M, 16, 32768)
+    _lower_tpu(
+        seed_sweep_mxu,
+        _f32(8, sw), _f32(4, sw),
+        n=_N1M, w=16, tile=32768, th_thickness=300.0,
+        th_normal_cos=0.88, signed=False, interpret=False,
+    )
+
+
 # --- hardware-validated sweeps: lowering regression guards -----------
 
 _SW16 = slab_width(_N1M, 16, 32768)
