@@ -332,12 +332,18 @@ def main():
 
     for reps_d in cand_reps:
         _try(reps_d)
-    # adaptive follow-up: the block-MXU seed sweep on top of whatever
-    # won so far (near-exact — the gate arbitrates)
-    if not quick and (
-        best is None or best_reps.get("seg_seed_mode") != "mxu"
-    ):
-        _try({**best_reps, "seg_seed_mode": "mxu"})
+    # adaptive follow-ups on whatever won so far (each is near-exact
+    # or a resolution trade — the quality gate arbitrates):
+    # 1. block-MXU seed sweep; 2. three-level coarsening (coarse rows
+    # N/64 — the coarse solve scales with row count, worth ~4x there;
+    # measured -2.2% agreement at 80 mm spacing but the bench scene's
+    # 25 mm density shrinks the coarse cells 3x, see
+    # tests/test_multigrid.py::test_quality_levels3)
+    if not quick:
+        if best is None or best_reps.get("seg_seed_mode") != "mxu":
+            _try({**best_reps, "seg_seed_mode": "mxu"})
+        if cfg.seg_levels < 3 and best_reps.get("seg_levels") != 3:
+            _try({**best_reps, "seg_levels": 3})
     if best is None:
         extras["autotune_fallback"] = "all_candidates_failed_gate"
         cfg = safe_cfg
@@ -361,6 +367,7 @@ def main():
         tune["chosen"]["knn_window"] = cfg.knn_window
         tune["chosen"]["seg_refine_sweeps"] = cfg.seg_refine_sweeps
         tune["chosen"]["seg_seed_mode"] = cfg.seg_seed_mode
+        tune["chosen"]["seg_levels"] = cfg.seg_levels
 
     mpts = n / e2e_dt / 1e6
     extras["planes_found"] = int(seg.num_planes)

@@ -72,6 +72,27 @@ class TestMultigrid:
         assert abs(int(mg.num_planes) - int(single.num_planes)) <= 2
         assert a_mg > a_sl - 0.03, f"multigrid {a_mg} vs single {a_sl}"
 
+    def test_quality_levels3(self, sorted_scene):
+        """Three-level recursion (coarse rows = N/64): a bench speed
+        candidate whose adoption the chip quality gate arbitrates.
+        Measured here (80 mm spacing): 0.944 vs levels-2's 0.966 — the
+        64-point coarse cells span ~0.6 m at this density, so boundary
+        groups straddle planes; at the bench's 25 mm density the same
+        cells span ~0.2 m.  This test pins the sanity floor, not
+        parity."""
+        spos, smask, idx, d, normals, struth = sorted_scene
+        common = dict(
+            th_point_count=400, neigh_sq_dist=d, max_edge_dist=600.0,
+            max_planes=1024, window=16, group=4,
+        )
+        mg3 = segment_planes_multigrid(
+            spos, normals, idx, smask, levels=3, refine_sweeps=3,
+            **common
+        )
+        sel = np.asarray(smask)
+        a3 = _truth_agreement(struth, np.asarray(mg3.plane_idx)[sel])
+        assert a3 > 0.92, f"levels3 agreement {a3}"
+
     def test_invariants(self, sorted_scene):
         spos, smask, idx, d, normals, struth = sorted_scene
         res = segment_planes_multigrid(
