@@ -73,7 +73,8 @@ def _np2(x: int) -> int:
 
 
 def _stats_mxu_kernel(
-    slab_hbm, out_ref, slab, dbuf, sbuf, sem, *, tile, w, r_k, r_cap, r2,
+    slab_hbm, out_ref, slab, dbuf, sbuf, qbuf, sem, *, tile, w, r_k,
+    r_cap, r2,
 ):
     ti = pl.program_id(0)
     width = tile + 2 * w + _lane_pad(tile, w)
@@ -123,7 +124,18 @@ def _stats_mxu_kernel(
                 return lax.slice(v, (w,), (w + 128,))
 
             cx, cy, cz, cm = cpart(lx), cpart(ly), cpart(lz), cpart(lm)
-            qx, qy, qz, qm = qpart(lx), qpart(ly), qpart(lz), qpart(lm)
+            # queries: normalize the offset-w slices to lane offset 0
+            # through a scratch round trip — the pool hosts' Mosaic
+            # cannot concatenate rows with MIXED lane offsets
+            # ("result/input offset mismatch on non-concat dimension"
+            # from the jnp.stack below when data rows carry offset w
+            # and constant rows offset 0); the store+load costs ~µs
+            qbuf[0, :] = qpart(lx)
+            qbuf[1, :] = qpart(ly)
+            qbuf[2, :] = qpart(lz)
+            qbuf[3, :] = qpart(lm)
+            qv = qbuf[...]
+            qx, qy, qz, qm = qv[0, :], qv[1, :], qv[2, :], qv[3, :]
             # block-local origin: min over VALID candidates (sentinel
             # fills sit at -3e7 and would wreck the span bound)
             ox = jnp.min(jnp.where(cm > 0.5, cx, jnp.float32(3e7)))
@@ -248,8 +260,8 @@ def _stats_mxu_kernel(
 
 
 def _seed_mxu_kernel(
-    spine_hbm, dyn_hbm, out_ref, spine, dyn, sem, sem2, *, tile, w,
-    th_thickness, th_normal_cos, signed,
+    spine_hbm, dyn_hbm, out_ref, spine, dyn, qbuf, sem, sem2, *, tile,
+    w, th_thickness, th_normal_cos, signed,
 ):
     """Seed sweep in block-MXU form.
 
@@ -312,9 +324,19 @@ def _seed_mxu_kernel(
 
         cx, cy, cz, cm = cpart(lx), cpart(ly), cpart(lz), cpart(lm)
         cnx, cny, cnz = cpart(lnx), cpart(lny), cpart(lnz)
-        qx, qy, qz, qm = qpart(lx), qpart(ly), qpart(lz), qpart(lm)
-        qnx, qny, qnz = qpart(lnx), qpart(lny), qpart(lnz)
-        qdk = qpart(ldk)
+        # normalize query rows to lane offset 0 via a scratch round
+        # trip (pool-host Mosaic cannot concatenate mixed-offset rows)
+        qbuf[0, :] = qpart(lx)
+        qbuf[1, :] = qpart(ly)
+        qbuf[2, :] = qpart(lz)
+        qbuf[3, :] = qpart(lm)
+        qbuf[4, :] = qpart(lnx)
+        qbuf[5, :] = qpart(lny)
+        qbuf[6, :] = qpart(lnz)
+        qbuf[7, :] = qpart(ldk)
+        qv = qbuf[...]
+        qx, qy, qz, qm = qv[0, :], qv[1, :], qv[2, :], qv[3, :]
+        qnx, qny, qnz, qdk = qv[4, :], qv[5, :], qv[6, :], qv[7, :]
 
         ox = jnp.min(jnp.where(cm > 0.5, cx, jnp.float32(3e7)))
         oy = jnp.min(jnp.where(cm > 0.5, cy, jnp.float32(3e7)))
@@ -413,6 +435,7 @@ def seed_sweep_mxu(
         scratch_shapes=[
             pltpu.VMEM((8, width), jnp.float32),
             pltpu.VMEM((4, width), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),  # query-row relayout
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -460,6 +483,7 @@ def fused_stats_mxu(slab, n, *, k, w, tile, radius, max_nn=None,
             pltpu.VMEM((8, tile + w2 + _lane_pad(tile, w)), jnp.float32),
             pltpu.VMEM((C, gl), jnp.float32),
             pltpu.VMEM((C, gl), jnp.int32),
+            pltpu.VMEM((8, 128), jnp.float32),  # query-row relayout
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(

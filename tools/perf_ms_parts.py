@@ -117,7 +117,16 @@ def main():
             out["stages_s"] = t
             out["sum_s"] = round(sum(t.values()), 3)
 
-    once(record=False)  # warm every jit bucket
+    # warm every jit bucket; the remote-compile helper SIGKILLs on big
+    # programs a few % of the time — retry, compile progress is cached
+    for a in range(8):
+        try:
+            once(record=False)
+            break
+        except Exception as e:
+            if "remote_compile" not in str(e) or a == 7:
+                raise
+            time.sleep(min(10 + 5 * a, 40))
     once(record=True)
     print(json.dumps(out))
 

@@ -38,7 +38,17 @@ def main():
     render_dir = os.path.join(tmp, "render")
 
     t0 = time.perf_counter()
-    segment_files(scan_paths, out_paths, cfg, render_dir=render_dir)
+    # the remote-compile helper SIGKILLs on big programs a few % of
+    # the time — retry the warm pass, compile progress is cached
+    for a in range(8):
+        try:
+            segment_files(scan_paths, out_paths, cfg,
+                          render_dir=render_dir)
+            break
+        except Exception as e:
+            if "remote_compile" not in str(e) or a == 7:
+                raise
+            time.sleep(min(10 + 5 * a, 40))
     warm = time.perf_counter() - t0
     t0 = time.perf_counter()
     outs = segment_files(scan_paths, out_paths, cfg, render_dir=render_dir)

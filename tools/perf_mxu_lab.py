@@ -80,7 +80,7 @@ def main():
             out[f"stats_w{w}_stored_bitonic_ms"] = round(dt * 1e3, 2)
         except Exception as e:
             out[f"stats_w{w}_stored_bitonic_ms"] = (
-                f"error:{type(e).__name__}"
+                f"error:{type(e).__name__}:{str(e)[:160]}"
             )
         for tile in (8192, 16384):
             slab_t = slab if tile == 8192 else make_slab(
@@ -96,7 +96,7 @@ def main():
                 out[f"stats_mxu_w{w}_t{tile}_ms"] = round(dt * 1e3, 2)
             except Exception as e:
                 out[f"stats_mxu_w{w}_t{tile}_ms"] = (
-                    f"error:{type(e).__name__}"
+                    f"error:{type(e).__name__}:{str(e)[:200]}"
                 )
 
     # --- seeds: pair vs MXU on the production w16 spine ---
@@ -122,7 +122,7 @@ def main():
             dt = timed(lambda: seed_sweep_mxu(spine, dyn, cap, **kw))
             out[f"seed_mxu_t{tile}_ms"] = round(dt * 1e3, 2)
         except Exception as e:
-            out[f"seed_mxu_t{tile}_ms"] = f"error:{type(e).__name__}"
+            out[f"seed_mxu_t{tile}_ms"] = f"error:{type(e).__name__}:{str(e)[:200]}"
 
     # chip-level agreement spot check (quality gate runs in bench)
     try:
