@@ -332,16 +332,15 @@ def main():
 
     for reps_d in cand_reps:
         _try(reps_d)
-    # adaptive follow-ups on whatever won so far (each is near-exact
-    # or a resolution trade — the quality gate arbitrates):
-    # 1. block-MXU seed sweep; 2. three-level coarsening (coarse rows
-    # N/64 — the coarse solve scales with row count, worth ~4x there;
-    # measured -2.2% agreement at 80 mm spacing but the bench scene's
-    # 25 mm density shrinks the coarse cells 3x, see
-    # tests/test_multigrid.py::test_quality_levels3)
+    # adaptive follow-up on whatever won so far: three-level
+    # coarsening (coarse rows N/64 — the coarse solve scales with row
+    # count; measured -2.2% agreement at 80 mm spacing but the bench
+    # scene's 25 mm density shrinks the coarse cells 3x, see
+    # tests/test_multigrid.py::test_quality_levels3 — the quality gate
+    # arbitrates).  The block-MXU seed sweep is NOT offered: measured
+    # 2.5x slower than the pair kernel (2026-08-19 perf_mxu_lab —
+    # per-128-query-block matmul issue latency dominates).
     if not quick:
-        if best is None or best_reps.get("seg_seed_mode") != "mxu":
-            _try({**best_reps, "seg_seed_mode": "mxu"})
         if cfg.seg_levels < 3 and best_reps.get("seg_levels") != 3:
             _try({**best_reps, "seg_levels": 3})
     if best is None:
