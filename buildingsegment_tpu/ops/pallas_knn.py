@@ -232,6 +232,138 @@ def _kernel(count_ref, meta_ref, q_ref, seed_d_ref, seed_i_ref,
     lax.fori_loop(0, count, body, 0)
 
 
+def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref,
+                     pos_hbm, best_d_ref, best_i_ref, tau_ref,
+                     px_ref, py_ref, pz_ref, dma_sem, *,
+                     kk: int, qt: int, ct: int, n: int, w_excl: int,
+                     sq: int):
+    """VMEM-resident variant of :func:`_kernel`.
+
+    At ≤ ~2.5M points the whole transposed position array ([4, N] f32,
+    16 MB at 1M) fits in VMEM, so candidate tiles are plain dynamic
+    VMEM slices — no per-visit HBM DMA, no double buffer, no
+    semaphores.  ``sq`` query sub-tiles share one grid step, cutting
+    the ~35 µs/step grid overhead sq-fold (the old per-128-query grid
+    was ~0.3 s of pure overhead at 1M points).  Pruning logic, merge
+    rounds and exactness contract are identical to :func:`_kernel`.
+    """
+    qi = pl.program_id(0)
+
+    # fill the persistent position scratches ONCE (grid steps run
+    # sequentially under "arbitrary" semantics; scratch survives
+    # across steps).  VMEM allocations are capped at 16 MB EACH — a
+    # [4, N] f32 buffer exceeds that at 1M points, three per-axis
+    # [N] rows stay under it to ~4M points.
+    @pl.when(qi == 0)
+    def _fill():
+        for row, ref in ((0, px_ref), (1, py_ref), (2, pz_ref)):
+            cp = pltpu.make_async_copy(pos_hbm.at[row], ref, dma_sem)
+            cp.start()
+            cp.wait()
+
+    iota_c = lax.broadcasted_iota(jnp.int32, (qt, ct), 1)
+    iota_q = lax.broadcasted_iota(jnp.int32, (qt, ct), 0)
+    iota_k = lax.broadcasted_iota(jnp.int32, (qt, kk), 1)
+
+    # the whole grid step's queries in one 1024-ALIGNED read (1-D
+    # dynamic vector reads need 1024-aligned offsets); per-sub-tile
+    # rows are static 128-multiple slices of it — their lane offset is
+    # 0, so the sublane broadcast qx[:, None] lowers cleanly
+    gq = qi * (sq * qt)
+    qhx = px_ref[pl.ds(gq, sq * qt)]
+    qhy = py_ref[pl.ds(gq, sq * qt)]
+    qhz = pz_ref[pl.ds(gq, sq * qt)]
+
+    for sub in range(sq):
+        q0 = sub * qt
+        q_start = qi * (sq * qt) + q0
+        qx = lax.slice(qhx, (q0,), (q0 + qt,))
+        qy = lax.slice(qhy, (q0,), (q0 + qt,))
+        qz = lax.slice(qhz, (q0,), (q0 + qt,))
+
+        bd_init = seed_d_ref[pl.ds(q0, qt), :]
+        best_d_ref[pl.ds(q0, qt), :] = bd_init
+        best_i_ref[pl.ds(q0, qt), :] = seed_i_ref[pl.ds(q0, qt), :]
+        # plain max: masked-out queries are seeded 0.0 by the wrapper
+        tau_ref[0, 0] = jnp.max(bd_init)
+        # per-tile visit count rides in meta column 2 of row 0 (exact
+        # as f32 below 2^24): the flat [num_q] scalar-prefetch array
+        # exceeds the 16 KB SMEM budget at 1M points
+        count = meta_ref[sub, 0, :][2].astype(jnp.int32)
+
+        def body(ci, _):
+            row = meta_ref[sub, ci, :]
+            actual = row[0].astype(jnp.int32)
+            box_d2 = row[1]
+            do_visit = (ci == 0) | (box_d2 <= tau_ref[0, 0])
+
+            @pl.when(do_visit)
+            def _visit():
+                bd0 = best_d_ref[pl.ds(q0, qt), :]
+                bi0 = best_i_ref[pl.ds(q0, qt), :]
+                worst_rows = jnp.max(bd0, axis=1)
+                cs = actual * ct
+                cx = px_ref[pl.ds(cs, ct)]
+                cy = py_ref[pl.ds(cs, ct)]
+                cz = pz_ref[pl.ds(cs, ct)]
+                dx = qx[:, None] - cx[None, :]
+                dy = qy[:, None] - cy[None, :]
+                dz = qz[:, None] - cz[None, :]
+                d = dx * dx + dy * dy + dz * dz
+                c_idx = cs + iota_c
+                q_idx = q_start + iota_q
+                invalid = (
+                    (jnp.abs(c_idx - q_idx) <= w_excl)
+                    | (cx[None, :] <= _VALID_GT)
+                    | (qx[:, None] <= _VALID_GT)
+                )
+                d = jnp.where(invalid, _INF, d)
+                improves = jnp.any(d < worst_rows[:, None])
+
+                @pl.when(improves)
+                def _merge():
+                    cnt_below = jnp.sum(
+                        jnp.where(d < worst_rows[:, None], 1.0, 0.0),
+                        axis=1,
+                    )
+                    rounds = jnp.minimum(
+                        jnp.max(cnt_below), float(kk)
+                    ).astype(jnp.int32)
+
+                    def mround(_, carry):
+                        dd, bd, bi = carry
+                        dmin = jnp.min(dd, axis=1)
+                        worst = jnp.max(bd, axis=1)
+                        take_k = dmin[:, None] < worst[:, None]
+                        c_hit = jnp.min(
+                            jnp.where(dd == dmin[:, None], iota_c, ct),
+                            axis=1,
+                        )
+                        first_c = iota_c == c_hit[:, None]
+                        gidx = cs + c_hit
+                        k_hit = jnp.min(
+                            jnp.where(bd == worst[:, None], iota_k, kk),
+                            axis=1,
+                        )
+                        first_k = (iota_k == k_hit[:, None]) & take_k
+                        bd = jnp.where(first_k, dmin[:, None], bd)
+                        bi = jnp.where(first_k, gidx[:, None], bi)
+                        take_c = dmin[:, None] < worst[:, None]
+                        dd = jnp.where(first_c & take_c, _INF, dd)
+                        return dd, bd, bi
+
+                    _, bd, bi = lax.fori_loop(
+                        0, rounds, mround, (d, bd0, bi0)
+                    )
+                    best_d_ref[pl.ds(q0, qt), :] = bd
+                    best_i_ref[pl.ds(q0, qt), :] = bi
+                    tau_ref[0, 0] = jnp.max(bd)
+
+            return 0
+
+        lax.fori_loop(0, count, body, 0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "query_tile", "cand_tile", "interpret",
                               "static_rounds")
@@ -304,6 +436,12 @@ def knn_pallas(
     seed_pad = wk_i[:, 1:] == self_idx
     seed_d = jnp.where(seed_pad, jnp.inf, wk_d[:, 1:])  # [n, kk]
     seed_i = jnp.where(seed_pad, 0, wk_i[:, 1:])
+    # masked-out queries seed at 0.0: they contribute nothing to τ, so
+    # the kernels take a PLAIN max — the qvalid select inside the τ
+    # reduction lowered to an unsupported sublane gather in the
+    # resident kernel (the final mask fixup in _finish re-selfs them)
+    seed_d = jnp.where(mask[:, None], seed_d, 0.0)
+    seed_i = jnp.where(mask[:, None], seed_i, 0)
 
     # per-tile bounding boxes over VALID rows
     big = jnp.float32(3e37)
@@ -350,6 +488,74 @@ def knn_pallas(
         ],
         axis=-1,
     )  # [num_q, num_c, 8]
+
+    # VMEM-resident fast path: [4, N] f32 positions fit comfortably in
+    # v5e VMEM (128 MB) up to ~2.5M points — no per-visit HBM DMA, and
+    # 8 query sub-tiles share one grid step (the per-step overhead was
+    # ~0.3 s of the 0.87 s runtime at 1M points)
+    sq = 8
+    if n * 16 <= 40 * 1024 * 1024 and n % (query_tile * sq) == 0:
+        num_super = num_q // sq
+        kernel_r = functools.partial(
+            _kernel_resident, kk=kk, qt=query_tile, ct=cand_tile, n=n,
+            w_excl=w_excl, sq=sq,
+        )
+        # counts ride in meta col 2 (see the kernel) — broadcast them
+        # into row 0 of every query tile's metadata
+        meta_r = meta.at[:, 0, 2].set(counts.astype(jnp.float32))
+        grid_spec_r = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(num_super,),
+            in_specs=[
+                pl.BlockSpec(
+                    (sq, num_c, 8), lambda qi, *_: (qi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # sq query tiles' sorted visit metadata
+                pl.BlockSpec(
+                    (query_tile * sq, kk), lambda qi, *_: (qi, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # window-kNN seed distances
+                pl.BlockSpec(
+                    (query_tile * sq, kk), lambda qi, *_: (qi, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # window-kNN seed indices
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                # positions stay in HBM; the kernel copies them into a
+                # persistent VMEM scratch on grid step 0
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (query_tile * sq, kk), lambda qi, *_: (qi, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (query_tile * sq, kk), lambda qi, *_: (qi, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            scratch_shapes=[
+                pltpu.SMEM((1, 1), jnp.float32),
+                pltpu.VMEM((n,), jnp.float32),
+                pltpu.VMEM((n,), jnp.float32),
+                pltpu.VMEM((n,), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        best_d, best_i = pl.pallas_call(
+            kernel_r,
+            grid_spec=grid_spec_r,
+            out_shape=(
+                jax.ShapeDtypeStruct((n, kk), jnp.float32),
+                jax.ShapeDtypeStruct((n, kk), jnp.int32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=interpret,
+            debug=bool(__import__("os").environ.get("BST_KNN_DEBUG")),
+        )(meta_r, seed_d, seed_i, posT)
+        return _finish(best_d, best_i, mask, n, kk)
 
     kernel = functools.partial(
         _kernel, kk=kk, qt=query_tile, ct=cand_tile, n=n,
@@ -407,7 +613,10 @@ def knn_pallas(
         ),
         interpret=interpret,
     )(counts, meta, posT, seed_d, seed_i, posT)
+    return _finish(best_d, best_i, mask, n, kk)
 
+
+def _finish(best_d, best_i, mask, n, kk):
     # sort ascending, fix empty slots, prepend self
     neg, arg = lax.top_k(-best_d, kk)
     nb_d = -neg

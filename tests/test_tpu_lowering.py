@@ -188,9 +188,21 @@ def test_segsum_kernels_lower():
 @pytest.mark.slow
 @pytest.mark.parametrize("static_rounds", [False, True])
 def test_knn_pallas_lowers(static_rounds):
+    # 131072 pts → the VMEM-resident kernel (positions ≤ 40 MB)
     _lower_tpu(
         knn_pallas,
         _i32(131072, 3),
         jax.ShapeDtypeStruct((131072,), jnp.bool_),
         k=16, static_rounds=static_rounds, interpret=False,
+    )
+
+
+def test_knn_pallas_hbm_path_lowers():
+    # 4M pts exceed the VMEM-resident bound → the double-buffered
+    # HBM-DMA kernel must keep lowering
+    _lower_tpu(
+        knn_pallas,
+        _i32(1 << 22, 3),
+        jax.ShapeDtypeStruct((1 << 22,), jnp.bool_),
+        k=16, interpret=False,
     )
