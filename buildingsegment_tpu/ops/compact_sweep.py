@@ -587,8 +587,8 @@ def compact_sweep(
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, lc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

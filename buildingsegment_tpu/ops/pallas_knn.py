@@ -519,7 +519,7 @@ def knn_pallas(
                     (query_tile * sq, kk), lambda qi, *_: (qi, 0),
                     memory_space=pltpu.VMEM,
                 ),  # window-kNN seed indices
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 # positions stay in HBM; the kernel copies them into a
                 # persistent VMEM scratch on grid step 0
             ],
@@ -582,7 +582,7 @@ def knn_pallas(
                 (query_tile, kk), lambda qi, *_: (qi, 0),
                 memory_space=pltpu.VMEM,
             ),  # window-kNN seed indices
-            pl.BlockSpec(memory_space=pltpu.ANY),  # positions stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # positions stay in HBM
         ],
         out_specs=(
             pl.BlockSpec(

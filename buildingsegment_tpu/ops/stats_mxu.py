@@ -426,8 +426,8 @@ def seed_sweep_mxu(
         kernel,
         grid=(n_pad // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((8, tile), lambda ti: (0, ti),
                                memory_space=pltpu.VMEM),
@@ -475,7 +475,7 @@ def fused_stats_mxu(slab, n, *, k, w, tile, radius, max_nn=None,
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((16, tile), lambda ti: (0, ti),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((16, n_pad), jnp.float32),

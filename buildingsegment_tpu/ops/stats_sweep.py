@@ -363,7 +363,7 @@ def fused_stats_sweep(slab, n, *, k, w, tile, radius,
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         # one [16, n_pad] output (11 rows used): separate [n_pad]
         # outputs made XLA stage them whole in scoped VMEM at big tiles
         out_specs=pl.BlockSpec((16, tile), lambda ti: (0, ti),

@@ -153,7 +153,7 @@ def _sweep_call(kernel, slab, n, w, tile, interpret, n_out=1):
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -373,8 +373,8 @@ def refine_table_sweep_pair(
         grid=(n_pad // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((n_chunk_cap, 8, _PCHUNK), lambda ti: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -442,7 +442,7 @@ def refine_table_sweep(
         grid=(n_pad // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((n_chunk_cap, 8, _PCHUNK), lambda ti: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -632,8 +632,8 @@ def seed_sweep_pair(
         kernel,
         grid=(n_pad // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tile,), lambda ti: (ti,),
                                memory_space=pltpu.VMEM),
