@@ -343,6 +343,12 @@ def main():
     if not quick:
         if cfg.seg_levels < 3 and best_reps.get("seg_levels") != 3:
             _try({**best_reps, "seg_levels": 3})
+        # symmetry-halved seed sweep: bit-identical output
+        # (tests/test_window_sweep.py::test_seed_sym_matches_pair),
+        # halves the misaligned shifted reads that dominate the seed
+        # stage — offered as a follow-up on the winner so far
+        if best_reps.get("seg_seed_mode") != "sym":
+            _try({**best_reps, "seg_seed_mode": "sym"})
     if best is None:
         extras["autotune_fallback"] = "all_candidates_failed_gate"
         cfg = safe_cfg
