@@ -233,8 +233,8 @@ def _kernel(count_ref, meta_ref, q_ref, seed_d_ref, seed_i_ref,
 
 
 def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref,
-                     pos_hbm, best_d_ref, best_i_ref, tau_ref,
-                     px_ref, py_ref, pz_ref, dma_sem, *,
+                     px_hbm, py_hbm, pz_hbm, best_d_ref, best_i_ref,
+                     tau_ref, px_ref, py_ref, pz_ref, dma_sem, *,
                      kk: int, qt: int, ct: int, n: int, w_excl: int,
                      sq: int):
     """VMEM-resident variant of :func:`_kernel`.
@@ -253,11 +253,14 @@ def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref,
     # sequentially under "arbitrary" semantics; scratch survives
     # across steps).  VMEM allocations are capped at 16 MB EACH — a
     # [4, N] f32 buffer exceeds that at 1M points, three per-axis
-    # [N] rows stay under it to ~4M points.
+    # [N] rows stay under it to ~4M points.  The axes arrive as three
+    # separate [N] HBM operands: a 1-row memref_slice of a [4, N]
+    # operand is rejected by the Mosaic backend (sublane tiling 4).
     @pl.when(qi == 0)
     def _fill():
-        for row, ref in ((0, px_ref), (1, py_ref), (2, pz_ref)):
-            cp = pltpu.make_async_copy(pos_hbm.at[row], ref, dma_sem)
+        for src, ref in ((px_hbm, px_ref), (py_hbm, py_ref),
+                         (pz_hbm, pz_ref)):
+            cp = pltpu.make_async_copy(src, ref, dma_sem)
             cp.start()
             cp.wait()
 
@@ -520,8 +523,10 @@ def knn_pallas(
                     memory_space=pltpu.VMEM,
                 ),  # window-kNN seed indices
                 pl.BlockSpec(memory_space=pl.ANY),
-                # positions stay in HBM; the kernel copies them into a
-                # persistent VMEM scratch on grid step 0
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                # per-axis positions stay in HBM; the kernel copies
+                # them into persistent VMEM scratches on grid step 0
             ],
             out_specs=(
                 pl.BlockSpec(
@@ -548,13 +553,19 @@ def knn_pallas(
                 jax.ShapeDtypeStruct((n, kk), jnp.float32),
                 jax.ShapeDtypeStruct((n, kk), jnp.int32),
             ),
+            # vmem_limit_bytes bounds the kernel's TOTAL VMEM: window
+            # allocations + scratch operands + internal values (~28 MB
+            # here — the [sq, num_c, 8] meta window lane-pads 8 -> 128
+            # = 8.3 MB double-buffered, three [N] position scratches =
+            # 12.4 MB).  The default budget is 16 MB; 110 MB over-asks
+            # and the backend OOMs the co-resident allocations instead.
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=110 * 1024 * 1024,
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
             debug=bool(__import__("os").environ.get("BST_KNN_DEBUG")),
-        )(meta_r, seed_d, seed_i, posT)
+        )(meta_r, seed_d, seed_i, posT[0], posT[1], posT[2])
         return _finish(best_d, best_i, mask, n, kk)
 
     kernel = functools.partial(

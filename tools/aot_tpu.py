@@ -24,7 +24,13 @@ def tpu_sharding():
     from jax.experimental import topologies
     from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-    topo = topologies.get_topology_desc("", "tpu")
+    # get_topology_desc("") silently yields a TPU v2 topology (16 MB
+    # VMEM) — compiles then fail with bogus vmem OOMs that a real v5e
+    # (128 MB) accepts.  Name the generation explicitly; the smallest
+    # v5e layout the default 2x2 chips_per_host_bounds admits is 2x2x1,
+    # and single-device programs just use devices[:1].
+    topo = topologies.get_topology_desc("v5e:2x2x1", "tpu")
+    assert "v5" in topo.devices[0].device_kind, topo.devices[0].device_kind
     mesh = Mesh(topo.devices[:1], ("x",))
     return NamedSharding(mesh, PartitionSpec())
 
@@ -124,9 +130,32 @@ def compile_mxu(ng, w=64, tile=8192, verbose=True):
     return t_comp
 
 
+def compile_knn(n, qt=128, ct=1024, verbose=True):
+    import jax
+    import jax.numpy as jnp
+
+    from buildingsegment_tpu.ops.pallas_knn import knn_pallas
+
+    s = tpu_sharding()
+    args = (
+        jax.ShapeDtypeStruct((n, 3), jnp.int32, sharding=s),
+        jax.ShapeDtypeStruct((n,), jnp.bool_, sharding=s),
+    )
+    t0 = time.time()
+    lowered = knn_pallas.lower(*args, k=16, query_tile=qt, cand_tile=ct)
+    t_lower = time.time() - t0
+    t0 = time.time()
+    lowered.compile()
+    t_comp = time.time() - t0
+    if verbose:
+        print(f"knn n={n} qt={qt} ct={ct}: lower {t_lower:.1f}s "
+              f"compile {t_comp:.1f}s", flush=True)
+    return t_comp
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("what", choices=["compact", "stats", "mxu"])
+    ap.add_argument("what", choices=["compact", "stats", "mxu", "knn"])
     ap.add_argument("--ng", type=int, nargs="+", default=[8192])
     ap.add_argument("--w", type=int, default=16)
     ap.add_argument("--lc", type=int, default=2048)
@@ -137,6 +166,11 @@ def main():
     if a.what == "mxu":
         for ng in a.ng:
             compile_mxu(ng, w=a.w if a.w != 16 else 64, tile=a.tile)
+        return
+    if a.what == "knn":
+        qt = a.w if a.w != 16 else 128
+        for ng in a.ng:
+            compile_knn(ng, qt=qt, ct=a.tile if a.tile != 8192 else 1024)
         return
     if a.what == "stats":
         for ng in a.ng:
