@@ -374,6 +374,32 @@ def main():
         tune["chosen"]["seg_seed_mode"] = cfg.seg_seed_mode
         tune["chosen"]["seg_levels"] = cfg.seg_levels
 
+    # re-measure the multigrid stage at the WINNING config so the
+    # published stage rate matches what the headline actually runs
+    # (the autotune-2 numbers above use the base levels/windows)
+    if best is not None and (
+        cfg.seg_levels != safe_cfg.seg_levels
+        or cfg.seg_refine_sweeps != safe_cfg.seg_refine_sweeps
+        or cfg.seg_compact != safe_cfg.seg_compact
+    ):
+        try:
+            dt_w, _ = _timed(
+                lambda: segment_planes_multigrid(
+                    spos, normals, nb_i[:, :16], smask,
+                    neigh_sq_dist=nb_d[:, :16], max_edge_dist=600.0,
+                    th_point_count=400, max_planes=1024,
+                    window=16, group=cfg.seg_group, levels=cfg.seg_levels,
+                    refine_sweeps=cfg.seg_refine_sweeps,
+                    convergence_tol=cfg.seg_convergence_tol,
+                    compact=cfg.seg_compact,
+                ),
+                reps=4,
+            )
+            extras["segmentation_multigrid_mpts"] = round(n / dt_w / 1e6, 2)
+            tune["multigrid_chosen_cfg"] = round(dt_w * 1e3, 2)
+        except Exception as e:
+            tune["multigrid_chosen_cfg"] = f"error:{type(e).__name__}"
+
     mpts = n / e2e_dt / 1e6
     extras["planes_found"] = int(seg.num_planes)
     extras["seg_sweeps"] = int(seg.num_sweeps)
