@@ -369,7 +369,7 @@ def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "query_tile", "cand_tile", "interpret",
-                              "static_rounds")
+                              "static_rounds", "max_visits")
 )
 def knn_pallas(
     positions: jax.Array,
@@ -380,6 +380,7 @@ def knn_pallas(
     cand_tile: int = 1024,
     interpret: bool = False,
     static_rounds: bool = False,
+    max_visits: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact brute-force kNN via the bbox-pruned Pallas kernel.
 
@@ -394,6 +395,26 @@ def knn_pallas(
         (indices int32[N, k], sq_dists float32[N, k]), slot 0 = self,
         ascending by distance; empty slots fall back to self.
     """
+    posT, seed_d, seed_i, meta, counts, kk, query_tile, cand_tile = (
+        _prepare(positions, mask, k, query_tile, cand_tile)
+    )
+    n = positions.shape[0]
+    num_q = n // query_tile
+    num_c = n // cand_tile
+    if max_visits > 0:  # perf diagnostic: bound the visit loop
+        counts = jnp.minimum(counts, max_visits)  # (INEXACT result)
+    return _dispatch(
+        posT, seed_d, seed_i, meta, counts, mask,
+        n=n, kk=kk, query_tile=query_tile, cand_tile=cand_tile,
+        num_q=num_q, num_c=num_c, interpret=interpret,
+        static_rounds=static_rounds,
+    )
+
+
+def _prepare(positions, mask, k, query_tile, cand_tile):
+    """Wrapper prologue: centered f32 positions, window-kNN seeds, the
+    τ̂-pruned per-query-tile visit lists.  Split out so the perf labs
+    can time the XLA prologue separately from the Pallas kernel."""
     n = positions.shape[0]
     while query_tile > 8 and n % query_tile:
         query_tile //= 2
@@ -491,6 +512,13 @@ def knn_pallas(
         ],
         axis=-1,
     )  # [num_q, num_c, 8]
+    return posT, seed_d, seed_i, meta, counts, kk, query_tile, cand_tile
+
+
+def _dispatch(posT, seed_d, seed_i, meta, counts, mask, *, n, kk,
+              query_tile, cand_tile, num_q, num_c, interpret,
+              static_rounds):
+    w_excl = max(32, kk + 1)  # must match _prepare's seed window
 
     # VMEM-resident fast path: [4, N] f32 positions fit comfortably in
     # v5e VMEM (128 MB) up to ~2.5M points — no per-visit HBM DMA, and

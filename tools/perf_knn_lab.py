@@ -62,8 +62,36 @@ def main():
     smask = mask_j[order]
 
     out = {"points": n}
-    shapes = [(128, 1024), (256, 1024), (128, 512), (256, 512),
-              (512, 512), (128, 2048), (512, 1024)]
+
+    # --- prologue vs kernel attribution (resident path, qt128/ct1024)
+    import functools
+
+    from buildingsegment_tpu.ops.pallas_knn import _prepare
+
+    prep = jax.jit(functools.partial(
+        _prepare, k=16, query_tile=128, cand_tile=1024
+    ))
+    try:
+        dt = timed(lambda: prep(spos, smask))
+        out["prologue_ms"] = round(dt * 1e3, 2)
+        counts = np.asarray(prep(spos, smask)[4])
+        out["mean_visits"] = round(float(counts.mean()), 2)
+        out["max_visits"] = int(counts.max())
+    except Exception as e:  # pragma: no cover
+        out["prologue_error"] = type(e).__name__
+    # marginal visit cost: clamp the visit loop (result inexact, time
+    # only) — fixed costs = mv1; slope = (full - mv1) / (mean_visits-1)
+    for mv in (1, 4):
+        try:
+            dt = timed(lambda mv=mv: knn_pallas(
+                spos, smask, k=16, query_tile=128, cand_tile=1024,
+                max_visits=mv,
+            ))
+            out[f"maxvisits{mv}_mpts"] = round(n / dt / 1e6, 3)
+        except Exception as e:  # pragma: no cover
+            out[f"maxvisits{mv}_error"] = type(e).__name__
+
+    shapes = [(128, 1024), (256, 1024), (128, 2048)]
     if quick:
         shapes = [(128, 1024), (256, 512)]
     for qt, ct in shapes:
