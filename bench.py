@@ -130,7 +130,12 @@ def main():
     )
     n = len(pts)
 
-    cfg = PipelineConfig(pad_to_multiple=2048 * max(n_dev, 1))
+    cfg = PipelineConfig(
+        pad_to_multiple=2048 * max(n_dev, 1),
+        # proven from the host data exactly as the pipeline drivers do
+        # (pipeline._prove_morton_small): the 3-operand Morton sort
+        morton_small=bool(pts.max() - pts.min() < (1 << 20)),
+    )
     capacity = cfg.padded_count(n)
     pos = np.full((capacity, 3), 2**24, np.int32)
     pos[:n] = pts

@@ -49,6 +49,11 @@ class PipelineConfig:
     knn_method: str = "auto"
     knn_window: int = 64            # ± half-window in Morton order
     knn_auto_threshold: int = 65536
+    # every shifted coordinate < 2^20 mm (1048 m): the Morton sort then
+    # drops its residual word (3 sort operands instead of 4 — measured
+    # win at 1M points).  Host drivers set this from the scan bbox at
+    # read time; False is always safe.
+    morton_small: bool = False
 
     # --- normal estimation ---
     normal_radius: float = 100.0    # hybrid neighborhood radius (mm)

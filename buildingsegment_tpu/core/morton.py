@@ -93,7 +93,8 @@ def morton_decode(code: jax.Array) -> jax.Array:
     )
 
 
-def morton_sort(positions: jax.Array, mask: jax.Array):
+def morton_sort(positions: jax.Array, mask: jax.Array,
+                small_extent: bool = False):
     """Sort positions+mask by the 60-bit Morton code via ONE
     multi-operand ``lax.sort`` — no argsort-then-gather (an XLA gather
     runs ~2 GB/s on TPU).
@@ -107,11 +108,36 @@ def morton_sort(positions: jax.Array, mask: jax.Array):
     that points still sort into coarse cells.  4 sort operands instead
     of 7: measured 25 → ~15 ms at 1M points on a v5e chip.
 
+    ``small_extent=True`` (static) declares every UNMASKED coordinate
+    < 2^20 (1048 m at mm scale — every building scan; the host drivers
+    check the bbox at read time).  The residual word is then
+    identically zero and is dropped from the sort: 3 operands / 2 keys
+    instead of 4 / 3, with the padding marker folded into the high
+    word.  Bit-identical to the general path on in-range clouds
+    (tests/test_morton.py::test_small_extent_matches_general).
+
     Returns (sorted_positions int32[N,3], sorted_mask bool[N],
     order int32[N]) where ``order`` maps sorted row → original row
     (for the final unsort).
     """
     n = positions.shape[0]
+    big = jnp.int32(0x7FFFFFFF)
+    if small_extent:
+        p = jnp.maximum(positions, 0)
+        lo = morton_encode(p, shift=0)
+        hi = morton_encode(p, shift=WORD_BITS)
+        # padding sorts last via the high word (real hi < 2^30 < big);
+        # stability makes ties keep original order, exactly like the
+        # general path's stable 3-key sort with resid ≡ 0
+        hi = jnp.where(mask, hi, big)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        s_hi, s_lo, order = lax.sort(
+            (hi, lo, iota), num_keys=2, is_stable=True
+        )
+        m = s_hi < big
+        spos = morton_decode(s_lo) | (morton_decode(s_hi) << WORD_BITS)
+        spos = jnp.where(m[:, None], spos, jnp.int32(1 << 24))
+        return spos, m, order
     # low 20 bits per axis, WRAPPED not saturated (decode must be
     # exact); negatives clamp to 0 (the pipeline shifts to the origin
     # first — negatives only occur in padding, which the mask kills)
@@ -171,6 +197,40 @@ def unsort_by(order: jax.Array, *payloads: jax.Array):
     """
     out = lax.sort((order,) + payloads, num_keys=1, is_stable=False)
     return out[1:] if len(payloads) > 1 else out[1]
+
+
+def unsort_labels(order: jax.Array, labels: jax.Array,
+                  max_label: int = 1024) -> jax.Array:
+    """Invert the sort permutation for ONE small-range int payload.
+
+    XLA sort cost scales with carried bytes, so (statically, by n and
+    ``max_label``):
+
+    1. **Packed**: ``(order << L) | (label + 1)`` in ONE int32 word when
+       ``ceil(log2 n) + L <= 32`` — biased by 2^31 (wraparound add) so
+       signed ordering matches the unsigned packing; order values are
+       unique, hence an unstable single-key sort is exact.  Roughly
+       halves :func:`unsort_by`'s time.
+    2. **i16 payload**: labels ride as int16 next to the int32 key
+       (25% fewer bytes) when they fit int16 but not the pack.
+    3. Fallback to :func:`unsort_by` otherwise.
+    """
+    n = order.shape[0]
+    label_bits = max(1, (max_label + 2 - 1).bit_length())  # for label+1
+    order_bits = max(1, (n - 1).bit_length())
+    if order_bits + label_bits <= 32:
+        shift = 32 - order_bits  # give the label every spare bit
+        bias = jnp.int32(-(2**31))
+        packed = ((order << shift) | (labels + 1)) + bias
+        s = lax.sort((packed,), num_keys=1, is_stable=False)[0]
+        return (s & ((1 << shift) - 1)) - 1
+    if max_label <= 32766:
+        _, s = lax.sort(
+            (order, (labels + 1).astype(jnp.int16)),
+            num_keys=1, is_stable=False,
+        )
+        return s.astype(jnp.int32) - 1
+    return unsort_by(order, labels)
 
 
 def hilbert_transpose(positions: jax.Array, bits: int = TOTAL_BITS) -> jax.Array:

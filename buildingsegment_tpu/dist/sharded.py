@@ -40,7 +40,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from buildingsegment_tpu.config import DEFAULT_CONFIG, PipelineConfig
-from buildingsegment_tpu.core.morton import morton_sort, unsort_by
+from buildingsegment_tpu.core.morton import (
+    morton_sort,
+    unsort_by,
+    unsort_labels,
+)
 from buildingsegment_tpu.core.quantize import shift_to_origin
 from buildingsegment_tpu.dist.mesh import POINTS_AXIS, point_sharding
 from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
@@ -255,7 +259,9 @@ def sharded_pipeline(
         shifted, lo, _hi = shift_to_origin(positions, mask)
         # global Morton sort (once per scan, outside the sweep loop);
         # coordinates decode from the carried code words — no gather
-        sorted_pos, smask, order = morton_sort(shifted, mask)
+        sorted_pos, smask, order = morton_sort(
+            shifted, mask, config.morton_small
+        )
         spos = sorted_pos.astype(jnp.float32)
         return (shifted, lo, spos, smask, order) + tuple(
             stats(spos, smask)
@@ -264,7 +270,7 @@ def sharded_pipeline(
     @jax.jit
     def stage2(spos, smask, order, *stat):
         seg = grow(spos, smask, *stat)
-        plane_idx = unsort_by(order, seg.plane_idx)
+        plane_idx = unsort_labels(order, seg.plane_idx, config.max_planes)
         return dataclasses.replace(seg, plane_idx=plane_idx)
 
     def fn(positions, mask):

@@ -35,6 +35,7 @@ from buildingsegment_tpu.core.morton import (
     morton_argsort,
     morton_sort,
     unsort_by,
+    unsort_labels,
 )
 from buildingsegment_tpu.core.quantize import shift_to_origin
 from buildingsegment_tpu.io.ply import HostPointCloud, read_ply, write_ply
@@ -98,13 +99,13 @@ class PipelineOutput:
     static_argnames=(
         "knn_k", "normal_radius", "normal_max_nn", "knn_window_size",
         "stats_rank_mode", "stats_store_offsets", "stats_sym",
-        "use_stats",
+        "use_stats", "morton_small",
     ),
 )
 def _window_stage1(
     positions, mask, *, knn_k, normal_radius, normal_max_nn,
     knn_window_size, use_stats, stats_rank_mode=None,
-    stats_store_offsets=False, stats_sym=None,
+    stats_store_offsets=False, stats_sym=None, morton_small=False,
 ):
     """Window-path stage 1: shift → Morton sort → neighborhood stats.
 
@@ -114,7 +115,7 @@ def _window_stage1(
     gather.
     """
     shifted, lo, _hi = shift_to_origin(positions, mask)
-    spos, smask, order = morton_sort(shifted, mask)
+    spos, smask, order = morton_sort(shifted, mask, morton_small)
     sposf = spos.astype(jnp.float32)
     if use_stats:
         # production: the multigrid solver consumes only the k-th-NN
@@ -204,8 +205,9 @@ def _window_stage2(
             propagation="window", compact=seg_compact, **seg_kwargs,
         )
     # unsort via the sorting network (a scatter hides a full sort
-    # AND random-access writes — ~11 ms vs ~4 ms at 1M rows)
-    plane_idx = unsort_by(order, seg.plane_idx)
+    # AND random-access writes — ~11 ms vs ~4 ms at 1M rows); labels
+    # are small ints, so the packed single-operand variant applies
+    plane_idx = unsort_labels(order, seg.plane_idx, max_planes)
     return dataclasses.replace(seg, plane_idx=plane_idx)
 
 
@@ -236,6 +238,7 @@ def run_device_pipeline(
     stats_rank_mode=None,
     stats_store_offsets=False,
     stats_sym=None,
+    morton_small: bool = False,
 ):
     """The on-device portion: shift → kNN → normals → segmentation.
 
@@ -257,7 +260,7 @@ def run_device_pipeline(
             knn_window_size=knn_window_size, use_stats=use_stats,
             stats_rank_mode=stats_rank_mode,
             stats_store_offsets=stats_store_offsets,
-            stats_sym=stats_sym,
+            stats_sym=stats_sym, morton_small=morton_small,
         )
         seg = _window_stage2(
             spos, smask, order, stats, knn_k=knn_k,
@@ -431,6 +434,17 @@ def _prepare_upload(cloud: HostPointCloud, config: PipelineConfig):
     return batch, shifted_h, lo_h
 
 
+def _prove_morton_small(config: PipelineConfig, shifted_h) -> PipelineConfig:
+    """Enable the 3-operand Morton sort when the host-side shifted bbox
+    proves every coordinate < 2^20 (the drivers call this right after
+    the shift, so the claim is exact, not heuristic)."""
+    if config.morton_small or shifted_h.size == 0:
+        return config
+    if int(shifted_h.max()) < (1 << 20):
+        return dataclasses.replace(config, morton_small=True)
+    return config
+
+
 def _dispatch_device(batch, config: PipelineConfig, signed_normals: bool):
     """Dispatch the device pipeline (async) for an uploaded batch."""
     return run_device_pipeline(
@@ -459,6 +473,7 @@ def _dispatch_device(batch, config: PipelineConfig, signed_normals: bool):
         stats_rank_mode=config.stats_rank_mode,
         stats_store_offsets=config.stats_store_offsets,
         stats_sym=config.stats_sym,
+        morton_small=config.morton_small,
     )
 
 
@@ -539,6 +554,7 @@ def segment_cloud(
     t0 = timings["_t0"]
 
     batch, shifted_h, lo_h = _prepare_upload(cloud, config)
+    config = _prove_morton_small(config, shifted_h)
 
     t1 = time.perf_counter()
     timings["host_to_device"] = t1 - t0
@@ -615,6 +631,7 @@ def segment_files(
             config, pad_to_multiple=_bucket_capacity(cloud.count, config)
         )
         batch, shifted_h, lo_h = _prepare_upload(cloud, cfg)
+        cfg = _prove_morton_small(cfg, shifted_h)
         jax.block_until_ready(batch.positions)
         return cloud, cfg, batch, shifted_h, lo_h, time.perf_counter() - t0
 

@@ -320,6 +320,74 @@ class TestMortonSortPayload:
             np.asarray(order2)[:n], np.asarray(order)[:n]
         )
 
+    def test_small_extent_matches_general(self, rng):
+        """small_extent=True is bit-identical to the general path on
+        in-range clouds — positions, mask AND order (incl. tie order:
+        both paths stable-sort, so duplicate coordinates keep their
+        original relative order)."""
+        import jax.numpy as jnp
+
+        from buildingsegment_tpu.core.morton import morton_sort
+
+        n, cap = 3000, 3072
+        pos = np.full((cap, 3), 2**24, np.int32)
+        # low range forces many duplicate codes → exercises tie order
+        pos[:n] = rng.integers(0, 64, size=(n, 3))
+        pos[1000:2000] = rng.integers(0, (1 << 20) - 1, size=(1000, 3))
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        pj, mj = jnp.asarray(pos), jnp.asarray(mask)
+        a = morton_sort(pj, mj, False)
+        b = morton_sort(pj, mj, True)
+        for xa, xb in zip(a, b):
+            xa, xb = np.asarray(xa), np.asarray(xb)
+            np.testing.assert_array_equal(xa[:n], xb[:n])
+
+    def test_unsort_labels_matches_unsort_by(self, rng):
+        """Packed (max_label fits the spare bits) and i16-payload
+        regimes both invert the permutation exactly, incl. -1."""
+        import jax.numpy as jnp
+
+        from buildingsegment_tpu.core.morton import (
+            morton_sort,
+            unsort_by,
+            unsort_labels,
+        )
+
+        n, cap = 3000, 3072
+        pos = np.full((cap, 3), 2**24, np.int32)
+        pos[:n] = rng.integers(0, 500_000, size=(n, 3))
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        _, _, order = morton_sort(jnp.asarray(pos), jnp.asarray(mask))
+        for max_label in (1024, 4096, 100_000):
+            labels = jnp.asarray(
+                rng.integers(-1, max_label, size=cap).astype(np.int32)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(unsort_labels(order, labels, max_label)),
+                np.asarray(unsort_by(order, labels)),
+            )
+
+    def test_unsort_labels_i16_and_fallback_regimes(self, rng):
+        """At 2^21 rows the order bits leave no room for the label
+        pack: max_label=4096 must take the i16-payload branch and
+        max_label>32766 the unsort_by fallback — both exact."""
+        import jax.numpy as jnp
+
+        from buildingsegment_tpu.core.morton import unsort_by, unsort_labels
+
+        n = 1 << 21
+        order = jnp.asarray(rng.permutation(n).astype(np.int32))
+        for max_label in (4096, 40_000):
+            labels = jnp.asarray(
+                rng.integers(-1, max_label, size=n).astype(np.int32)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(unsort_labels(order, labels, max_label)),
+                np.asarray(unsort_by(order, labels)),
+            )
+
     def test_residual_bits_exact(self, rng):
         """Coordinates beyond 20 bits/axis survive the sort exactly
         (they ride the packed residual word, not the sort keys)."""
