@@ -48,6 +48,11 @@ __all__ = ["knn_pallas"]
 # plain Python floats — jnp scalars at module level would be captured
 # as constants by the Pallas kernel trace, which is disallowed
 _INF = float("inf")
+#: resident fast path applies below this posT byte size; shared by
+#: _prepare (sub-box table construction) and _dispatch (path choice)
+_RESIDENT_BYTES = 40 * 1024 * 1024
+#: query sub-tiles per resident grid step
+_SQ = 8
 # sentinel coordinate for invalid rows (far outside any real scan)
 _SENTINEL = -3e7
 # validity test threshold (real centered coords are mm-scale)
@@ -232,11 +237,11 @@ def _kernel(count_ref, meta_ref, q_ref, seed_d_ref, seed_i_ref,
     lax.fori_loop(0, count, body, 0)
 
 
-def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref,
+def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref, subbox_ref,
                      px_hbm, py_hbm, pz_hbm, best_d_ref, best_i_ref,
                      tau_ref, px_ref, py_ref, pz_ref, dma_sem, *,
-                     kk: int, qt: int, ct: int, n: int, w_excl: int,
-                     sq: int):
+                     kk: int, qt: int, ct: int, cb: int, n: int,
+                     w_excl: int, sq: int):
     """VMEM-resident variant of :func:`_kernel`.
 
     At ≤ ~2.5M points the whole transposed position array ([4, N] f32,
@@ -244,8 +249,18 @@ def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref,
     VMEM slices — no per-visit HBM DMA, no double buffer, no
     semaphores.  ``sq`` query sub-tiles share one grid step, cutting
     the ~35 µs/step grid overhead sq-fold (the old per-128-query grid
-    was ~0.3 s of pure overhead at 1M points).  Pruning logic, merge
-    rounds and exactness contract are identical to :func:`_kernel`.
+    was ~0.3 s of pure overhead at 1M points).
+
+    Each ``ct``-wide visit is further split into ``ct // cb`` gated
+    sub-blocks: ``subbox_ref`` carries the (query-tile × cand-sub-
+    block) box distances in a TRANSPOSED [num_c4, num_q] layout (lanes
+    windowed to this grid step's ``sq`` query tiles), so a sub-block
+    whose box bound exceeds the live τ skips both its distance matrix
+    and its merge — the [qt, cb] merge rounds are ct/cb× cheaper per
+    pass than whole-visit merges, and τ keeps shrinking BETWEEN
+    sub-blocks.  Pruning soundness is the parent argument unchanged
+    (the sub-box bound is a true lower bound on every pair distance in
+    the block); exactness contract identical to :func:`_kernel`.
     """
     qi = pl.program_id(0)
 
@@ -264,8 +279,9 @@ def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref,
             cp.start()
             cp.wait()
 
-    iota_c = lax.broadcasted_iota(jnp.int32, (qt, ct), 1)
-    iota_q = lax.broadcasted_iota(jnp.int32, (qt, ct), 0)
+    nb = ct // cb
+    iota_c = lax.broadcasted_iota(jnp.int32, (qt, cb), 1)
+    iota_q = lax.broadcasted_iota(jnp.int32, (qt, cb), 0)
     iota_k = lax.broadcasted_iota(jnp.int32, (qt, kk), 1)
 
     # the whole grid step's queries in one 1024-ALIGNED read (1-D
@@ -302,29 +318,38 @@ def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref,
 
             @pl.when(do_visit)
             def _visit():
-                bd0 = best_d_ref[pl.ds(q0, qt), :]
-                bi0 = best_i_ref[pl.ds(q0, qt), :]
-                worst_rows = jnp.max(bd0, axis=1)
                 cs = actual * ct
                 cx = px_ref[pl.ds(cs, ct)]
                 cy = py_ref[pl.ds(cs, ct)]
                 cz = pz_ref[pl.ds(cs, ct)]
-                dx = qx[:, None] - cx[None, :]
-                dy = qy[:, None] - cy[None, :]
-                dz = qz[:, None] - cz[None, :]
-                d = dx * dx + dy * dy + dz * dz
-                c_idx = cs + iota_c
-                q_idx = q_start + iota_q
-                invalid = (
-                    (jnp.abs(c_idx - q_idx) <= w_excl)
-                    | (cx[None, :] <= _VALID_GT)
-                    | (qx[:, None] <= _VALID_GT)
-                )
-                d = jnp.where(invalid, _INF, d)
-                improves = jnp.any(d < worst_rows[:, None])
+                # best lists + τ carried as VALUES across the block
+                # unroll (a ref read after a @pl.when write in the same
+                # trace is the known Mosaic hazard; the refs are read
+                # once here — the previous write happened in the prior
+                # fori iteration — and written once at visit end)
+                bd = best_d_ref[pl.ds(q0, qt), :]
+                bi = best_i_ref[pl.ds(q0, qt), :]
+                tau = tau_ref[0, 0]
 
-                @pl.when(improves)
-                def _merge():
+                def block(b, carry):
+                    bd, bi, tau = carry
+                    cxb = lax.slice(cx, (b * cb,), ((b + 1) * cb,))
+                    cyb = lax.slice(cy, (b * cb,), ((b + 1) * cb,))
+                    czb = lax.slice(cz, (b * cb,), ((b + 1) * cb,))
+                    dx = qx[:, None] - cxb[None, :]
+                    dy = qy[:, None] - cyb[None, :]
+                    dz = qz[:, None] - czb[None, :]
+                    d = dx * dx + dy * dy + dz * dz
+                    csb = cs + b * cb
+                    c_idx = csb + iota_c
+                    q_idx = q_start + iota_q
+                    invalid = (
+                        (jnp.abs(c_idx - q_idx) <= w_excl)
+                        | (cxb[None, :] <= _VALID_GT)
+                        | (qx[:, None] <= _VALID_GT)
+                    )
+                    d = jnp.where(invalid, _INF, d)
+                    worst_rows = jnp.max(bd, axis=1)
                     cnt_below = jnp.sum(
                         jnp.where(d < worst_rows[:, None], 1.0, 0.0),
                         axis=1,
@@ -339,11 +364,11 @@ def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref,
                         worst = jnp.max(bd, axis=1)
                         take_k = dmin[:, None] < worst[:, None]
                         c_hit = jnp.min(
-                            jnp.where(dd == dmin[:, None], iota_c, ct),
+                            jnp.where(dd == dmin[:, None], iota_c, cb),
                             axis=1,
                         )
                         first_c = iota_c == c_hit[:, None]
-                        gidx = cs + c_hit
+                        gidx = csb + c_hit
                         k_hit = jnp.min(
                             jnp.where(bd == worst[:, None], iota_k, kk),
                             axis=1,
@@ -356,11 +381,32 @@ def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref,
                         return dd, bd, bi
 
                     _, bd, bi = lax.fori_loop(
-                        0, rounds, mround, (d, bd0, bi0)
+                        0, rounds, mround, (d, bd, bi)
                     )
-                    best_d_ref[pl.ds(q0, qt), :] = bd
-                    best_i_ref[pl.ds(q0, qt), :] = bi
-                    tau_ref[0, 0] = jnp.max(bd)
+                    return bd, bi, jnp.max(bd)
+
+                carry = (bd, bi, tau)
+                for b in range(nb):
+                    if nb > 1:
+                        # sub-block box bound from the [1, num_c4, sq]
+                        # window (dynamic sublane, static lane — the
+                        # supported access pattern); the bound is a
+                        # true lower bound on every pair distance in
+                        # the block, so a pruned block cannot hold a
+                        # top-k member
+                        d2b = subbox_ref[0, nb * actual + b, :][sub]
+                        carry = lax.cond(
+                            (ci == 0) | (d2b <= carry[2]),
+                            lambda c, b=b: block(b, c),
+                            lambda c: c,
+                            carry,
+                        )
+                    else:
+                        carry = block(b, carry)
+                bd, bi, tau = carry
+                best_d_ref[pl.ds(q0, qt), :] = bd
+                best_i_ref[pl.ds(q0, qt), :] = bi
+                tau_ref[0, 0] = tau
 
             return 0
 
@@ -369,7 +415,8 @@ def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "query_tile", "cand_tile", "interpret",
-                              "static_rounds", "max_visits")
+                              "static_rounds", "max_visits",
+                              "seed_window")
 )
 def knn_pallas(
     positions: jax.Array,
@@ -381,6 +428,7 @@ def knn_pallas(
     interpret: bool = False,
     static_rounds: bool = False,
     max_visits: int = 0,
+    seed_window: int = 32,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact brute-force kNN via the bbox-pruned Pallas kernel.
 
@@ -390,13 +438,17 @@ def knn_pallas(
         mask: bool[N].
         k: neighbors INCLUDING self at slot 0.
         interpret: run in interpreter mode (CPU tests).
+        seed_window: half-window of the Morton-window pass that seeds
+            the best lists and the τ̂ bounds (exactness holds for any
+            value; larger = fewer kernel insertions, costlier seed).
 
     Returns:
         (indices int32[N, k], sq_dists float32[N, k]), slot 0 = self,
         ascending by distance; empty slots fall back to self.
     """
-    posT, seed_d, seed_i, meta, counts, kk, query_tile, cand_tile = (
-        _prepare(positions, mask, k, query_tile, cand_tile)
+    (posT, seed_d, seed_i, meta, counts, subbox, kk, query_tile,
+     cand_tile, cb) = _prepare(
+        positions, mask, k, query_tile, cand_tile, seed_window
     )
     n = positions.shape[0]
     num_q = n // query_tile
@@ -404,17 +456,18 @@ def knn_pallas(
     if max_visits > 0:  # perf diagnostic: bound the visit loop
         counts = jnp.minimum(counts, max_visits)  # (INEXACT result)
     return _dispatch(
-        posT, seed_d, seed_i, meta, counts, mask,
-        n=n, kk=kk, query_tile=query_tile, cand_tile=cand_tile,
+        posT, seed_d, seed_i, meta, counts, subbox, mask,
+        n=n, kk=kk, query_tile=query_tile, cand_tile=cand_tile, cb=cb,
         num_q=num_q, num_c=num_c, interpret=interpret,
-        static_rounds=static_rounds,
+        static_rounds=static_rounds, w_excl=max(seed_window, k),
     )
 
 
-def _prepare(positions, mask, k, query_tile, cand_tile):
+def _prepare(positions, mask, k, query_tile, cand_tile, seed_window=32):
     """Wrapper prologue: centered f32 positions, window-kNN seeds, the
-    τ̂-pruned per-query-tile visit lists.  Split out so the perf labs
-    can time the XLA prologue separately from the Pallas kernel."""
+    τ̂-pruned per-query-tile visit lists, and the sub-block box-distance
+    table.  Split out so the perf labs can time the XLA prologue
+    separately from the Pallas kernel."""
     n = positions.shape[0]
     while query_tile > 8 and n % query_tile:
         query_tile //= 2
@@ -448,7 +501,7 @@ def _prepare(positions, mask, k, query_tile, cand_tile):
     # needs the banded prefix up to the last tile under the bound.
     from buildingsegment_tpu.ops.knn import knn_window_sorted
 
-    w_excl = max(32, k)
+    w_excl = max(seed_window, k)
     wk_i, wk_d = knn_window_sorted(pos, mask, k, window=w_excl)
     self_idx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     # rows with fewer than k-1 real candidates pad with self → the
@@ -490,9 +543,13 @@ def _prepare(positions, mask, k, query_tile, cand_tile):
     # visit candidate tiles in increasing box-distance order: the
     # needed tiles (box ≤ τ̂) then form an exact prefix, so the kernel
     # loop length equals the needed count (mean ~9 at 1M, vs ~142 for
-    # a banded order whose needed tiles hide deep in the band)
-    order_c = jnp.argsort(boxd2, axis=1).astype(jnp.int32)  # [num_q, num_c]
-    sorted_d2 = jnp.take_along_axis(boxd2, order_c, axis=1)
+    # a banded order whose needed tiles hide deep in the band).  ONE
+    # 2-operand sort carries the tile index along — an argsort +
+    # take_along_axis costs an extra 36 MB XLA gather (~2 GB/s)
+    iota_row = lax.broadcasted_iota(jnp.int32, (num_q, num_c), 1)
+    sorted_d2, order_c = lax.sort(
+        (boxd2, iota_row), num_keys=1, is_stable=True
+    )
     tau_hat = jnp.max(
         jnp.where(mask, kth_ub, 0.0).reshape(num_q, query_tile), axis=1
     )
@@ -512,24 +569,48 @@ def _prepare(positions, mask, k, query_tile, cand_tile):
         ],
         axis=-1,
     )  # [num_q, num_c, 8]
-    return posT, seed_d, seed_i, meta, counts, kk, query_tile, cand_tile
+
+    # sub-block box distances for the resident kernel's in-visit
+    # gating, laid out [num_super, num_c4, sq]: the grid step windows
+    # dim 0, the kernel reads a [sq]-lane row at a DYNAMIC SUBLANE
+    # index (raw sub-block id — no visit-order shuffle needed) and
+    # picks its query tile's lane statically.  Block shape rules:
+    # sublane dim num_c4 is 8-divisible (n % 2048 == 0), lane dim sq
+    # equals the full array dim.
+    cb = min(256, cand_tile)
+    subbox = None
+    if n * 16 <= _RESIDENT_BYTES and n % (query_tile * _SQ) == 0:
+        num_super = num_q // _SQ
+        cmin4, cmax4 = tile_bbox(cb)  # [num_c4, 3]
+        qmin_r = qmin.reshape(num_super, _SQ, 3)
+        qmax_r = qmax.reshape(num_super, _SQ, 3)
+        ddT = jnp.maximum(
+            jnp.maximum(
+                cmin4[None, :, None, :] - qmax_r[:, None, :, :],
+                qmin_r[:, None, :, :] - cmax4[None, :, None, :],
+            ),
+            0.0,
+        )
+        subbox = jnp.sum(ddT * ddT, axis=-1)  # [num_super, num_c4, sq]
+
+    return (posT, seed_d, seed_i, meta, counts, subbox, kk, query_tile,
+            cand_tile, cb)
 
 
-def _dispatch(posT, seed_d, seed_i, meta, counts, mask, *, n, kk,
-              query_tile, cand_tile, num_q, num_c, interpret,
-              static_rounds):
-    w_excl = max(32, kk + 1)  # must match _prepare's seed window
-
+def _dispatch(posT, seed_d, seed_i, meta, counts, subbox, mask, *, n,
+              kk, query_tile, cand_tile, cb, num_q, num_c, interpret,
+              static_rounds, w_excl):
     # VMEM-resident fast path: [4, N] f32 positions fit comfortably in
     # v5e VMEM (128 MB) up to ~2.5M points — no per-visit HBM DMA, and
     # 8 query sub-tiles share one grid step (the per-step overhead was
     # ~0.3 s of the 0.87 s runtime at 1M points)
-    sq = 8
-    if n * 16 <= 40 * 1024 * 1024 and n % (query_tile * sq) == 0:
+    sq = _SQ
+    if n * 16 <= _RESIDENT_BYTES and n % (query_tile * sq) == 0:
         num_super = num_q // sq
+        num_c4 = n // cb
         kernel_r = functools.partial(
-            _kernel_resident, kk=kk, qt=query_tile, ct=cand_tile, n=n,
-            w_excl=w_excl, sq=sq,
+            _kernel_resident, kk=kk, qt=query_tile, ct=cand_tile,
+            cb=cb, n=n, w_excl=w_excl, sq=sq,
         )
         # counts ride in meta col 2 (see the kernel) — broadcast them
         # into row 0 of every query tile's metadata
@@ -550,6 +631,10 @@ def _dispatch(posT, seed_d, seed_i, meta, counts, mask, *, n, kk,
                     (query_tile * sq, kk), lambda qi, *_: (qi, 0),
                     memory_space=pltpu.VMEM,
                 ),  # window-kNN seed indices
+                pl.BlockSpec(
+                    (1, num_c4, sq), lambda qi, *_: (qi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # sub-block box distances, lanes = this step's tiles
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -593,7 +678,7 @@ def _dispatch(posT, seed_d, seed_i, meta, counts, mask, *, n, kk,
             ),
             interpret=interpret,
             debug=bool(__import__("os").environ.get("BST_KNN_DEBUG")),
-        )(meta_r, seed_d, seed_i, posT[0], posT[1], posT[2])
+        )(meta_r, seed_d, seed_i, subbox, posT[0], posT[1], posT[2])
         return _finish(best_d, best_i, mask, n, kk)
 
     kernel = functools.partial(

@@ -29,6 +29,28 @@ class TestPallasKnn:
         np.testing.assert_array_equal(idx[:n, 0], np.arange(n))
         np.testing.assert_allclose(d[:n], od**2, rtol=1e-6, atol=0.01)
 
+    @pytest.mark.parametrize("seed_window", [32, 64])
+    def test_resident_subblocks_match_kdtree(self, rng, seed_window):
+        """The VMEM-resident kernel WITH sub-block gating active
+        (n % (qt*8) == 0, ct/cb = 4 blocks) stays oracle-exact, at
+        either seed window.  Morton-sorted input makes the window
+        seeds realistic (high-recall, like production)."""
+        from buildingsegment_tpu.core.morton import morton_argsort
+
+        pts = rng.integers(0, 20_000, size=(8000, 3)).astype(np.int32)
+        pos, mask, n = _pad(pts, 8192)
+        order = np.asarray(morton_argsort(pos, mask))
+        pos, mask = pos[order], mask[order]
+        spts = np.asarray(pos[:n])
+        idx, d = knn_pallas(
+            pos, mask, k=15, query_tile=128, cand_tile=1024,
+            interpret=True, seed_window=seed_window,
+        )
+        idx, d = np.asarray(idx), np.asarray(d)
+        od, _ = cKDTree(spts.astype(np.float64)).query(spts, k=15)
+        np.testing.assert_array_equal(idx[:n, 0], np.arange(n))
+        np.testing.assert_allclose(d[:n], od**2, rtol=1e-6, atol=0.01)
+
     def test_static_rounds_matches_kdtree(self, rng):
         pts = rng.integers(0, 5000, size=(500, 3)).astype(np.int32)
         pos, mask, n = _pad(pts, 512)

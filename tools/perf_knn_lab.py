@@ -91,6 +91,18 @@ def main():
         except Exception as e:  # pragma: no cover
             out[f"maxvisits{mv}_error"] = type(e).__name__
 
+    # seed-window sweep: larger windows cost more in the prologue but
+    # cut kernel insertions (the measured whale) and tighten τ̂
+    for sw in ([] if quick else [64, 96]):
+        try:
+            dt = timed(lambda sw=sw: knn_pallas(
+                spos, smask, k=16, query_tile=128, cand_tile=1024,
+                seed_window=sw,
+            ))
+            out[f"seedw{sw}_mpts"] = round(n / dt / 1e6, 3)
+        except Exception as e:  # pragma: no cover
+            out[f"seedw{sw}_error"] = type(e).__name__
+
     shapes = [(128, 1024), (256, 1024), (128, 2048)]
     if quick:
         shapes = [(128, 1024), (256, 512)]
