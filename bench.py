@@ -28,7 +28,11 @@ def _sync(out):
     0.04 ms under it), so synchronize by fetching one element."""
     import jax
 
-    leaf = jax.tree_util.tree_leaves(out)[0]
+    # sync the LAST leaf: with multi-program dispatch (the staged
+    # pipeline) the first leaf is a stage-1 output and completes
+    # before the final program — syncing it under-counts the last
+    # rep's stage 2 (~stage2/reps optimistic bias)
+    leaf = jax.tree_util.tree_leaves(out)[-1]
     np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
 
 

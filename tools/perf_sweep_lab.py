@@ -21,7 +21,9 @@ import numpy as np
 def _sync(out):
     import jax
 
-    leaf = jax.tree_util.tree_leaves(out)[0]
+    # last leaf: multi-program outputs complete in dispatch order —
+    # syncing the first leaf misses the final program (see bench.py)
+    leaf = jax.tree_util.tree_leaves(out)[-1]
     np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
 
 
