@@ -119,6 +119,26 @@ def main():
 
         stage("multigrid_l3_r2_compact_ms", lambda: mg(True))
         stage("multigrid_l3_r2_xla_ms", lambda: mg(False))
+
+        # decompose the winner's multigrid: refine cost (r0 vs r2),
+        # level scaling (l2/l4), and the coarsen+seed floor (r0 at l4
+        # bottoms out in a trivial solve)
+        def mgv(**kw):
+            a = dict(levels=3, refine_sweeps=2, compact=True)
+            a.update(kw)
+            return segment_planes_multigrid(
+                spos, normals, g_idx, smask,
+                kth_sq_dist=dk, curvature=curv, max_edge_dist=600.0,
+                th_point_count=400, max_planes=1024, window=16,
+                group=4, **a,
+            )
+
+        stage("multigrid_l3_r0_ms", lambda: mgv(refine_sweeps=0))
+        stage("multigrid_l3_r1_ms", lambda: mgv(refine_sweeps=1))
+        stage("multigrid_l2_r2_ms", lambda: mgv(levels=2))
+        stage("multigrid_l4_r2_ms", lambda: mgv(levels=4))
+        stage("multigrid_l3_r2_seedsym_ms",
+              lambda: mgv(seed_mode="sym"))
         try:
             res = mg(True)
             out["mg_sweeps"] = int(res.num_sweeps)
