@@ -51,8 +51,16 @@ _INF = float("inf")
 #: resident fast path applies below this posT byte size; shared by
 #: _prepare (sub-box table construction) and _dispatch (path choice)
 _RESIDENT_BYTES = 40 * 1024 * 1024
-#: query sub-tiles per resident grid step
+#: query sub-tiles per resident grid step (super-tile = sq * query_tile)
 _SQ = 8
+
+
+def _resident_shape(n: int, query_tile: int) -> bool:
+    """Whether the VMEM-resident kernel applies: positions fit VMEM,
+    the grid divides evenly, and the super-tile is 1024-aligned (its
+    dynamic 1-D position reads require 1024-aligned offsets)."""
+    st = query_tile * _SQ
+    return n * 16 <= _RESIDENT_BYTES and n % st == 0 and st % 1024 == 0
 # sentinel coordinate for invalid rows (far outside any real scan)
 _SENTINEL = -3e7
 # validity test threshold (real centered coords are mm-scale)
@@ -280,137 +288,130 @@ def _kernel_resident(meta_ref, seed_d_ref, seed_i_ref, subbox_ref,
             cp.wait()
 
     nb = ct // cb
-    iota_c = lax.broadcasted_iota(jnp.int32, (qt, cb), 1)
-    iota_q = lax.broadcasted_iota(jnp.int32, (qt, cb), 0)
-    iota_k = lax.broadcasted_iota(jnp.int32, (qt, kk), 1)
+    st = sq * qt  # the whole super-tile is ONE query block
+    iota_c = lax.broadcasted_iota(jnp.int32, (st, cb), 1)
+    iota_q = lax.broadcasted_iota(jnp.int32, (st, cb), 0)
+    iota_k = lax.broadcasted_iota(jnp.int32, (st, kk), 1)
 
     # the whole grid step's queries in one 1024-ALIGNED read (1-D
-    # dynamic vector reads need 1024-aligned offsets); per-sub-tile
-    # rows are static 128-multiple slices of it — their lane offset is
-    # 0, so the sublane broadcast qx[:, None] lowers cleanly
-    gq = qi * (sq * qt)
-    qhx = px_ref[pl.ds(gq, sq * qt)]
-    qhy = py_ref[pl.ds(gq, sq * qt)]
-    qhz = pz_ref[pl.ds(gq, sq * qt)]
+    # dynamic vector reads need 1024-aligned offsets — the dispatch
+    # requires st % 1024 == 0)
+    q_start = qi * st
+    qx = px_ref[pl.ds(q_start, st)]
+    qy = py_ref[pl.ds(q_start, st)]
+    qz = pz_ref[pl.ds(q_start, st)]
 
-    for sub in range(sq):
-        q0 = sub * qt
-        q_start = qi * (sq * qt) + q0
-        qx = lax.slice(qhx, (q0,), (q0 + qt,))
-        qy = lax.slice(qhy, (q0,), (q0 + qt,))
-        qz = lax.slice(qhz, (q0,), (q0 + qt,))
+    bd_init = seed_d_ref[:, :]
+    best_d_ref[:, :] = bd_init
+    best_i_ref[:, :] = seed_i_ref[:, :]
+    # plain max: masked-out queries are seeded 0.0 by the wrapper
+    tau_ref[0, 0] = jnp.max(bd_init)
+    # per-super-tile visit count rides in meta column 2 of row 0
+    # (exact as f32 below 2^24): the flat [num_super] scalar-prefetch
+    # array exceeds the 16 KB SMEM budget at 1M points
+    count = meta_ref[0, 0, :][2].astype(jnp.int32)
 
-        bd_init = seed_d_ref[pl.ds(q0, qt), :]
-        best_d_ref[pl.ds(q0, qt), :] = bd_init
-        best_i_ref[pl.ds(q0, qt), :] = seed_i_ref[pl.ds(q0, qt), :]
-        # plain max: masked-out queries are seeded 0.0 by the wrapper
-        tau_ref[0, 0] = jnp.max(bd_init)
-        # per-tile visit count rides in meta column 2 of row 0 (exact
-        # as f32 below 2^24): the flat [num_q] scalar-prefetch array
-        # exceeds the 16 KB SMEM budget at 1M points
-        count = meta_ref[sub, 0, :][2].astype(jnp.int32)
+    def body(ci, _):
+        row = meta_ref[0, ci, :]
+        actual = row[0].astype(jnp.int32)
+        box_d2 = row[1]
+        do_visit = (ci == 0) | (box_d2 <= tau_ref[0, 0])
 
-        def body(ci, _):
-            row = meta_ref[sub, ci, :]
-            actual = row[0].astype(jnp.int32)
-            box_d2 = row[1]
-            do_visit = (ci == 0) | (box_d2 <= tau_ref[0, 0])
+        @pl.when(do_visit)
+        def _visit():
+            cs = actual * ct
+            cx = px_ref[pl.ds(cs, ct)]
+            cy = py_ref[pl.ds(cs, ct)]
+            cz = pz_ref[pl.ds(cs, ct)]
+            # all nb sub-block box bounds in ONE row read, indexed by
+            # raw tile id (dynamic sublane, static lanes — the
+            # supported access pattern; no visit-order shuffle)
+            sb_row = subbox_ref[0, actual, :]
+            # best lists + τ carried as VALUES across the block
+            # unroll (a ref read after a @pl.when write in the same
+            # trace is the known Mosaic hazard; the refs are read
+            # once here — the previous write happened in the prior
+            # fori iteration — and written once at visit end)
+            bd = best_d_ref[:, :]
+            bi = best_i_ref[:, :]
+            tau = tau_ref[0, 0]
 
-            @pl.when(do_visit)
-            def _visit():
-                cs = actual * ct
-                cx = px_ref[pl.ds(cs, ct)]
-                cy = py_ref[pl.ds(cs, ct)]
-                cz = pz_ref[pl.ds(cs, ct)]
-                # best lists + τ carried as VALUES across the block
-                # unroll (a ref read after a @pl.when write in the same
-                # trace is the known Mosaic hazard; the refs are read
-                # once here — the previous write happened in the prior
-                # fori iteration — and written once at visit end)
-                bd = best_d_ref[pl.ds(q0, qt), :]
-                bi = best_i_ref[pl.ds(q0, qt), :]
-                tau = tau_ref[0, 0]
+            def block(b, carry):
+                bd, bi, tau = carry
+                cxb = lax.slice(cx, (b * cb,), ((b + 1) * cb,))
+                cyb = lax.slice(cy, (b * cb,), ((b + 1) * cb,))
+                czb = lax.slice(cz, (b * cb,), ((b + 1) * cb,))
+                dx = qx[:, None] - cxb[None, :]
+                dy = qy[:, None] - cyb[None, :]
+                dz = qz[:, None] - czb[None, :]
+                d = dx * dx + dy * dy + dz * dz
+                csb = cs + b * cb
+                c_idx = csb + iota_c
+                q_idx = q_start + iota_q
+                invalid = (
+                    (jnp.abs(c_idx - q_idx) <= w_excl)
+                    | (cxb[None, :] <= _VALID_GT)
+                    | (qx[:, None] <= _VALID_GT)
+                )
+                d = jnp.where(invalid, _INF, d)
+                worst_rows = jnp.max(bd, axis=1)
+                cnt_below = jnp.sum(
+                    jnp.where(d < worst_rows[:, None], 1.0, 0.0),
+                    axis=1,
+                )
+                rounds = jnp.minimum(
+                    jnp.max(cnt_below), float(kk)
+                ).astype(jnp.int32)
 
-                def block(b, carry):
-                    bd, bi, tau = carry
-                    cxb = lax.slice(cx, (b * cb,), ((b + 1) * cb,))
-                    cyb = lax.slice(cy, (b * cb,), ((b + 1) * cb,))
-                    czb = lax.slice(cz, (b * cb,), ((b + 1) * cb,))
-                    dx = qx[:, None] - cxb[None, :]
-                    dy = qy[:, None] - cyb[None, :]
-                    dz = qz[:, None] - czb[None, :]
-                    d = dx * dx + dy * dy + dz * dz
-                    csb = cs + b * cb
-                    c_idx = csb + iota_c
-                    q_idx = q_start + iota_q
-                    invalid = (
-                        (jnp.abs(c_idx - q_idx) <= w_excl)
-                        | (cxb[None, :] <= _VALID_GT)
-                        | (qx[:, None] <= _VALID_GT)
-                    )
-                    d = jnp.where(invalid, _INF, d)
-                    worst_rows = jnp.max(bd, axis=1)
-                    cnt_below = jnp.sum(
-                        jnp.where(d < worst_rows[:, None], 1.0, 0.0),
+                def mround(_, carry):
+                    dd, bd, bi = carry
+                    dmin = jnp.min(dd, axis=1)
+                    worst = jnp.max(bd, axis=1)
+                    take_k = dmin[:, None] < worst[:, None]
+                    c_hit = jnp.min(
+                        jnp.where(dd == dmin[:, None], iota_c, cb),
                         axis=1,
                     )
-                    rounds = jnp.minimum(
-                        jnp.max(cnt_below), float(kk)
-                    ).astype(jnp.int32)
-
-                    def mround(_, carry):
-                        dd, bd, bi = carry
-                        dmin = jnp.min(dd, axis=1)
-                        worst = jnp.max(bd, axis=1)
-                        take_k = dmin[:, None] < worst[:, None]
-                        c_hit = jnp.min(
-                            jnp.where(dd == dmin[:, None], iota_c, cb),
-                            axis=1,
-                        )
-                        first_c = iota_c == c_hit[:, None]
-                        gidx = csb + c_hit
-                        k_hit = jnp.min(
-                            jnp.where(bd == worst[:, None], iota_k, kk),
-                            axis=1,
-                        )
-                        first_k = (iota_k == k_hit[:, None]) & take_k
-                        bd = jnp.where(first_k, dmin[:, None], bd)
-                        bi = jnp.where(first_k, gidx[:, None], bi)
-                        take_c = dmin[:, None] < worst[:, None]
-                        dd = jnp.where(first_c & take_c, _INF, dd)
-                        return dd, bd, bi
-
-                    _, bd, bi = lax.fori_loop(
-                        0, rounds, mround, (d, bd, bi)
+                    first_c = iota_c == c_hit[:, None]
+                    gidx = csb + c_hit
+                    k_hit = jnp.min(
+                        jnp.where(bd == worst[:, None], iota_k, kk),
+                        axis=1,
                     )
-                    return bd, bi, jnp.max(bd)
+                    first_k = (iota_k == k_hit[:, None]) & take_k
+                    bd = jnp.where(first_k, dmin[:, None], bd)
+                    bi = jnp.where(first_k, gidx[:, None], bi)
+                    take_c = dmin[:, None] < worst[:, None]
+                    dd = jnp.where(first_c & take_c, _INF, dd)
+                    return dd, bd, bi
 
-                carry = (bd, bi, tau)
-                for b in range(nb):
-                    if nb > 1:
-                        # sub-block box bound from the [1, num_c4, sq]
-                        # window (dynamic sublane, static lane — the
-                        # supported access pattern); the bound is a
-                        # true lower bound on every pair distance in
-                        # the block, so a pruned block cannot hold a
-                        # top-k member
-                        d2b = subbox_ref[0, nb * actual + b, :][sub]
-                        carry = lax.cond(
-                            (ci == 0) | (d2b <= carry[2]),
-                            lambda c, b=b: block(b, c),
-                            lambda c: c,
-                            carry,
-                        )
-                    else:
-                        carry = block(b, carry)
-                bd, bi, tau = carry
-                best_d_ref[pl.ds(q0, qt), :] = bd
-                best_i_ref[pl.ds(q0, qt), :] = bi
-                tau_ref[0, 0] = tau
+                _, bd, bi = lax.fori_loop(
+                    0, rounds, mround, (d, bd, bi)
+                )
+                return bd, bi, jnp.max(bd)
 
-            return 0
+            carry = (bd, bi, tau)
+            for b in range(nb):
+                if nb > 1:
+                    # the bound is a true lower bound on every pair
+                    # distance in the block, so a pruned block cannot
+                    # hold a top-k member
+                    carry = lax.cond(
+                        (ci == 0) | (sb_row[b] <= carry[2]),
+                        lambda c, b=b: block(b, c),
+                        lambda c: c,
+                        carry,
+                    )
+                else:
+                    carry = block(b, carry)
+            bd, bi, tau = carry
+            best_d_ref[:, :] = bd
+            best_i_ref[:, :] = bi
+            tau_ref[0, 0] = tau
 
-        lax.fori_loop(0, count, body, 0)
+        return 0
+
+    lax.fori_loop(0, count, body, 0)
 
 
 @functools.partial(
@@ -531,27 +532,35 @@ def _prepare(positions, mask, k, query_tile, cand_tile, seed_window=32):
             jnp.max(jnp.where(mt, pt, -big), axis=1),
         )
 
-    qmin, qmax = tile_bbox(query_tile)  # [num_q, 3]
+    # the resident kernel treats the whole sq-sub-tile super-tile as
+    # ONE query block (one shared visit list amortizes the measured
+    # ~10 µs/visit-body overhead sq-fold), so its visit metadata is
+    # computed at super-tile granularity; the DMA kernel keeps the
+    # per-query_tile granularity
+    resident = _resident_shape(n, query_tile)
+    meta_tile = query_tile * _SQ if resident else query_tile
+    num_mq = n // meta_tile
+
+    qmin, qmax = tile_bbox(meta_tile)  # [num_mq, 3]
     cmin, cmax = tile_bbox(cand_tile)  # [num_c, 3]
     dd = jnp.maximum(
         jnp.maximum(cmin[None, :, :] - qmax[:, None, :],
                     qmin[:, None, :] - cmax[None, :, :]),
         0.0,
     )
-    boxd2 = jnp.sum(dd * dd, axis=-1)  # [num_q, num_c]
+    boxd2 = jnp.sum(dd * dd, axis=-1)  # [num_mq, num_c]
 
     # visit candidate tiles in increasing box-distance order: the
     # needed tiles (box ≤ τ̂) then form an exact prefix, so the kernel
-    # loop length equals the needed count (mean ~9 at 1M, vs ~142 for
-    # a banded order whose needed tiles hide deep in the band).  ONE
-    # 2-operand sort carries the tile index along — an argsort +
-    # take_along_axis costs an extra 36 MB XLA gather (~2 GB/s)
-    iota_row = lax.broadcasted_iota(jnp.int32, (num_q, num_c), 1)
+    # loop length equals the needed count.  ONE 2-operand sort carries
+    # the tile index along — an argsort + take_along_axis costs an
+    # extra 36 MB XLA gather (~2 GB/s)
+    iota_row = lax.broadcasted_iota(jnp.int32, (num_mq, num_c), 1)
     sorted_d2, order_c = lax.sort(
         (boxd2, iota_row), num_keys=1, is_stable=True
     )
     tau_hat = jnp.max(
-        jnp.where(mask, kth_ub, 0.0).reshape(num_q, query_tile), axis=1
+        jnp.where(mask, kth_ub, 0.0).reshape(num_mq, meta_tile), axis=1
     )
     # <= so a neighbor sitting exactly on a tile-bbox corner at the
     # final k-th distance can never be skipped (ties stay exact)
@@ -565,33 +574,34 @@ def _prepare(positions, mask, k, query_tile, cand_tile, seed_window=32):
         [
             order_c.astype(jnp.float32)[..., None],
             sorted_d2[..., None],
-            jnp.zeros((num_q, num_c, 6), jnp.float32),
+            jnp.zeros((num_mq, num_c, 6), jnp.float32),
         ],
         axis=-1,
-    )  # [num_q, num_c, 8]
+    )  # [num_mq, num_c, 8]
 
     # sub-block box distances for the resident kernel's in-visit
-    # gating, laid out [num_super, num_c4, sq]: the grid step windows
-    # dim 0, the kernel reads a [sq]-lane row at a DYNAMIC SUBLANE
-    # index (raw sub-block id — no visit-order shuffle needed) and
-    # picks its query tile's lane statically.  Block shape rules:
-    # sublane dim num_c4 is 8-divisible (n % 2048 == 0), lane dim sq
-    # equals the full array dim.
+    # gating: all ct/cb bounds of one candidate tile ride as LANES of
+    # one [num_mq, num_c, lane_w] row, indexed by raw tile id — one
+    # dynamic-sublane read per visit, no visit-order shuffle
     cb = min(256, cand_tile)
     subbox = None
-    if n * 16 <= _RESIDENT_BYTES and n % (query_tile * _SQ) == 0:
-        num_super = num_q // _SQ
+    if resident:
+        nb = cand_tile // cb
+        lane_w = max(8, nb)
         cmin4, cmax4 = tile_bbox(cb)  # [num_c4, 3]
-        qmin_r = qmin.reshape(num_super, _SQ, 3)
-        qmax_r = qmax.reshape(num_super, _SQ, 3)
-        ddT = jnp.maximum(
+        dd4 = jnp.maximum(
             jnp.maximum(
-                cmin4[None, :, None, :] - qmax_r[:, None, :, :],
-                qmin_r[:, None, :, :] - cmax4[None, :, None, :],
+                cmin4[None, :, :] - qmax[:, None, :],
+                qmin[:, None, :] - cmax4[None, :, :],
             ),
             0.0,
         )
-        subbox = jnp.sum(ddT * ddT, axis=-1)  # [num_super, num_c4, sq]
+        sub4 = jnp.sum(dd4 * dd4, axis=-1)  # [num_mq, num_c4]
+        subbox = jnp.pad(
+            sub4.reshape(num_mq, num_c, nb),
+            ((0, 0), (0, 0), (0, lane_w - nb)),
+            constant_values=3e37,
+        )
 
     return (posT, seed_d, seed_i, meta, counts, subbox, kk, query_tile,
             cand_tile, cb)
@@ -605,24 +615,24 @@ def _dispatch(posT, seed_d, seed_i, meta, counts, subbox, mask, *, n,
     # 8 query sub-tiles share one grid step (the per-step overhead was
     # ~0.3 s of the 0.87 s runtime at 1M points)
     sq = _SQ
-    if n * 16 <= _RESIDENT_BYTES and n % (query_tile * sq) == 0:
+    if _resident_shape(n, query_tile):
         num_super = num_q // sq
-        num_c4 = n // cb
+        lane_w = subbox.shape[-1]
         kernel_r = functools.partial(
             _kernel_resident, kk=kk, qt=query_tile, ct=cand_tile,
             cb=cb, n=n, w_excl=w_excl, sq=sq,
         )
         # counts ride in meta col 2 (see the kernel) — broadcast them
-        # into row 0 of every query tile's metadata
+        # into row 0 of every super-tile's metadata
         meta_r = meta.at[:, 0, 2].set(counts.astype(jnp.float32))
         grid_spec_r = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(num_super,),
             in_specs=[
                 pl.BlockSpec(
-                    (sq, num_c, 8), lambda qi, *_: (qi, 0, 0),
+                    (1, num_c, 8), lambda qi, *_: (qi, 0, 0),
                     memory_space=pltpu.VMEM,
-                ),  # sq query tiles' sorted visit metadata
+                ),  # this super-tile's sorted visit metadata
                 pl.BlockSpec(
                     (query_tile * sq, kk), lambda qi, *_: (qi, 0),
                     memory_space=pltpu.VMEM,
@@ -632,9 +642,9 @@ def _dispatch(posT, seed_d, seed_i, meta, counts, subbox, mask, *, n,
                     memory_space=pltpu.VMEM,
                 ),  # window-kNN seed indices
                 pl.BlockSpec(
-                    (1, num_c4, sq), lambda qi, *_: (qi, 0, 0),
+                    (1, num_c, lane_w), lambda qi, *_: (qi, 0, 0),
                     memory_space=pltpu.VMEM,
-                ),  # sub-block box distances, lanes = this step's tiles
+                ),  # sub-block box distances, nb bounds per tile row
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
