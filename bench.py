@@ -358,6 +358,11 @@ def main():
         # stage — offered as a follow-up on the winner so far
         if best_reps.get("seg_seed_mode") != "sym":
             _try({**best_reps, "seg_seed_mode": "sym"})
+        # group-coherence seed gate: skips the fine window_seeds sweep
+        # (~4-5 ms at 1M) — a different seed criterion, so the quality
+        # gate arbitrates (tests/test_multigrid.py pins the CPU floor)
+        if best_reps.get("seg_seed_source") != "coarse":
+            _try({**best_reps, "seg_seed_source": "coarse"})
     if best is None:
         extras["autotune_fallback"] = "all_candidates_failed_gate"
         cfg = safe_cfg
@@ -381,6 +386,7 @@ def main():
         tune["chosen"]["knn_window"] = cfg.knn_window
         tune["chosen"]["seg_refine_sweeps"] = cfg.seg_refine_sweeps
         tune["chosen"]["seg_seed_mode"] = cfg.seg_seed_mode
+        tune["chosen"]["seg_seed_source"] = cfg.seg_seed_source
         tune["chosen"]["seg_levels"] = cfg.seg_levels
 
     # re-measure the multigrid stage at the WINNING config so the
@@ -390,6 +396,8 @@ def main():
         cfg.seg_levels != safe_cfg.seg_levels
         or cfg.seg_refine_sweeps != safe_cfg.seg_refine_sweeps
         or cfg.seg_compact != safe_cfg.seg_compact
+        or cfg.seg_seed_mode != safe_cfg.seg_seed_mode
+        or cfg.seg_seed_source != safe_cfg.seg_seed_source
     ):
         try:
             dt_w, _ = _timed(
@@ -401,6 +409,8 @@ def main():
                     refine_sweeps=cfg.seg_refine_sweeps,
                     convergence_tol=cfg.seg_convergence_tol,
                     compact=cfg.seg_compact,
+                    seed_mode=cfg.seg_seed_mode,
+                    seed_source=cfg.seg_seed_source,
                 ),
                 reps=4,
             )

@@ -133,6 +133,13 @@ class PipelineConfig:
     # BST_SEED_MODE (default "pair") until the chip measurement adopts
     # a variant.
     seg_seed_mode: Optional[str] = None
+    # multigrid seed gate: None/"fine" = the fine-level window_seeds
+    # sweep (the reference's depth-0 rule re-expressed,
+    # tmc3/my_function.cpp:238); "coarse" = derive the gate from the
+    # group-coherence statistics (skips the fine sweep, ~4-5 ms at 1M
+    # points — a bench candidate whose adoption the quality gate
+    # arbitrates, seg/coarse.py)
+    seg_seed_source: Optional[str] = None
 
     # --- capacity / sharding ---
     pad_to_multiple: int = 1024     # point capacity rounded up to this

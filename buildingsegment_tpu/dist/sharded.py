@@ -156,6 +156,7 @@ def sharded_grow_body(mesh: Mesh, config: PipelineConfig, *,
                 refine_sweeps=config.seg_refine_sweeps,
                 compact=config.seg_compact,
                 seed_mode=config.seg_seed_mode,
+                seed_source=config.seg_seed_source,
                 axis_name=ax, **seg_kwargs,
             )
         neigh_idx, neigh_d, normals, curv = stats

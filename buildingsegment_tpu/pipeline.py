@@ -150,7 +150,7 @@ def _window_stage1(
         "max_planes", "max_sweeps", "signed_normals",
         "th_seed_curvature", "convergence_tol", "seg_group",
         "seg_levels", "seg_refine_sweeps", "seg_anchor_cos", "use_stats",
-        "seg_compact", "seg_seed_mode",
+        "seg_compact", "seg_seed_mode", "seg_seed_source",
     ),
 )
 def _window_stage2(
@@ -158,7 +158,7 @@ def _window_stage2(
     th_point_count, max_planes, max_sweeps, signed_normals,
     th_seed_curvature, convergence_tol, seg_group, seg_levels,
     seg_refine_sweeps, use_stats, seg_anchor_cos=None, seg_compact=None,
-    seg_seed_mode=None,
+    seg_seed_mode=None, seg_seed_source=None,
 ):
     """Window-path stage 2: region growing + unsort.
 
@@ -193,7 +193,7 @@ def _window_stage2(
             kth_sq_dist=dk, curvature=curv,
             group=seg_group, levels=seg_levels,
             refine_sweeps=seg_refine_sweeps, compact=seg_compact,
-            seed_mode=seg_seed_mode,
+            seed_mode=seg_seed_mode, seed_source=seg_seed_source,
             **seg_kwargs,
         )
     else:
@@ -235,6 +235,7 @@ def run_device_pipeline(
     seg_anchor_cos=None,
     seg_compact=None,
     seg_seed_mode=None,
+    seg_seed_source=None,
     stats_rank_mode=None,
     stats_store_offsets=False,
     stats_sym=None,
@@ -272,6 +273,7 @@ def run_device_pipeline(
             seg_levels=seg_levels, seg_refine_sweeps=seg_refine_sweeps,
             use_stats=use_stats, seg_anchor_cos=seg_anchor_cos,
             seg_compact=seg_compact, seg_seed_mode=seg_seed_mode,
+            seg_seed_source=seg_seed_source,
         )
         return shifted, lo, seg
     return _classic_pipeline(
@@ -470,6 +472,7 @@ def _dispatch_device(batch, config: PipelineConfig, signed_normals: bool):
         seg_anchor_cos=config.seg_anchor_cos,
         seg_compact=config.seg_compact,
         seg_seed_mode=config.seg_seed_mode,
+        seg_seed_source=config.seg_seed_source,
         stats_rank_mode=config.stats_rank_mode,
         stats_store_offsets=config.stats_store_offsets,
         stats_sym=config.stats_sym,

@@ -63,7 +63,7 @@ __all__ = ["segment_planes_multigrid"]
         "axis_name",
         # static so the TPU Pallas branch can bake them into the kernel
         "th_thickness", "th_normal_cos", "max_edge_dist",
-        "th_anchor_cos", "compact", "seed_mode",
+        "th_anchor_cos", "compact", "seed_mode", "seed_source",
     ),
 )
 def segment_planes_multigrid(
@@ -100,6 +100,7 @@ def segment_planes_multigrid(
     axis_name: str = None,
     compact: Optional[bool] = None,
     seed_mode: Optional[str] = None,
+    seed_source: Optional[str] = None,
 ) -> SegmentationResult:
     """Multigrid windowized plane segmentation (Morton-sorted input).
 
@@ -205,6 +206,35 @@ def segment_planes_multigrid(
         dk = jnp.full((n,), edge_gate * edge_gate, jnp.float32)
     if seed_override is not None:
         fine_seed = seed_override & mask
+        if curvature is not None and th_seed_curvature is not None:
+            fine_seed = fine_seed & (
+                curvature <= jnp.float32(th_seed_curvature)
+            )
+        gseed = jnp.any(fine_seed.reshape(ng, group), axis=1) & gmask
+    elif seed_source == "coarse":
+        # Seed gate derived from the group-coherence statistics already
+        # computed above — no fine-level window_seeds sweep (~4-5 ms at
+        # 1M points, the largest single item in the multigrid stage's
+        # non-refine floor).  The fine depth-0 rule ("every one of the
+        # k−1 nearest neighbors passes the plane test",
+        # tmc3/my_function.cpp:238) demands a perfectly planar
+        # neighborhood; its group-level analog is a FULL group whose
+        # normals agree tightly and whose points hug the group plane at
+        # half the membership thickness.  Strictly a different seed
+        # criterion — offered as a bench candidate whose adoption the
+        # chip quality gate arbitrates (same contract as seg_levels=3).
+        gseed = (
+            gmask
+            & (cnt >= jnp.float32(group))
+            & (align >= jnp.float32(max(th_normal_cos, 0.97)))
+            & (
+                jnp.max(jnp.where(gmask_all, plane_d, 0.0), 1)
+                <= 0.5 * th_thickness
+            )
+        )
+        if curvature is not None and th_seed_curvature is not None:
+            flat = (curvature <= jnp.float32(th_seed_curvature)) & mask
+            gseed = gseed & jnp.any(flat.reshape(ng, group), axis=1)
     else:
         fine_seed = window_seeds(
             pos, nrm, mask, dk,
@@ -217,9 +247,11 @@ def segment_planes_multigrid(
             spine_tile=tile if spine is not None else 0,
             seed_mode=seed_mode,
         )
-    if curvature is not None and th_seed_curvature is not None:
-        fine_seed = fine_seed & (curvature <= jnp.float32(th_seed_curvature))
-    gseed = jnp.any(fine_seed.reshape(ng, group), axis=1) & gmask
+        if curvature is not None and th_seed_curvature is not None:
+            fine_seed = fine_seed & (
+                curvature <= jnp.float32(th_seed_curvature)
+            )
+        gseed = jnp.any(fine_seed.reshape(ng, group), axis=1) & gmask
 
     # ------------------------------------------------------------------
     # 2. coarse solve — reuse the windowized single-level solver with a

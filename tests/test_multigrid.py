@@ -93,6 +93,29 @@ class TestMultigrid:
         a3 = _truth_agreement(struth, np.asarray(mg3.plane_idx)[sel])
         assert a3 > 0.92, f"levels3 agreement {a3}"
 
+    def test_quality_coarse_seed_source(self, sorted_scene):
+        """seed_source="coarse" (group-coherence seed gate, no fine
+        window_seeds sweep): a bench speed candidate (~4-5 ms at 1M)
+        whose adoption the chip quality gate arbitrates.  This pins the
+        sanity floor vs the fine-seed result on the same scene."""
+        spos, smask, idx, d, normals, struth = sorted_scene
+        common = dict(
+            th_point_count=400, neigh_sq_dist=d, max_edge_dist=600.0,
+            max_planes=1024, window=16, group=4, levels=3,
+            refine_sweeps=2,
+        )
+        fine = segment_planes_multigrid(
+            spos, normals, idx, smask, **common
+        )
+        coarse = segment_planes_multigrid(
+            spos, normals, idx, smask, seed_source="coarse", **common
+        )
+        sel = np.asarray(smask)
+        a_f = _truth_agreement(struth, np.asarray(fine.plane_idx)[sel])
+        a_c = _truth_agreement(struth, np.asarray(coarse.plane_idx)[sel])
+        assert a_c > 0.92, f"coarse-seed agreement {a_c}"
+        assert a_c > a_f - 0.03, f"coarse-seed {a_c} vs fine {a_f}"
+
     def test_invariants(self, sorted_scene):
         spos, smask, idx, d, normals, struth = sorted_scene
         res = segment_planes_multigrid(
