@@ -79,6 +79,7 @@ def main():
         counts = np.asarray(prep(spos, smask)[4])
         out["mean_visits"] = round(float(counts.mean()), 2)
         out["max_visits"] = int(counts.max())
+        print(f"[stage] prologue: {out}", flush=True)
     except Exception as e:  # pragma: no cover
         out["prologue_error"] = type(e).__name__
     # marginal visit cost: clamp the visit loop (result inexact, time
@@ -92,6 +93,8 @@ def main():
             out[f"maxvisits{mv}_mpts"] = round(n / dt / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out[f"maxvisits{mv}_error"] = type(e).__name__
+        print(f"[stage] maxvisits{mv}: {out.get(f'maxvisits{mv}_mpts')}",
+              flush=True)
 
     # seed-window sweep: larger windows cost more in the prologue but
     # cut kernel insertions (the measured whale) and tighten τ̂
@@ -104,6 +107,8 @@ def main():
             out[f"seedw{sw}_mpts"] = round(n / dt / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out[f"seedw{sw}_error"] = type(e).__name__
+        print(f"[stage] seedw{sw}: {out.get(f'seedw{sw}_mpts')}",
+              flush=True)
 
     shapes = [(128, 1024), (256, 1024), (128, 2048)]
     if quick:
@@ -118,6 +123,8 @@ def main():
             out[f"qt{qt}_ct{ct}_mpts"] = round(n / dt / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out[f"qt{qt}_ct{ct}_error"] = type(e).__name__
+        print(f"[stage] qt{qt}_ct{ct}: {out.get(f'qt{qt}_ct{ct}_mpts')}",
+              flush=True)
     # static merge-round trip count (Mosaic unroll/pipeline probe)
     for qt, ct in ([(128, 1024)] if quick else [(128, 1024), (256, 1024)]):
         try:
@@ -130,6 +137,8 @@ def main():
             out[f"qt{qt}_ct{ct}_static_mpts"] = round(n / dt / 1e6, 3)
         except Exception as e:  # pragma: no cover
             out[f"qt{qt}_ct{ct}_static_error"] = type(e).__name__
+        print(f"[stage] qt{qt}_ct{ct}_static: "
+              f"{out.get(f'qt{qt}_ct{ct}_static_mpts')}", flush=True)
     print(json.dumps(out))
 
 

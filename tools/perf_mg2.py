@@ -86,10 +86,12 @@ def main():
         try:
             dt, o = timed(fn, reps=reps)
             out[key] = round(dt * 1e3, 2)
-            return o
         except Exception as e:  # pragma: no cover
             out[key] = f"error:{type(e).__name__}"
-            return None
+            o = None
+        # incremental print: survive a mid-lab SIGTERM (no finally)
+        print(f"[stage] {key}: {out[key]}", flush=True)
+        return o
 
     try:
         sort = jax.jit(morton_sort, static_argnums=(2,))
@@ -159,6 +161,8 @@ def main():
                 )
             except Exception as e:
                 out[f"e2e_{tag}_ms"] = f"error:{type(e).__name__}"
+            print(f"[stage] e2e_{tag}: {out.get(f'e2e_{tag}_ms')} "
+                  f"{out.get(f'e2e_{tag}_agreement')}", flush=True)
     finally:
         print(json.dumps(out), flush=True)
 

@@ -89,6 +89,8 @@ def main():
             out[key] = round(timed(fn) * 1e3, 2)
         except Exception as e:  # pragma: no cover
             out[key] = f"error:{type(e).__name__}"
+        # incremental print: survive a mid-lab SIGTERM (no finally)
+        print(f"[stage] {key}: {out[key]}", flush=True)
 
     try:
         sort = jax.jit(morton_sort, static_argnums=(2,))

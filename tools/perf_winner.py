@@ -83,6 +83,10 @@ def main():
             out[key] = round(timed(fn) * 1e3, 2)
         except Exception as e:  # pragma: no cover
             out[key] = f"error:{type(e).__name__}"
+        # print incrementally: a SIGTERM mid-compile must not cost the
+        # stages already measured (the finally-block JSON never runs
+        # when timeout(1) kills the process)
+        print(f"[stage] {key}: {out[key]}", flush=True)
 
     try:
         sort = jax.jit(morton_sort, static_argnums=(2,))
