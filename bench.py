@@ -242,29 +242,28 @@ def main():
             compact=compact,
         )
 
-    dt_off = res_off = None
-    try:
-        dt_off, res_off = _timed(lambda: _mg(False), reps=4)
-        tune["multigrid_xla"] = round(dt_off * 1e3, 2)
-    except Exception as e:  # helper flake must not void the bench
-        tune["multigrid_xla"] = f"error:{type(e).__name__}"
-    seg_compact, dt_mg = False, dt_off
-    # The compact-solver compile tarpit (>2.5 h, 2026-08-18) was
-    # root-caused to Mosaic layout pathologies and fixed — the kernel
-    # now compiles in ~4 s at production size and is validated
-    # label-identical on the chip (tools/perf_compact_lab.py).
-    # BST_BENCH_COMPACT=0 remains as a kill switch.
+    # The compact solver is the hardware-validated production default
+    # (labels bit-identical to the XLA loop on a v5e chip, coarse solve
+    # 25.45 vs 34.76 ms at ng=67k — tools/perf_compact_lab.py), so the
+    # stage race only times the compact path; the XLA loop costs a
+    # ~30-minute remote compile on a cold cache for a comparison number
+    # (BST_BENCH_MG_XLA=1 opts it back in).  Quality stays protected by
+    # the end-to-end truth-agreement gate below, whose safe-config
+    # fallback runs seg_compact=False.
+    seg_compact, dt_mg = False, None
+    if os.environ.get("BST_BENCH_MG_XLA", "0") == "1":
+        try:
+            dt_off, _res = _timed(lambda: _mg(False), reps=4)
+            tune["multigrid_xla"] = round(dt_off * 1e3, 2)
+            dt_mg = dt_off
+        except Exception as e:  # helper flake must not void the bench
+            tune["multigrid_xla"] = f"error:{type(e).__name__}"
     if os.environ.get("BST_BENCH_COMPACT", "1") != "0":
         try:
-            dt_on, res_on = _timed(lambda: _mg(True), reps=4)
+            dt_on, _res = _timed(lambda: _mg(True), reps=4)
             tune["multigrid_compact"] = round(dt_on * 1e3, 2)
-            if res_off is not None:
-                lab_a = np.asarray(res_off.plane_idx)
-                lab_b = np.asarray(res_on.plane_idx)
-                same = float(np.mean((lab_a >= 0) == (lab_b >= 0)))
-                tune["multigrid_compact_vs_xla"] = round(same, 4)
-                if dt_on < dt_off and same >= 0.98:
-                    seg_compact, dt_mg = True, dt_on
+            if dt_mg is None or dt_on < dt_mg:
+                seg_compact, dt_mg = True, dt_on
         except Exception as e:
             tune["multigrid_compact"] = f"error:{type(e).__name__}"
     else:
@@ -352,12 +351,8 @@ def main():
     if not quick:
         if cfg.seg_levels < 3 and best_reps.get("seg_levels") != 3:
             _try({**best_reps, "seg_levels": 3})
-        # symmetry-halved seed sweep: bit-identical output
-        # (tests/test_window_sweep.py::test_seed_sym_matches_pair),
-        # halves the misaligned shifted reads that dominate the seed
-        # stage — offered as a follow-up on the winner so far
-        if best_reps.get("seg_seed_mode") != "sym":
-            _try({**best_reps, "seg_seed_mode": "sym"})
+        # (the symmetry-halved seed sweep is now the resolved default —
+        # bit-identical to "pair", measured faster; no candidate needed)
         # group-coherence seed gate: skips the fine window_seeds sweep
         # (~4-5 ms at 1M) — a different seed criterion, so the quality
         # gate arbitrates (tests/test_multigrid.py pins the CPU floor)

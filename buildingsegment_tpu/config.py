@@ -47,7 +47,11 @@ class PipelineConfig:
     # "auto": Morton-window search above knn_auto_threshold points,
     # exact brute force below; "brute" / "window" force a method.
     knn_method: str = "auto"
-    knn_window: int = 64            # ± half-window in Morton order
+    # ± half-window in Morton order.  48 adopted as the production
+    # default (perf_window_quality + perf_winner on one v5e chip:
+    # stats sweep 9.4 ms vs 10.8 at w64, headline agreement 0.9857 vs
+    # 0.9858 — same quality, ~8% faster stage)
+    knn_window: int = 48
     knn_auto_threshold: int = 65536
     # every shifted coordinate < 2^20 mm (1048 m): the Morton sort then
     # drops its residual word (3 sort operands instead of 4 — measured
@@ -76,8 +80,14 @@ class PipelineConfig:
     # multigrid coarsening factor for the windowized solver (Morton
     # groups of this size become super-points; 1 = single level)
     seg_group: int = 4
-    seg_levels: int = 2             # recursive coarsening depth
-    seg_refine_sweeps: int = 3      # per-point refinement sweeps
+    # recursive coarsening depth / per-point refinement sweeps.
+    # 3 levels + 2 refine sweeps adopted as the production default
+    # (perf_winner, 1.08M pts on one v5e chip: multigrid stage 33.65 ms
+    # vs ~45+ at levels=2, bench agreement gate ≥ 0.97 held; the bench
+    # autotuner still arbitrates per-scene and falls back to the safe
+    # config below the quality floor)
+    seg_levels: int = 3
+    seg_refine_sweeps: int = 2      # per-point refinement sweeps
     # anchor-pure model estimation (region_grow.segment_planes
     # th_anchor_cos): members feed their region's mean model only when
     # their normal agrees with the region seed's normal by this cosine
@@ -130,8 +140,8 @@ class PipelineConfig:
     # seed-sweep kernel: "pair" (one-directional shifts) | "sym"
     # (symmetry-halved) | "mxu" (block-MXU matmul form,
     # ops/stats_mxu.py — near-exact, quality-gated).  None defers to
-    # BST_SEED_MODE (default "pair") until the chip measurement adopts
-    # a variant.
+    # BST_SEED_MODE (default "sym" — bit-identical to "pair", measured
+    # 4.04 vs 4.90 ms at 1.08M on one v5e chip).
     seg_seed_mode: Optional[str] = None
     # multigrid seed gate: None/"fine" = the fine-level window_seeds
     # sweep (the reference's depth-0 rule re-expressed,

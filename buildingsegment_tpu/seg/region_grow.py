@@ -68,14 +68,14 @@ __all__ = ["segment_planes", "window_seeds", "SegmentationResult"]
 # (min-label union is confluent; residue collapses next sweep).
 _JUMP_ROUNDS = int(os.environ.get("BST_JUMP_ROUNDS", "2"))
 
-# Opt-in switch for the compact-space coarse solver
-# (ops/compact_sweep.py) — BST_COMPACT=1 enables it by default.  The
-# kernel is bit-exact vs the XLA loop on CPU, but its Mosaic lowering
-# has not yet been validated on real TPU hardware, so the DEFAULT path
-# stays the measured XLA sweep loop; bench.py autotunes the explicit
-# ``seg_compact`` config override (with a compile/quality fallback) and
-# the default flips once a hardware run validates it.
-_COMPACT_DEFAULT = os.environ.get("BST_COMPACT", "0") == "1"
+# Default switch for the compact-space coarse solver
+# (ops/compact_sweep.py) — ON since the hardware validation: labels
+# bit-identical to the XLA loop on a real v5e chip, coarse solve
+# 25.45 ms vs 34.76 (ng=67k) and the production multigrid winner uses
+# it (perf_winner).  BST_COMPACT=0 is the kill switch; the None-config
+# path below still requires the TPU kernel platform and ng > COMPACT_L,
+# so CPU runs keep the XLA loop.
+_COMPACT_DEFAULT = os.environ.get("BST_COMPACT", "1") == "1"
 
 
 @functools.partial(
@@ -142,7 +142,10 @@ def window_seeds(
     # faster on the seed kernel at 1M (tools/perf_slab_lab.py)
     tile = pick_tile(n, 32768)
     if seed_mode is None:
-        seed_mode = os.environ.get("BST_SEED_MODE", "pair")
+        # "sym" adopted as the default (perf_winner on one v5e chip:
+        # 4.04 ms vs 4.90 for the pair sweep at 1.08M points;
+        # bit-identical output — tests/test_window_sweep.py)
+        seed_mode = os.environ.get("BST_SEED_MODE", "sym")
     if jax.devices()[0].platform != "cpu" and tile:
         if spine is not None and spine_tile == tile:
             # shared spine (coarse.py builds it once per solve); only
