@@ -74,6 +74,16 @@ def parse_args(argv):
         action="store_true",
         help="strict reference semantics (unstable on vertical walls)",
     )
+    p.add_argument(
+        "--dedup-bits",
+        type=int,
+        default=None,
+        metavar="N",
+        help="remove duplicate points whose quantized positions match "
+        "after dropping N low bits (first occurrence survives; the "
+        "reference's removeDuplicatePointInQuantizedPoint, "
+        "PCCPointSet.h:457-472); 0 = exact-duplicate removal",
+    )
     p.add_argument("--ascii", action="store_true", help="write ascii PLY")
     p.add_argument(
         "--render-dir",
@@ -161,6 +171,7 @@ def main(argv=None) -> int:
         th_point_count=args.th_point_count,
         th_normal_cos=args.th_normal_cos,
         output_binary=not args.ascii,
+        dedup_bits=args.dedup_bits,
     )
 
     from buildingsegment_tpu.pipeline import (

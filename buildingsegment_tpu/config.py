@@ -135,7 +135,8 @@ class PipelineConfig:
     stats_store_offsets: bool = True
     # stats kernel phase 1: symmetry-halved pair sweep (bit-identical;
     # each unordered pair computed once).  None defers to BST_STATS_SYM
-    # (default off) until the chip measurement adopts it.
+    # (default ON — chip-measured faster at the production window,
+    # 9.4 vs 10.8 ms at 1.08M; BST_STATS_SYM=0 reverts).
     stats_sym: Optional[bool] = None
     # seed-sweep kernel: "pair" (one-directional shifts) | "sym"
     # (symmetry-halved) | "mxu" (block-MXU matmul form,
@@ -150,6 +151,13 @@ class PipelineConfig:
     # points — a bench candidate whose adoption the quality gate
     # arbitrates, seg/coarse.py)
     seg_seed_source: Optional[str] = None
+
+    # quantized-duplicate removal before segmentation (the reference's
+    # removeDuplicatePointInQuantizedPoint, tmc3/PCCPointSet.h:457-472):
+    # None = off (the reference's main() never calls it); N ≥ 0 =
+    # remove points identical after dropping N low bits, first
+    # occurrence in index order survives.  CLI: --dedup-bits N.
+    dedup_bits: Optional[int] = None
 
     # --- capacity / sharding ---
     pad_to_multiple: int = 1024     # point capacity rounded up to this

@@ -68,6 +68,31 @@ def dedup_quantized(
     return jnp.zeros((n,), jnp.bool_).at[order].set(keep_sorted)
 
 
+def dedup_keep_mask(positions: np.ndarray, drop_bits: int = 0) -> np.ndarray:
+    """Host-side keep mask for quantized-duplicate removal.
+
+    Numpy twin of :func:`dedup_quantized` for the CLI/pipeline entry
+    (the reference's ``removeDuplicatePointInQuantizedPoint``,
+    tmc3/PCCPointSet.h:457-472): compare positions after masking
+    ``drop_bits`` low bits; the FIRST occurrence in index order
+    survives.  Runs before upload so the padded batch only carries
+    surviving points (the reference resizes its container the same way).
+    """
+    n = len(positions)
+    if n == 0:
+        return np.zeros(0, bool)
+    q = positions.astype(np.int64) >> drop_bits
+    q = q - q.min(axis=0, keepdims=True)
+    if int(q.max()) < (1 << 21):
+        key = (q[:, 0] << 42) | (q[:, 1] << 21) | q[:, 2]
+        _, first = np.unique(key, return_index=True)
+    else:  # pragma: no cover — >2 km extent at mm scale
+        _, first = np.unique(q, axis=0, return_index=True)
+    keep = np.zeros(n, bool)
+    keep[first] = True
+    return keep
+
+
 def compute_bbox(positions: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Masked integer bounding box (min, max), each int32[3].
 

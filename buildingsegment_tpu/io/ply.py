@@ -88,6 +88,20 @@ class HostPointCloud:
     def count(self) -> int:
         return int(self.positions.shape[0])
 
+    def select(self, keep: np.ndarray) -> "HostPointCloud":
+        """Row-subset copy (boolean mask or index array) across every
+        present attribute — the host analog of the reference's
+        container resize after dedup (tmc3/PCCPointSet.h:457-472)."""
+        pick = lambda a: None if a is None else a[keep]
+        return HostPointCloud(
+            positions=self.positions[keep],
+            colors=pick(self.colors),
+            reflectances=pick(self.reflectances),
+            frame_idx=pick(self.frame_idx),
+            laser_angles=pick(self.laser_angles),
+            plane_idx=pick(self.plane_idx),
+        )
+
 
 # PLY property type name → numpy dtype (little-endian base; byte order
 # applied at decode time).  Mirrors the accepted set at

@@ -448,9 +448,11 @@ def knn_normals_window_stats(
     if rank_mode is None:
         rank_mode = os.environ.get("BST_RANK_MODE", "bitonic")
     if sym is None:
-        # symmetry-halved phase 1 (bit-identical); off until the chip
-        # measurement adopts it — flip via env or the bench autotune
-        sym = os.environ.get("BST_STATS_SYM", "0") == "1"
+        # symmetry-halved phase 1 — bit-identical to the plain sweep
+        # (tests pin equality) and chip-measured faster (w48: 9.4 ms vs
+        # 10.8 at 1.08M, perf_winner 2026-08-19), so it is the default;
+        # BST_STATS_SYM=0 is the kill switch
+        sym = os.environ.get("BST_STATS_SYM", "1") == "1"
     if rank_mode == "mxu":
         # block-form variant: distances + moments as MXU matmuls
         # (ops/stats_mxu.py; near-exact — see its exactness note)

@@ -93,11 +93,11 @@ def make_slab(rows, fills, w, tile, axis_name=None, rows_out=_ROWS):
         right = jnp.broadcast_to(fl, (k, w + lane))
         slab = jnp.concatenate([left, m, right], axis=1)
     else:
-        d = lax.axis_size(axis_name)
-        fwd = [(i, i + 1) for i in range(d - 1)]
-        bwd = [(i + 1, i) for i in range(d - 1)]
-        left = lax.ppermute(m[:, -w:], axis_name, perm=fwd)
-        right = lax.ppermute(m[:, :w], axis_name, perm=bwd)
+        from buildingsegment_tpu.dist.halo import ring_halo
+
+        # multi-hop when w exceeds the local column count (tiny coarse
+        # levels) — each side is exactly w columns either way
+        left, right = ring_halo(m, w, axis_name, axis=1)
         zpad = jnp.zeros((k, lane), jnp.float32)
         slab = jnp.concatenate([left, m, right, zpad], axis=1)
     if k < rows_out:

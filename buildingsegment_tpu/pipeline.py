@@ -411,6 +411,21 @@ def _unpack_epilogue(vec, p):
     return num_planes, diag, count, normal, center
 
 
+def _maybe_dedup(cloud: HostPointCloud, config: PipelineConfig):
+    """Apply the opt-in quantized dedup (config.dedup_bits) before
+    upload — the host analog of the reference's container-level
+    ``removeDuplicatePointInQuantizedPoint`` (tmc3/PCCPointSet.h:
+    457-472; unused by the reference's main, exposed here as
+    ``--dedup-bits``).  Surviving points keep their original
+    coordinates; later duplicates are dropped entirely."""
+    if config.dedup_bits is None:
+        return cloud
+    from buildingsegment_tpu.core.quantize import dedup_keep_mask
+
+    keep = dedup_keep_mask(cloud.positions, config.dedup_bits)
+    return cloud if keep.all() else cloud.select(keep)
+
+
 def _prepare_upload(cloud: HostPointCloud, config: PipelineConfig):
     """Host-side shift + compact device upload.
 
@@ -556,6 +571,7 @@ def segment_cloud(
     timings = {"_t0": time.perf_counter()}
     t0 = timings["_t0"]
 
+    cloud = _maybe_dedup(cloud, config)
     batch, shifted_h, lo_h = _prepare_upload(cloud, config)
     config = _prove_morton_small(config, shifted_h)
 
@@ -630,6 +646,7 @@ def segment_files(
         and epilogue instead of serializing on the main loop."""
         t0 = time.perf_counter()
         cloud = read_ply(path, position_scale=config.position_scale)
+        cloud = _maybe_dedup(cloud, config)
         cfg = dataclasses.replace(
             config, pad_to_multiple=_bucket_capacity(cloud.count, config)
         )

@@ -137,11 +137,21 @@ def segment_planes_multigrid(
     nrm = normals.astype(jnp.float32)
     cmag = (lambda x: x) if signed_normals else jnp.abs
     cn = nrm if signed_normals else canonicalize_normals(nrm)
-    edge_gate = (
-        jnp.float32(max_edge_dist)
-        if max_edge_dist is not None
-        else jnp.float32(2.0 * th_thickness)
+    edge_mm = float(
+        max_edge_dist if max_edge_dist is not None else 2.0 * th_thickness
     )
+    edge_gate = jnp.float32(edge_mm)
+    # Each coarsening multiplies the typical row spacing by ~√group
+    # (Morton groups of G surface samples span ~√G spacings), so the
+    # child level's edge gate must scale with it or sparse scans lose
+    # all coarse connectivity: at 150 mm spacing the deepest levels=3
+    # rows sit ~1200 mm apart and a fixed 600 mm gate finds NO window
+    # edges (r3: production multigrid returned 0 planes there, while
+    # the reference's kNN graph has no density assumption at all,
+    # tmc3/my_function.cpp:220-258).  Membership stays guarded by the
+    # absolute plane-band thickness + normal-cos tests either way.
+    edge_scale = max(2.0, float(group) ** 0.5)
+    child_edge = edge_scale * edge_mm
 
     # ------------------------------------------------------------------
     # 1. coarsen
@@ -269,7 +279,7 @@ def segment_planes_multigrid(
             g_idx,
             gmask,
             seed_override=gseed,
-            max_edge_dist=2.0 * th_thickness,
+            max_edge_dist=child_edge,
             th_thickness=th_thickness,
             th_normal_cos=th_normal_cos,
             th_point_count=coarse_th,
@@ -295,7 +305,7 @@ def segment_planes_multigrid(
             g_idx,
             gmask,
             seed_override=gseed,
-            max_edge_dist=2.0 * th_thickness,
+            max_edge_dist=child_edge,
             neigh_sq_dist=None,
             th_thickness=th_thickness,
             th_normal_cos=th_normal_cos,

@@ -88,6 +88,48 @@ def test_halo_pad_ring():
     np.testing.assert_array_equal(out[3][-2:], [0, 0])
 
 
+def test_halo_pad_multihop_short_shards():
+    """MULTICHIP_r03 regression: halo width > local shard rows.
+
+    8 rows per shard against window 16 (the dryrun's deepest coarse
+    level) must still return exactly w rows per side by walking the
+    ring two hops — the r3 single-hop version silently truncated and
+    the static window slices then walked off the padded array."""
+    from buildingsegment_tpu.dist.halo import halo_pad
+
+    mesh = make_mesh(8)
+    x = jnp.arange(64, dtype=jnp.int32)  # 8 rows per shard
+
+    out = jax.shard_map(
+        lambda xl: halo_pad(xl, 16, POINTS_AXIS), mesh=mesh,
+        in_specs=P(POINTS_AXIS), out_specs=P(POINTS_AXIS),
+        check_vma=False,
+    )(x)
+    out = np.asarray(out).reshape(8, 40)
+    # shard 2 local rows 16..23: left halo = rows 0..15, right = 24..39
+    np.testing.assert_array_equal(out[2], np.arange(40))
+    # shard 1: left halo = 8 zeros (past the global edge) then rows 0..7
+    np.testing.assert_array_equal(out[1][:16], [0] * 8 + list(range(8)))
+    # last shard: right halo fully zero
+    np.testing.assert_array_equal(out[7][-16:], [0] * 16)
+
+
+def test_dryrun_shape_small_coarse_shards():
+    """The MULTICHIP dryrun's exact shape on the CPU mesh: 4096 points,
+    8 shards, production seg_levels — the deepest coarse level has
+    fewer rows per shard than the propagation window."""
+    cfg = PipelineConfig(knn_method="window", pad_to_multiple=1024)
+    pts, _ = make_building_cloud(
+        seed=0, spacing_mm=50.0, width_mm=3000.0, depth_mm=2500.0,
+        wall_h_mm=2000.0, ridge_h_mm=2600.0,
+    )
+    pts = pts[:4096]
+    pos, mask = _padded(pts, cfg.padded_count(len(pts)))
+    fn = sharded_pipeline(make_mesh(8), cfg)
+    _, _, seg = fn(jnp.asarray(pos), jnp.asarray(mask))
+    assert int(seg.num_planes) >= 1
+
+
 def test_sharded_matches_single_device(cloud):
     pos, mask, n = cloud
     fn8 = sharded_pipeline(make_mesh(8), CFG)

@@ -95,6 +95,27 @@ class TestSegmentFile:
         with pytest.raises(FileNotFoundError):
             segment_file(str(tmp_path / "nope.ply"), str(tmp_path / "o.ply"), _CFG)
 
+    @pytest.mark.slow
+    def test_dedup_bits_through_segment_file(self, scan_file, tmp_path):
+        """--dedup-bits path: duplicated input collapses back to the
+        unique points (reference capability PCCPointSet.h:457-472,
+        VERDICT r3 item 9)."""
+        import dataclasses
+
+        in_path, pts_mm, _ = scan_file
+        dup_path = str(tmp_path / "dup.ply")
+        # duplicate every point once (identical quantized coordinates)
+        write_ply(
+            HostPointCloud(positions=np.concatenate([pts_mm, pts_mm])),
+            dup_path, position_scale=0.001, ascii=True,
+        )
+        out_path = str(tmp_path / "labeled.ply")
+        cfg = dataclasses.replace(_CFG, dedup_bits=0)
+        out = segment_file(dup_path, out_path, cfg)
+        assert out.cloud.count == len(pts_mm)
+        rt = read_ply(out_path)
+        assert rt.count == len(pts_mm)
+
 
 class TestCli:
     @pytest.mark.slow
