@@ -115,11 +115,11 @@ def _warm(fn, *args, attempts=12, **kw):
             time.sleep(min(10 + 5 * a, 45))
 
 
-def _timed(fn, *args, reps=8, **kw):
+def _timed(fn, *args, reps=8, attempts=12, **kw):
     """Pipelined steady-state timing: dispatch ``reps`` calls back to
     back, one host sync at the end (the ~30-100 ms tunnel-sync
     overhead amortizes as 1/reps)."""
-    out = _warm(fn, *args, **kw)
+    out = _warm(fn, *args, attempts=attempts, **kw)
     _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -191,9 +191,16 @@ def main():
     STATE["devices"] = n_dev
     STATE["north_star_hardware"] = "v5e-8"
 
+    from buildingsegment_tpu.core.quantize import (
+        estimate_spacing_mm, spacing_bucket_mm,
+    )
+
     cfg = PipelineConfig(
         pad_to_multiple=2048 * max(n_dev, 1),
         morton_small=bool(pts.max() - pts.min() < (1 << 20)),
+        # host-proven density hint (the morton_small pattern): the
+        # multigrid edge gates scale with measured density
+        spacing_hint_mm=spacing_bucket_mm(estimate_spacing_mm(pts)),
     )
     capacity = cfg.padded_count(n)
     pos = np.full((capacity, 3), 2**24, np.int32)
@@ -303,13 +310,14 @@ def main():
             return None
 
     r = _stage("knn_window_mpts", lambda: _timed(
-        lambda: knn_window_sorted(sposf, smask, 16, window=cfg.knn_window)))
+        lambda: knn_window_sorted(sposf, smask, 16, window=cfg.knn_window),
+        attempts=4))
     nb_i, nb_d = r[1] if r else knn_window_sorted(
         sposf, smask, 16, window=cfg.knn_window)
 
     r = _stage("normals_mpts", lambda: _timed(
         lambda: estimate_normals_window(sposf, smask, radius=100.0,
-                                        window=64)))
+                                        window=64), attempts=4))
     normals = r[1][0] if r else estimate_normals_window(
         sposf, smask, radius=100.0, window=64)[0]
 
@@ -324,10 +332,8 @@ def main():
             compact=c.seg_compact,
             seed_mode=c.seg_seed_mode,
             seed_source=c.seg_seed_source,
+            spacing_hint_mm=c.spacing_hint_mm,
         )
-
-    _stage("segmentation_multigrid_mpts", lambda: _timed(
-        lambda: _mg(cfg), reps=4))
 
     # ------------------------------------------------------------------
     # 3. headline candidates, best-first, each gated on remaining
@@ -338,6 +344,9 @@ def main():
     # ------------------------------------------------------------------
     cand_reps = [] if quick else [
         {"seg_seed_source": "coarse"},
+        # the finalize hole-fill (r4) may cover what the second refine
+        # sweep used to: ~4 ms/level back if the gate holds
+        {"seg_refine_sweeps": 1, "seg_seed_source": "coarse"},
         {"knn_window": 64},
         {"seg_levels": 2},
         {"seg_refine_sweeps": 3},
@@ -370,11 +379,13 @@ def main():
                                           reps_d)
             emit(status=f"cand_{tag}")
 
-    # re-measure the multigrid stage at the WINNING config so the
-    # published stage rate matches what the headline actually runs
-    if tune.get("chosen"):
-        _stage("segmentation_multigrid_mpts", lambda: _timed(
-            lambda: _mg(cfg), reps=4), min_left=120)
+    # the multigrid stage at the WINNING config (so the published stage
+    # rate matches what the headline runs).  Deliberately AFTER the
+    # candidates with a tight retry cap: on 2026-08-20 this standalone
+    # program's remote compile flaked 8 consecutive times and burned
+    # ~20 min of the round's budget while the candidates starved.
+    _stage("segmentation_multigrid_mpts", lambda: _timed(
+        lambda: _mg(cfg), reps=4, attempts=2), min_left=300)
 
     # ------------------------------------------------------------------
     # 4. config 5: ortho render + the full multi-scan pipeline
@@ -457,7 +468,8 @@ def main():
             from buildingsegment_tpu.ops.pallas_knn import knn_pallas
 
             note("brute kNN (compiling)")
-            dt, _ = _timed(lambda: knn_pallas(spos, smask, k=16), reps=1)
+            dt, _ = _timed(lambda: knn_pallas(spos, smask, k=16), reps=1,
+                           attempts=4)
             STATE["knn_bruteforce_mpts"] = round(n / dt / 1e6, 3)
             emit(status="knn_bruteforce")
         except Exception as e:  # pragma: no cover

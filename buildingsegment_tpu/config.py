@@ -85,7 +85,10 @@ class PipelineConfig:
     # (perf_winner, 1.08M pts on one v5e chip: multigrid stage 33.65 ms
     # vs ~45+ at levels=2, bench agreement gate ≥ 0.97 held; the bench
     # autotuner still arbitrates per-scene and falls back to the safe
-    # config below the quality floor)
+    # config below the quality floor).  Density is handled by the
+    # spacing_hint_mm edge-gate scaling (r4): sparse scans keep
+    # coarse connectivity at levels=3 (tests/test_multigrid.py density
+    # sweep pins 50/150/300 mm), dense scans keep tight gates.
     seg_levels: int = 3
     seg_refine_sweeps: int = 2      # per-point refinement sweeps
     # anchor-pure model estimation (region_grow.segment_planes
@@ -151,6 +154,17 @@ class PipelineConfig:
     # points — a bench candidate whose adoption the quality gate
     # arbitrates, seg/coarse.py)
     seg_seed_source: Optional[str] = None
+
+    # Host-proven point-spacing hint (mm, the morton_small pattern):
+    # the drivers estimate scan density at read time
+    # (core.quantize.estimate_spacing_mm, bucketed to powers of two)
+    # and the multigrid edge gates then scale with the MEASURED
+    # density instead of growing sqrt(group) per level
+    # unconditionally — dense scans keep tight gates at every level
+    # (no cross-building bridging), sparse scans get exactly the reach
+    # connectivity needs (seg/coarse.py).  None = no hint: the
+    # conservative unconditional scaling applies.
+    spacing_hint_mm: Optional[float] = None
 
     # quantized-duplicate removal before segmentation (the reference's
     # removeDuplicatePointInQuantizedPoint, tmc3/PCCPointSet.h:457-472):

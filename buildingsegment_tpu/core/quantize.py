@@ -93,6 +93,39 @@ def dedup_keep_mask(positions: np.ndarray, drop_bits: int = 0) -> np.ndarray:
     return keep
 
 
+def estimate_spacing_mm(positions: np.ndarray, cell_mm: int = 512) -> float:
+    """Host-side point-spacing estimate for a surface scan (mm).
+
+    Occupancy method: count occupied ``cell_mm`` voxels; for surface
+    data, points-per-occupied-cell ≈ (cell/spacing)², so
+    spacing ≈ cell / sqrt(points_per_cell).  One ``np.unique`` over
+    packed int64 keys — ~10 ms at 1M points.  Used by the drivers to
+    prove a STATIC density hint (the ``morton_small`` pattern) that
+    the multigrid edge gates scale with; see seg/coarse.py.
+    """
+    n = len(positions)
+    if n == 0:
+        return float(cell_mm)
+    q = positions.astype(np.int64)
+    q = (q - q.min(axis=0, keepdims=True)) // cell_mm
+    key = (q[:, 0] << 42) | (q[:, 1] << 21) | q[:, 2]
+    per = n / max(len(np.unique(key)), 1)
+    return float(cell_mm) / max(per, 1.0) ** 0.5
+
+
+def spacing_bucket_mm(est_mm: float) -> float:
+    """Round a spacing estimate to the NEAREST power of two (mm),
+    clamped to [16, 2048] — one jit variant per bucket.  Nearest (not
+    up): the edge-gate factor (3× per coarse-row spacing,
+    seg/coarse.py) absorbs the ≤√2 underestimate, while rounding UP
+    would widen every gate by up to 2× and reintroduce the coplanar
+    cross-building bridging the hint exists to prevent."""
+    import math
+
+    return float(min(max(2 ** round(math.log2(max(est_mm, 16.0))),
+                         16), 2048))
+
+
 def compute_bbox(positions: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Masked integer bounding box (min, max), each int32[3].
 

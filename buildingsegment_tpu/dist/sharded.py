@@ -128,8 +128,13 @@ def sharded_grow_body(mesh: Mesh, config: PipelineConfig, *,
     knn_k = config.knn_k
 
     def local_grow(spos, smask, *stats):
+        # fine edge gate widens with the proven density hint, exactly
+        # like pipeline._window_stage2 (must match or 8-shard ≢ 1-shard)
+        edge0 = 2.0 * config.th_thickness
+        if config.spacing_hint_mm is not None:
+            edge0 = max(edge0, 3.0 * config.spacing_hint_mm)
         seg_kwargs = dict(
-            max_edge_dist=2.0 * config.th_thickness,
+            max_edge_dist=edge0,
             th_seed_curvature=config.th_seed_curvature,
             th_thickness=config.th_thickness,
             th_normal_cos=config.th_normal_cos,
@@ -157,6 +162,7 @@ def sharded_grow_body(mesh: Mesh, config: PipelineConfig, *,
                 compact=config.seg_compact,
                 seed_mode=config.seg_seed_mode,
                 seed_source=config.seg_seed_source,
+                spacing_hint_mm=config.spacing_hint_mm,
                 axis_name=ax, **seg_kwargs,
             )
         neigh_idx, neigh_d, normals, curv = stats

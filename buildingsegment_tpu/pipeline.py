@@ -151,6 +151,7 @@ def _window_stage1(
         "th_seed_curvature", "convergence_tol", "seg_group",
         "seg_levels", "seg_refine_sweeps", "seg_anchor_cos", "use_stats",
         "seg_compact", "seg_seed_mode", "seg_seed_source",
+        "spacing_hint_mm",
     ),
 )
 def _window_stage2(
@@ -158,7 +159,7 @@ def _window_stage2(
     th_point_count, max_planes, max_sweeps, signed_normals,
     th_seed_curvature, convergence_tol, seg_group, seg_levels,
     seg_refine_sweeps, use_stats, seg_anchor_cos=None, seg_compact=None,
-    seg_seed_mode=None, seg_seed_source=None,
+    seg_seed_mode=None, seg_seed_source=None, spacing_hint_mm=None,
 ):
     """Window-path stage 2: region growing + unsort.
 
@@ -168,8 +169,15 @@ def _window_stage2(
     pathology); the boundary only materializes [N]-sized buffers
     (~0.1 ms of HBM traffic).
     """
+    # fine-level edge gate: the reference's kNN edges reach ~2-3
+    # spacings at ANY density (no distance cap, my_function.cpp:224),
+    # so with a proven density hint the gate widens past 2·thickness
+    # on sparse scans instead of starving connectivity
+    edge0 = 2.0 * th_thickness
+    if spacing_hint_mm is not None:
+        edge0 = max(edge0, 3.0 * spacing_hint_mm)
     seg_kwargs = dict(
-        max_edge_dist=2.0 * th_thickness,
+        max_edge_dist=edge0,
         th_seed_curvature=th_seed_curvature,
         th_thickness=th_thickness,
         th_normal_cos=th_normal_cos,
@@ -194,6 +202,7 @@ def _window_stage2(
             group=seg_group, levels=seg_levels,
             refine_sweeps=seg_refine_sweeps, compact=seg_compact,
             seed_mode=seg_seed_mode, seed_source=seg_seed_source,
+            spacing_hint_mm=spacing_hint_mm,
             **seg_kwargs,
         )
     else:
@@ -240,6 +249,7 @@ def run_device_pipeline(
     stats_store_offsets=False,
     stats_sym=None,
     morton_small: bool = False,
+    spacing_hint_mm=None,
 ):
     """The on-device portion: shift → kNN → normals → segmentation.
 
@@ -274,6 +284,7 @@ def run_device_pipeline(
             use_stats=use_stats, seg_anchor_cos=seg_anchor_cos,
             seg_compact=seg_compact, seg_seed_mode=seg_seed_mode,
             seg_seed_source=seg_seed_source,
+            spacing_hint_mm=spacing_hint_mm,
         )
         return shifted, lo, seg
     return _classic_pipeline(
@@ -462,6 +473,22 @@ def _prove_morton_small(config: PipelineConfig, shifted_h) -> PipelineConfig:
     return config
 
 
+def _prove_spacing(config: PipelineConfig, shifted_h) -> PipelineConfig:
+    """Measure scan density host-side and set the static spacing hint
+    (power-of-two bucketed → one jit variant per density bucket).  The
+    multigrid edge gates then scale with MEASURED density instead of
+    the conservative unconditional sqrt(group)-per-level growth — see
+    seg/coarse.py and PipelineConfig.spacing_hint_mm."""
+    if config.spacing_hint_mm is not None or shifted_h.size == 0:
+        return config
+    from buildingsegment_tpu.core.quantize import (
+        estimate_spacing_mm, spacing_bucket_mm,
+    )
+
+    hint = spacing_bucket_mm(estimate_spacing_mm(shifted_h))
+    return dataclasses.replace(config, spacing_hint_mm=hint)
+
+
 def _dispatch_device(batch, config: PipelineConfig, signed_normals: bool):
     """Dispatch the device pipeline (async) for an uploaded batch."""
     return run_device_pipeline(
@@ -492,6 +519,7 @@ def _dispatch_device(batch, config: PipelineConfig, signed_normals: bool):
         stats_store_offsets=config.stats_store_offsets,
         stats_sym=config.stats_sym,
         morton_small=config.morton_small,
+        spacing_hint_mm=config.spacing_hint_mm,
     )
 
 
@@ -574,6 +602,7 @@ def segment_cloud(
     cloud = _maybe_dedup(cloud, config)
     batch, shifted_h, lo_h = _prepare_upload(cloud, config)
     config = _prove_morton_small(config, shifted_h)
+    config = _prove_spacing(config, shifted_h)
 
     t1 = time.perf_counter()
     timings["host_to_device"] = t1 - t0
@@ -652,6 +681,7 @@ def segment_files(
         )
         batch, shifted_h, lo_h = _prepare_upload(cloud, cfg)
         cfg = _prove_morton_small(cfg, shifted_h)
+        cfg = _prove_spacing(cfg, shifted_h)
         jax.block_until_ready(batch.positions)
         return cloud, cfg, batch, shifted_h, lo_h, time.perf_counter() - t0
 

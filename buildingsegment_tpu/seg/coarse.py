@@ -64,6 +64,7 @@ __all__ = ["segment_planes_multigrid"]
         # static so the TPU Pallas branch can bake them into the kernel
         "th_thickness", "th_normal_cos", "max_edge_dist",
         "th_anchor_cos", "compact", "seed_mode", "seed_source",
+        "spacing_hint_mm",
     ),
 )
 def segment_planes_multigrid(
@@ -101,6 +102,7 @@ def segment_planes_multigrid(
     compact: Optional[bool] = None,
     seed_mode: Optional[str] = None,
     seed_source: Optional[str] = None,
+    spacing_hint_mm: Optional[float] = None,
 ) -> SegmentationResult:
     """Multigrid windowized plane segmentation (Morton-sorted input).
 
@@ -149,9 +151,23 @@ def segment_planes_multigrid(
     # edges (r3: production multigrid returned 0 planes there, while
     # the reference's kNN graph has no density assumption at all,
     # tmc3/my_function.cpp:220-258).  Membership stays guarded by the
-    # absolute plane-band thickness + normal-cos tests either way.
+    # absolute plane-band thickness + normal-cos tests either way —
+    # but thickness+cos cannot stop a wide gate from bridging two
+    # COPLANAR planes (two buildings' roofs at one height: measured
+    # bij 0.59 vs 0.90 on the 80 mm block scene when every level
+    # scaled unconditionally).  With a host-proven density hint
+    # (config.spacing_hint_mm, the morton_small pattern) the child
+    # gate therefore grows only to what connectivity needs at the
+    # MEASURED density — ~3 child-row spacings — and a dense scan
+    # keeps the tight base gate at every level.  Without a hint the
+    # unconditional scaling applies (sparse-safe, bridge-prone).
     edge_scale = max(2.0, float(group) ** 0.5)
-    child_edge = edge_scale * edge_mm
+    if spacing_hint_mm is not None:
+        child_hint = edge_scale * float(spacing_hint_mm)
+        child_edge = max(edge_mm, 3.0 * child_hint)
+    else:
+        child_hint = None
+        child_edge = edge_scale * edge_mm
 
     # ------------------------------------------------------------------
     # 1. coarsen
@@ -297,6 +313,7 @@ def segment_planes_multigrid(
             th_anchor_cos=th_anchor_cos,
             axis_name=axis_name,
             compact=compact,
+            spacing_hint_mm=child_hint,
         )
     else:
         coarse = segment_planes(
@@ -435,15 +452,32 @@ def segment_planes_multigrid(
             pid = sweep(pid)
 
     # ------------------------------------------------------------------
-    # 4. finalize: recount, cull (> th_point_count), renumber densely.
-    # One combined segment stats pass over OLD ids; the new (dense)
-    # table is a permutation of its kept rows.  On TPU the stats use
-    # the sort-free one-hot segsum kernel (each XLA scatter-add hides a
+    # 4. finalize: recount, MERGE coplanar overlapping planes, cull
+    # (> th_point_count), renumber densely.  One combined segment
+    # stats pass over OLD ids; the new (dense) table is a permutation
+    # of its kept (merged-root) rows.  On TPU the stats use the
+    # sort-free one-hot segsum kernel (each XLA scatter-add hides a
     # full N-row sort, ~10 ms at 1M rows).
+    #
+    # The merge pass exists because the per-level refine sweeps adopt
+    # by MIN plane id: when the coarse solve leaves part of a plane
+    # unlabeled (incoherent groups), several coplanar ids flood-fill
+    # the gap from different sides and partition it along Morton-cell
+    # lines — measured on the 2-building block scene at levels=3: the
+    # shared ground ended as 3 abutting coplanar planes (dominant
+    # share 0.27, bij 0.57).  Re-applying the solver's own global
+    # coplanar-overlap test (region_grow.py window_body step 4b:
+    # mutual plane-band acceptance of centers + normal cos + extent
+    # overlap within the edge gate) on the FINAL [P] table heals every
+    # such split for O(P²) elementwise work.  Merging runs before the
+    # cull, so fragments that individually miss th_point_count but
+    # together clear it survive — like the reference's single
+    # connected region would (tmc3/my_function.cpp:196-209).
     # ------------------------------------------------------------------
+    sq = jnp.sum(pos * pos, axis=1, keepdims=True)
     payload = jnp.concatenate(
-        [jnp.ones((n, 1), jnp.float32), cn, pos], axis=1
-    )  # [n, 7]
+        [jnp.ones((n, 1), jnp.float32), cn, pos, sq], axis=1
+    )  # [n, 8]: cnt, Σn̂, Σp, Σ|p|²
     member = mask & (pid > 0)
     if on_tpu:
         from buildingsegment_tpu.ops.segsum import plane_sums, table_lookup
@@ -451,46 +485,169 @@ def segment_planes_multigrid(
         cap128 = -(-max_planes // 128) * 128
         old_row = jnp.where(member, pid - 1, cap128)
         acc = plane_sums(
-            old_row,
-            jnp.concatenate(
-                [payload, jnp.zeros((n, 1), jnp.float32)], axis=1
-            ),
-            n_live, table_cap=max_planes,
+            old_row, payload, n_live, table_cap=max_planes,
         )[:max_planes]
     else:
         old_row = jnp.where(member, pid - 1, max_planes)
         acc = (
-            jnp.zeros((max_planes + 1, 7), jnp.float32)
+            jnp.zeros((max_planes + 1, 8), jnp.float32)
             .at[old_row]
             .add(jnp.where(member[:, None], payload, 0.0))
         )[:max_planes]
     acc = _psum(acc)  # global when sharded
-    counts_old = acc[:, 0].astype(jnp.int32)  # by old plane row (id-1)
+
+    # --- coplanar-overlap union on the [P] table ---
+    rows_p = jnp.arange(max_planes, dtype=jnp.int32)
+    cnt_o = acc[:, 0]
+    live_o = cnt_o > 0
+    sc_o = jnp.maximum(cnt_o, 1.0)[:, None]
+    mn_o = acc[:, 1:4] / sc_o
+    n_t = mn_o / jnp.sqrt(
+        jnp.maximum(jnp.sum(mn_o * mn_o, -1, keepdims=True), 1e-20)
+    )
+    c_t = acc[:, 4:7] / sc_o
+    ccd = jnp.sum(c_t * c_t, -1)
+    r_t = jnp.sqrt(jnp.maximum(acc[:, 7] / sc_o[:, 0] - ccd, 0.0))
+    hi_p = lax.Precision.HIGHEST  # mm-scale cancellation (CLAUDE.md)
+    nc = jnp.sum(n_t * c_t, -1)
+    ncT = jnp.dot(n_t, c_t.T, preferred_element_type=jnp.float32,
+                  precision=hi_p)
+    nrm_sep = ncT - nc[:, None]
+    nrm_sep_b = nc[None, :] - ncT.T
+    cosab = cmag(jnp.dot(n_t, n_t.T, preferred_element_type=jnp.float32,
+                         precision=hi_p))
+    d2 = ccd[:, None] + ccd[None, :] - 2.0 * jnp.dot(
+        c_t, c_t.T, preferred_element_type=jnp.float32, precision=hi_p
+    )
+    inplane2 = jnp.maximum(d2 - nrm_sep * nrm_sep, 0.0)
+    reach = 2.0 * (r_t[:, None] + r_t[None, :]) + jnp.float32(edge_mm)
+    ok_pair = (
+        (jnp.abs(nrm_sep) <= th_thickness)
+        & (jnp.abs(nrm_sep_b) <= th_thickness)
+        & (cosab >= th_normal_cos)
+        & (inplane2 <= reach * reach)
+        & live_o[:, None]
+        & live_o[None, :]
+    )
+    # union-by-min + jump doubling (12 rounds cover any chain ≤ 4096)
+    parent = jnp.min(
+        jnp.where(ok_pair, rows_p[None, :], max_planes), axis=1
+    )
+    parent = jnp.minimum(rows_p, parent)
+    for _ in range(12):
+        parent = jnp.minimum(parent, parent[parent])
+    # re-aggregate sums onto root rows via one-hot matmul (a scatter
+    # at [P] rows hides a sort; the [P,P]×[P,8] matmul is trivial and
+    # deterministic).  HIGHEST: counts must stay exact in f32.
+    onehot = (parent[None, :] == rows_p[:, None]).astype(jnp.float32)
+    acc = jnp.dot(onehot, acc, preferred_element_type=jnp.float32,
+                  precision=hi_p)
+
+    # --- hole fill: adjacency-free adoption against the top-K merged
+    # planes.  The window refine can never reach a hole whose sorted-
+    # order borders jump to distant space (whole Morton segments lost
+    # to compounding group-coherence attrition at deep levels) —
+    # measured on the block scene at levels=3: 90% of the unlabeled
+    # ground had NO labeled row within ±16 sorted rows, with perfect
+    # normals, and extra refine sweeps moved coverage by +1%.  So
+    # unlabeled points test directly against the merged plane table:
+    # plane-band |p·n−b| ≤ th, normal cos, and in-plane proximity to
+    # the plane's extent (2·rms + gate — the point form of the pair
+    # test's reach).  All [N,K]-matmul-shaped: trivial MXU work.
+    # ------------------------------------------------------------------
+    K = min(128, max_planes)
+    top_cnt, top_row = lax.top_k(acc[:, 0], K)
+    sck = jnp.maximum(top_cnt, 1.0)[:, None]
+    acc_k = acc[top_row]  # [K, 8] — small-table gather
+    mnk = acc_k[:, 1:4] / sck
+    nk = mnk / jnp.sqrt(
+        jnp.maximum(jnp.sum(mnk * mnk, -1, keepdims=True), 1e-20)
+    )
+    ck = acc_k[:, 4:7] / sck
+    ccdk = jnp.sum(ck * ck, -1)
+    rk = jnp.sqrt(jnp.maximum(acc_k[:, 7] / sck[:, 0] - ccdk, 0.0))
+    bk = jnp.sum(nk * ck, -1)
+    holes = mask & (pid == 0)
+    offk = jnp.dot(pos, nk.T, preferred_element_type=jnp.float32,
+                   precision=hi_p) - bk[None, :]
+    cosk = cmag(jnp.dot(cn, nk.T, preferred_element_type=jnp.float32,
+                        precision=hi_p))
+    d2k = sq + ccdk[None, :] - 2.0 * jnp.dot(
+        pos, ck.T, preferred_element_type=jnp.float32, precision=hi_p
+    )
+    inpl2 = jnp.maximum(d2k - offk * offk, 0.0)
+    reachk = 2.0 * rk + jnp.float32(edge_mm)
+    okk = (
+        (jnp.abs(offk) <= th_thickness)
+        & (cosk >= th_normal_cos)
+        & (inpl2 <= (reachk * reachk)[None, :])
+        & (top_cnt > 0)[None, :]
+        & holes[:, None]
+    )
+    off_sel = jnp.where(okk, jnp.abs(offk), jnp.inf)
+    arg = jnp.argmin(off_sel, axis=1)
+    adopted = jnp.any(okk, axis=1)
+    # arg → root row without a [N] gather (one-hot over K lanes)
+    sel = (
+        lax.broadcasted_iota(jnp.int32, (n, K), 1) == arg[:, None]
+    ).astype(jnp.float32)
+    adopt_row = jnp.sum(
+        sel * top_row[None, :].astype(jnp.float32), axis=1
+    ).astype(jnp.int32)
+
+    # adoption sums fold into the merged table (roots only, so they
+    # land on the rows the renumber reads)
+    if on_tpu:
+        add_row = jnp.where(adopted, adopt_row, cap128)
+        acc_add = plane_sums(
+            add_row, payload, n_live, table_cap=max_planes,
+        )[:max_planes]
+    else:
+        add_row = jnp.where(adopted, adopt_row, max_planes)
+        acc_add = (
+            jnp.zeros((max_planes + 1, 8), jnp.float32)
+            .at[add_row]
+            .add(jnp.where(adopted[:, None], payload, 0.0))
+        )[:max_planes]
+    acc = acc + _psum(acc_add)
+
+    counts_old = acc[:, 0].astype(jnp.int32)  # by merged root row
     keep = counts_old > th_point_count
     rank = prefix_sum_i32(keep.astype(jnp.int32))  # inclusive, over rows
     num_planes = rank[max_planes - 1]
 
-    # per-point renumber: new_id = lut[old id] (0 where culled)
-    lut = jnp.concatenate(
-        [jnp.zeros((1,), jnp.float32),
-         jnp.where(keep, rank, 0).astype(jnp.float32)]
-    )  # indexed by old id (0 = none)
+    # per-point renumber: new_id = lut[old id] → rank of the merged
+    # root (0 where culled); adopted points go through the root-row lut
+    lut_rows = jnp.where(
+        keep[parent] & live_o, rank[parent], 0
+    ).astype(jnp.float32)
+    lut = jnp.concatenate([jnp.zeros((1,), jnp.float32), lut_rows])
+    lut2 = jnp.concatenate([
+        jnp.zeros((1,), jnp.float32),
+        jnp.where(keep, rank, 0).astype(jnp.float32),
+    ])
+    pid_adopt = jnp.where(adopted, adopt_row + 1, 0)
     if on_tpu:
         new_id = table_lookup(
             jnp.where(member, pid, 0), lut, n_live + 1
         ).astype(jnp.int32)
+        new_id_a = table_lookup(
+            pid_adopt, lut2, n_live + 1
+        ).astype(jnp.int32)
     else:
         new_id = lut[jnp.where(member, pid, 0)].astype(jnp.int32)
+        new_id_a = lut2[pid_adopt].astype(jnp.int32)
+    new_id = new_id + new_id_a  # disjoint supports
     plane_idx = jnp.where(new_id > 0, new_id, -1).astype(jnp.int32)
 
-    # dense table = kept old rows permuted into rank order
+    # dense table = kept merged-root rows permuted into rank order
     slot = jnp.where(keep, rank - 1, max_planes)
     old_of_new = (
         jnp.zeros((max_planes + 1,), jnp.int32)
         .at[slot]
         .set(jnp.arange(max_planes, dtype=jnp.int32))
     )[:max_planes]
-    acc_new = acc[old_of_new]  # [max_planes, 7] — small-table gather
+    acc_new = acc[old_of_new]  # [max_planes, 8] — small-table gather
     valid_new = jnp.arange(max_planes) < num_planes
     cnt2 = jnp.where(valid_new, acc_new[:, 0].astype(jnp.int32), 0)
     sum_n2 = acc_new[:, 1:4]

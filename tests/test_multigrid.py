@@ -116,6 +116,65 @@ class TestMultigrid:
         assert a_c > 0.92, f"coarse-seed agreement {a_c}"
         assert a_c > a_f - 0.03, f"coarse-seed {a_c} vs fine {a_f}"
 
+    @pytest.mark.parametrize(
+        "spacing,min_planes,floor",
+        [
+            # production window path (levels=3, group=4, w48) across a
+            # 6x density range — the reference's region growing has no
+            # density assumption (tmc3/my_function.cpp:180-258), so
+            # neither may the rebuild (r3: a fixed 600 mm coarse edge
+            # gate collapsed to 0 planes at 150 mm; the gate now
+            # scales sqrt(group) per level).  Normal radius scales
+            # with spacing (3x), mirroring the reference's ~3-4
+            # spacings at its own design density — its hard-coded
+            # 100 mm radius degenerates identically beyond 100 mm
+            # spacing (SURVEY §2.1 C5).  Floors = measured - margin
+            # (0.975 / 0.953 / 0.900, seed 3, with the finalize
+            # merge + hole-fill pass and the proven spacing hint).
+            (50.0, 5, 0.93),
+            (150.0, 5, 0.90),
+            (300.0, 5, 0.85),
+        ],
+    )
+    def test_density_sweep_production_path(self, spacing, min_planes,
+                                           floor):
+        from buildingsegment_tpu.pipeline import run_device_pipeline
+
+        dims = (
+            (6000.0, 5000.0, 3000.0, 4000.0)
+            if spacing == 50.0
+            else (12000.0, 9000.0, 6000.0, 8000.0)
+        )
+        w, d_, wh, rh = dims
+        pts, truth = make_building_cloud(
+            seed=3, spacing_mm=spacing, noise_mm=8.0, width_mm=w,
+            depth_mm=d_, wall_h_mm=wh, ridge_h_mm=rh,
+        )
+        n = len(pts)
+        cap = ((n + 1023) // 1024) * 1024
+        pos = np.full((cap, 3), 2**24, np.int32)
+        pos[:n] = pts
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        from buildingsegment_tpu.core.quantize import (
+            estimate_spacing_mm, spacing_bucket_mm,
+        )
+
+        _, _, seg = run_device_pipeline(
+            jnp.asarray(pos), jnp.asarray(mask),
+            k_search=50, knn_k=15, normal_radius=3.0 * spacing,
+            normal_max_nn=50, th_thickness=300.0, th_normal_cos=0.88,
+            th_point_count=100, max_planes=4096, max_sweeps=64,
+            knn_method="window", knn_window_size=48,
+            convergence_tol=5e-5, seg_group=4, seg_levels=3,
+            seg_refine_sweeps=2,
+            spacing_hint_mm=spacing_bucket_mm(estimate_spacing_mm(pts)),
+        )
+        lab = np.asarray(seg.plane_idx)[:n]
+        assert int(seg.num_planes) >= min_planes
+        a = _truth_agreement(truth, lab)
+        assert a > floor, f"spacing {spacing}: agreement {a}"
+
     def test_invariants(self, sorted_scene):
         spos, smask, idx, d, normals, struth = sorted_scene
         res = segment_planes_multigrid(
