@@ -347,6 +347,9 @@ def main():
         # the finalize hole-fill (r4) may cover what the second refine
         # sweep used to: ~4 ms/level back if the gate holds
         {"seg_refine_sweeps": 1, "seg_seed_source": "coarse"},
+        # sweeps=0 keeps only the fused clean pass (adopt=False) and
+        # leans on the finalize merge + hole-fill for all coverage
+        {"seg_refine_sweeps": 0, "seg_seed_source": "coarse"},
         {"knn_window": 64},
         {"seg_levels": 2},
         {"seg_refine_sweeps": 3},
@@ -451,6 +454,11 @@ def main():
             ms_dt = time.perf_counter() - t0
             STATE["multiscan_e2e_mpts"] = round(total_pts / ms_dt / 1e6, 2)
             STATE["multiscan_scans"] = len(scan_paths)
+            # measured H2D ~35 MB/s through the axon tunnel
+            # (tools/perf_tunnel.py) caps this config near ~3 Mpts/s
+            # regardless of device speed; the number is still honest,
+            # the bound just isn't the TPU's
+            STATE["multiscan_note"] = "tunnel_h2d_bound_~3mpts"
             note(f"multiscan: {ms_dt:.2f} s for {len(scan_paths)} scans")
             emit(status="multiscan")
         except Exception as e:

@@ -21,6 +21,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# The persistent compile cache must stay OFF under pytest: CLI tests
+# call cli.main in-process, which sets jax_compilation_cache_dir for
+# the rest of the suite, and a later cache READ of a Pallas
+# interpret-mode program segfaulted the whole run (2026-08-20, twice,
+# both at test_stats_sweep.py::test_radius_only_mode_matches_window_
+# normals inside compilation_cache.get_executable_and_time).  CPU test
+# compiles are fast; only the TPU remote compiles need the disk cache.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np
 import pytest
