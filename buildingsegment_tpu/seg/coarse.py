@@ -64,7 +64,7 @@ __all__ = ["segment_planes_multigrid"]
         # static so the TPU Pallas branch can bake them into the kernel
         "th_thickness", "th_normal_cos", "max_edge_dist",
         "th_anchor_cos", "compact", "seed_mode", "seed_source",
-        "spacing_hint_mm",
+        "spacing_hint_mm", "heal",
     ),
 )
 def segment_planes_multigrid(
@@ -103,6 +103,16 @@ def segment_planes_multigrid(
     seed_mode: Optional[str] = None,
     seed_source: Optional[str] = None,
     spacing_hint_mm: Optional[float] = None,
+    # finalize healing: True = coplanar merge + flat-plane hole
+    # adoption; "merge" = merge only; False = neither.  Full heal runs
+    # at EVERY level — measured necessity on the 80 mm block scene
+    # (bij, floor 0.92): 0.96 full everywhere, 0.894 with inner levels
+    # merge-only, 0.83 with inner levels off.  Inner adoption matters
+    # because adopted coarse rows participate in the next level's
+    # band-tested refinement and window propagation; the one-shot
+    # outer band test cannot replicate that.  The knob exists for
+    # perf attribution (tools/perf_heal_lab.py), not production use.
+    heal=True,  # True | "merge" | False
 ) -> SegmentationResult:
     """Multigrid windowized plane segmentation (Morton-sorted input).
 
@@ -314,6 +324,7 @@ def segment_planes_multigrid(
             axis_name=axis_name,
             compact=compact,
             spacing_hint_mm=child_hint,
+            heal=True,
         )
     else:
         coarse = segment_planes(
@@ -496,240 +507,252 @@ def segment_planes_multigrid(
         )[:max_planes]
     acc = _psum(acc)  # global when sharded
 
-    # --- coplanar-overlap union on the [P] table ---
+    # --- coplanar-overlap union on the [P] table (heal=True only) ---
     rows_p = jnp.arange(max_planes, dtype=jnp.int32)
     cnt_o = acc[:, 0]
     live_o = cnt_o > 0
-    sc_o = jnp.maximum(cnt_o, 1.0)[:, None]
-    mn_o = acc[:, 1:4] / sc_o
-    n_t = mn_o / jnp.sqrt(
-        jnp.maximum(jnp.sum(mn_o * mn_o, -1, keepdims=True), 1e-20)
-    )
-    c_t = acc[:, 4:7] / sc_o
-    ccd = jnp.sum(c_t * c_t, -1)
-    r_t = jnp.sqrt(jnp.maximum(acc[:, 7] / sc_o[:, 0] - ccd, 0.0))
-    hi_p = lax.Precision.HIGHEST  # mm-scale cancellation (CLAUDE.md)
-
-    # --- second pass: per-plane CENTERED second moments.  The pair
-    # test below may not merge on band/cos/extent alone: on a smoothly
-    # curved surface (rolling terrain) every adjacent strip passes the
-    # mutual tests and union-by-min daisy-chains the whole sheet into
-    # one "plane" whose members then violate the thickness band
-    # (measured: max residual 641 mm at th 300, 8% of members out of
-    # band).  The reference can't do this: a region only ever accepts
-    # points in the SEED's own band (tmc3/my_function.cpp:226-236).
-    # So each candidate pair is additionally gated on its PREDICTED
-    # merged-plane RMS — computed from per-plane second moments via the
-    # parallel-axis shift to the merged centroid.  Coplanar fragments
-    # of one true plane (RMS ≈ noise) pass; curvature chains (RMS ≫
-    # th/2) are rejected at the first link, so transitive closure
-    # never starts.  Moments are accumulated about each plane's OWN
-    # first-pass center: raw Σppᵀ at mm scale cancels catastrophically
-    # in f32 (CLAUDE.md), centered sums keep ~mm² absolute error.
-    if on_tpu:
-        pid_m = jnp.where(member, pid, 0)
-        pc_cols = []
-        for a in range(3):
-            lut_c = jnp.concatenate(
-                [jnp.zeros((1,), jnp.float32), c_t[:, a]]
-            )
-            pc_cols.append(table_lookup(pid_m, lut_c, n_live + 1))
-        pc = jnp.stack(pc_cols, axis=1)
+    if not heal:
+        # inner-level finalize: identity union, no adoption — the next
+        # level's band-tested refinement self-corrects coarse
+        # partitioning, and the outermost call heals what remains
+        parent = rows_p
+        adopted = jnp.zeros((n,), bool)
+        adopt_row = jnp.zeros((n,), jnp.int32)
     else:
-        ct_pad = jnp.concatenate(
-            [c_t, jnp.zeros((1, 3), jnp.float32)], axis=0
+        sc_o = jnp.maximum(cnt_o, 1.0)[:, None]
+        mn_o = acc[:, 1:4] / sc_o
+        n_t = mn_o / jnp.sqrt(
+            jnp.maximum(jnp.sum(mn_o * mn_o, -1, keepdims=True), 1e-20)
         )
-        pc = ct_pad[old_row]
-    dxc = jnp.where(member[:, None], pos - pc, 0.0)
-    mom = jnp.stack(
-        [dxc[:, 0] * dxc[:, 0], dxc[:, 1] * dxc[:, 1],
-         dxc[:, 2] * dxc[:, 2], dxc[:, 0] * dxc[:, 1],
-         dxc[:, 0] * dxc[:, 2], dxc[:, 1] * dxc[:, 2]], axis=1
-    )  # [n, 6]: xx, yy, zz, xy, xz, yz about own plane center
-    if on_tpu:
-        acc_m = plane_sums(
-            old_row, mom, n_live, table_cap=max_planes, cols=6,
-        )[:max_planes]
-    else:
-        acc_m = (
-            jnp.zeros((max_planes + 1, 6), jnp.float32)
-            .at[old_row]
-            .add(jnp.where(member[:, None], mom, 0.0))
-        )[:max_planes]
-    acc_m = _psum(acc_m)
+        c_t = acc[:, 4:7] / sc_o
+        ccd = jnp.sum(c_t * c_t, -1)
+        r_t = jnp.sqrt(jnp.maximum(acc[:, 7] / sc_o[:, 0] - ccd, 0.0))
+        hi_p = lax.Precision.HIGHEST  # mm-scale cancellation (CLAUDE.md)
 
-    nc = jnp.sum(n_t * c_t, -1)
-    ncT = jnp.dot(n_t, c_t.T, preferred_element_type=jnp.float32,
-                  precision=hi_p)
-    nrm_sep = ncT - nc[:, None]
-    nrm_sep_b = nc[None, :] - ncT.T
-    dotnn = jnp.dot(n_t, n_t.T, preferred_element_type=jnp.float32,
-                    precision=hi_p)
-    cosab = cmag(dotnn)
-    d2 = ccd[:, None] + ccd[None, :] - 2.0 * jnp.dot(
-        c_t, c_t.T, preferred_element_type=jnp.float32, precision=hi_p
-    )
-    inplane2 = jnp.maximum(d2 - nrm_sep * nrm_sep, 0.0)
-    reach = 2.0 * (r_t[:, None] + r_t[None, :]) + jnp.float32(edge_mm)
+        # --- second pass: per-plane CENTERED second moments.  The pair
+        # test below may not merge on band/cos/extent alone: on a smoothly
+        # curved surface (rolling terrain) every adjacent strip passes the
+        # mutual tests and union-by-min daisy-chains the whole sheet into
+        # one "plane" whose members then violate the thickness band
+        # (measured: max residual 641 mm at th 300, 8% of members out of
+        # band).  The reference can't do this: a region only ever accepts
+        # points in the SEED's own band (tmc3/my_function.cpp:226-236).
+        # So each candidate pair is additionally gated on its PREDICTED
+        # merged-plane RMS — computed from per-plane second moments via the
+        # parallel-axis shift to the merged centroid.  Coplanar fragments
+        # of one true plane (RMS ≈ noise) pass; curvature chains (RMS ≫
+        # th/2) are rejected at the first link, so transitive closure
+        # never starts.  Moments are accumulated about each plane's OWN
+        # first-pass center: raw Σppᵀ at mm scale cancels catastrophically
+        # in f32 (CLAUDE.md), centered sums keep ~mm² absolute error.
+        if on_tpu:
+            pid_m = jnp.where(member, pid, 0)
+            pc_cols = []
+            for a in range(3):
+                lut_c = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.float32), c_t[:, a]]
+                )
+                pc_cols.append(table_lookup(pid_m, lut_c, n_live + 1))
+            pc = jnp.stack(pc_cols, axis=1)
+        else:
+            ct_pad = jnp.concatenate(
+                [c_t, jnp.zeros((1, 3), jnp.float32)], axis=0
+            )
+            pc = ct_pad[old_row]
+        dxc = jnp.where(member[:, None], pos - pc, 0.0)
+        mom = jnp.stack(
+            [dxc[:, 0] * dxc[:, 0], dxc[:, 1] * dxc[:, 1],
+             dxc[:, 2] * dxc[:, 2], dxc[:, 0] * dxc[:, 1],
+             dxc[:, 0] * dxc[:, 2], dxc[:, 1] * dxc[:, 2]], axis=1
+        )  # [n, 6]: xx, yy, zz, xy, xz, yz about own plane center
+        if on_tpu:
+            acc_m = plane_sums(
+                old_row, mom, n_live, table_cap=max_planes, cols=6,
+            )[:max_planes]
+        else:
+            acc_m = (
+                jnp.zeros((max_planes + 1, 6), jnp.float32)
+                .at[old_row]
+                .add(jnp.where(member[:, None], mom, 0.0))
+            )[:max_planes]
+        acc_m = _psum(acc_m)
 
-    # predicted merged-plane mean-square residual r2m[i,j]:
-    #   q   = merged centroid, nm = count-weighted sign-aligned normal
-    #   M_m = M_i + M_j + cnt_i·d_i d_iᵀ + cnt_j·d_j d_jᵀ   (d = c − q)
-    #   r2m = nmᵀ M_m nm / (|nm|² · cnt_m)
-    cntm = jnp.maximum(cnt_o[:, None] + cnt_o[None, :], 1.0)
-    q3 = [
-        (acc[:, 4 + a][:, None] + acc[:, 4 + a][None, :]) / cntm
-        for a in range(3)
-    ]
-    di3 = [c_t[:, a][:, None] - q3[a] for a in range(3)]
-    dj3 = [c_t[:, a][None, :] - q3[a] for a in range(3)]
-    sgn = jnp.where(dotnn < 0.0, -1.0, 1.0)  # anti-parallel heals
-    nm3 = [
-        cnt_o[:, None] * n_t[:, a][:, None]
-        + sgn * cnt_o[None, :] * n_t[:, a][None, :]
-        for a in range(3)
-    ]
-    nn2 = jnp.maximum(
-        nm3[0] * nm3[0] + nm3[1] * nm3[1] + nm3[2] * nm3[2], 1e-20
-    )
-    num = jnp.zeros_like(cntm)
-    for col, a, b in ((0, 0, 0), (1, 1, 1), (2, 2, 2),
-                      (3, 0, 1), (4, 0, 2), (5, 1, 2)):
-        Mm = (acc_m[:, col][:, None] + acc_m[:, col][None, :]
-              + cnt_o[:, None] * di3[a] * di3[b]
-              + cnt_o[None, :] * dj3[a] * dj3[b])
-        num = num + (1.0 if a == b else 2.0) * nm3[a] * nm3[b] * Mm
-    r2m = num / (nn2 * cntm)
+        nc = jnp.sum(n_t * c_t, -1)
+        ncT = jnp.dot(n_t, c_t.T, preferred_element_type=jnp.float32,
+                      precision=hi_p)
+        nrm_sep = ncT - nc[:, None]
+        nrm_sep_b = nc[None, :] - ncT.T
+        dotnn = jnp.dot(n_t, n_t.T, preferred_element_type=jnp.float32,
+                        precision=hi_p)
+        cosab = cmag(dotnn)
+        d2 = ccd[:, None] + ccd[None, :] - 2.0 * jnp.dot(
+            c_t, c_t.T, preferred_element_type=jnp.float32, precision=hi_p
+        )
+        inplane2 = jnp.maximum(d2 - nrm_sep * nrm_sep, 0.0)
+        reach = 2.0 * (r_t[:, None] + r_t[None, :]) + jnp.float32(edge_mm)
 
-    ok_pair = (
-        (jnp.abs(nrm_sep) <= th_thickness)
-        & (jnp.abs(nrm_sep_b) <= th_thickness)
-        & (cosab >= th_normal_cos)
-        & (inplane2 <= reach * reach)
-        & (r2m <= (0.5 * th_thickness) ** 2)
-        & live_o[:, None]
-        & live_o[None, :]
-    )
-    # union-by-min + jump doubling (12 rounds cover any chain ≤ 4096)
-    parent = jnp.min(
-        jnp.where(ok_pair, rows_p[None, :], max_planes), axis=1
-    )
-    parent = jnp.minimum(rows_p, parent)
-    for _ in range(12):
-        parent = jnp.minimum(parent, parent[parent])
-    # re-aggregate sums onto root rows via one-hot matmul (a scatter
-    # at [P] rows hides a sort; the [P,P]×[P,8] matmul is trivial and
-    # deterministic).  HIGHEST: counts must stay exact in f32.
-    onehot = (parent[None, :] == rows_p[:, None]).astype(jnp.float32)
-    acc = jnp.dot(onehot, acc, preferred_element_type=jnp.float32,
-                  precision=hi_p)
+        # predicted merged-plane mean-square residual r2m[i,j]:
+        #   q   = merged centroid, nm = count-weighted sign-aligned normal
+        #   M_m = M_i + M_j + cnt_i·d_i d_iᵀ + cnt_j·d_j d_jᵀ   (d = c − q)
+        #   r2m = nmᵀ M_m nm / (|nm|² · cnt_m)
+        cntm = jnp.maximum(cnt_o[:, None] + cnt_o[None, :], 1.0)
+        q3 = [
+            (acc[:, 4 + a][:, None] + acc[:, 4 + a][None, :]) / cntm
+            for a in range(3)
+        ]
+        di3 = [c_t[:, a][:, None] - q3[a] for a in range(3)]
+        dj3 = [c_t[:, a][None, :] - q3[a] for a in range(3)]
+        sgn = jnp.where(dotnn < 0.0, -1.0, 1.0)  # anti-parallel heals
+        nm3 = [
+            cnt_o[:, None] * n_t[:, a][:, None]
+            + sgn * cnt_o[None, :] * n_t[:, a][None, :]
+            for a in range(3)
+        ]
+        nn2 = jnp.maximum(
+            nm3[0] * nm3[0] + nm3[1] * nm3[1] + nm3[2] * nm3[2], 1e-20
+        )
+        num = jnp.zeros_like(cntm)
+        for col, a, b in ((0, 0, 0), (1, 1, 1), (2, 2, 2),
+                          (3, 0, 1), (4, 0, 2), (5, 1, 2)):
+            Mm = (acc_m[:, col][:, None] + acc_m[:, col][None, :]
+                  + cnt_o[:, None] * di3[a] * di3[b]
+                  + cnt_o[None, :] * dj3[a] * dj3[b])
+            num = num + (1.0 if a == b else 2.0) * nm3[a] * nm3[b] * Mm
+        r2m = num / (nn2 * cntm)
 
-    # --- per-ROOT flatness (exact, f32-stable): only a plane that
-    # proved FLAT may adopt holes below.  A curved strip (own RMS ~
-    # 100-170 at th 300) passes the hole band test out to where the
-    # surface re-enters its tangent band — e.g. the matching phase of
-    # the next hump of rolling terrain — and the adopted ring then
-    # drags the recomputed model off its members (measured: in-band
-    # fraction 0.82 with adoption ungated).  Healing targets (Morton-
-    # partition holes in genuinely planar ground/roofs) have RMS ≈
-    # noise.  r2 of a merged root about its own plane decomposes over
-    # fragments by the parallel-axis rule — differences first, so no
-    # mm-scale cancellation:
-    #   r2_root · cnt = Σ_f [ nᵀM_f n + cnt_f ((c_f − c_root)·n)² ]
-    cnt_r = acc[:, 0]
-    sc_r = jnp.maximum(cnt_r, 1.0)[:, None]
-    mn_r = acc[:, 1:4] / sc_r
-    n_r = mn_r / jnp.sqrt(
-        jnp.maximum(jnp.sum(mn_r * mn_r, -1, keepdims=True), 1e-20)
-    )
-    c_r = acc[:, 4:7] / sc_r
-    nr_f = n_r[parent]  # [P, 3] small gathers
-    cr_f = c_r[parent]
-    r2n_f = (
-        acc_m[:, 0] * nr_f[:, 0] * nr_f[:, 0]
-        + acc_m[:, 1] * nr_f[:, 1] * nr_f[:, 1]
-        + acc_m[:, 2] * nr_f[:, 2] * nr_f[:, 2]
-        + 2.0 * acc_m[:, 3] * nr_f[:, 0] * nr_f[:, 1]
-        + 2.0 * acc_m[:, 4] * nr_f[:, 0] * nr_f[:, 2]
-        + 2.0 * acc_m[:, 5] * nr_f[:, 1] * nr_f[:, 2]
-    )
-    off_f = jnp.sum((c_t - cr_f) * nr_f, -1)
-    flat_num = jnp.dot(
-        onehot, r2n_f + cnt_o * off_f * off_f,
-        preferred_element_type=jnp.float32, precision=hi_p,
-    )
-    flat_ok = flat_num / jnp.maximum(cnt_r, 1.0) <= (
-        (0.25 * th_thickness) ** 2
-    )
+        ok_pair = (
+            (jnp.abs(nrm_sep) <= th_thickness)
+            & (jnp.abs(nrm_sep_b) <= th_thickness)
+            & (cosab >= th_normal_cos)
+            & (inplane2 <= reach * reach)
+            & (r2m <= (0.5 * th_thickness) ** 2)
+            & live_o[:, None]
+            & live_o[None, :]
+        )
+        # union-by-min + jump doubling (12 rounds cover any chain ≤ 4096)
+        parent = jnp.min(
+            jnp.where(ok_pair, rows_p[None, :], max_planes), axis=1
+        )
+        parent = jnp.minimum(rows_p, parent)
+        for _ in range(12):
+            parent = jnp.minimum(parent, parent[parent])
+        # re-aggregate sums onto root rows via one-hot matmul (a scatter
+        # at [P] rows hides a sort; the [P,P]×[P,8] matmul is trivial and
+        # deterministic).  HIGHEST: counts must stay exact in f32.
+        onehot = (parent[None, :] == rows_p[:, None]).astype(jnp.float32)
+        acc = jnp.dot(onehot, acc, preferred_element_type=jnp.float32,
+                      precision=hi_p)
 
-    # --- hole fill: adjacency-free adoption against the top-K merged
-    # planes.  The window refine can never reach a hole whose sorted-
-    # order borders jump to distant space (whole Morton segments lost
-    # to compounding group-coherence attrition at deep levels) —
-    # measured on the block scene at levels=3: 90% of the unlabeled
-    # ground had NO labeled row within ±16 sorted rows, with perfect
-    # normals, and extra refine sweeps moved coverage by +1%.  So
-    # unlabeled points test directly against the merged plane table:
-    # plane-band |p·n−b| ≤ th, normal cos, and in-plane proximity to
-    # the plane's extent (2·rms + gate — the point form of the pair
-    # test's reach).  All [N,K]-matmul-shaped: trivial MXU work.
-    # ------------------------------------------------------------------
-    K = min(128, max_planes)
-    top_cnt, top_row = lax.top_k(acc[:, 0], K)
-    sck = jnp.maximum(top_cnt, 1.0)[:, None]
-    acc_k = acc[top_row]  # [K, 8] — small-table gather
-    mnk = acc_k[:, 1:4] / sck
-    nk = mnk / jnp.sqrt(
-        jnp.maximum(jnp.sum(mnk * mnk, -1, keepdims=True), 1e-20)
-    )
-    ck = acc_k[:, 4:7] / sck
-    ccdk = jnp.sum(ck * ck, -1)
-    rk = jnp.sqrt(jnp.maximum(acc_k[:, 7] / sck[:, 0] - ccdk, 0.0))
-    bk = jnp.sum(nk * ck, -1)
-    holes = mask & (pid == 0)
-    offk = jnp.dot(pos, nk.T, preferred_element_type=jnp.float32,
-                   precision=hi_p) - bk[None, :]
-    cosk = cmag(jnp.dot(cn, nk.T, preferred_element_type=jnp.float32,
-                        precision=hi_p))
-    d2k = sq + ccdk[None, :] - 2.0 * jnp.dot(
-        pos, ck.T, preferred_element_type=jnp.float32, precision=hi_p
-    )
-    inpl2 = jnp.maximum(d2k - offk * offk, 0.0)
-    reachk = 2.0 * rk + jnp.float32(edge_mm)
-    okk = (
-        (jnp.abs(offk) <= th_thickness)
-        & (cosk >= th_normal_cos)
-        & (inpl2 <= (reachk * reachk)[None, :])
-        & (top_cnt > 0)[None, :]
-        & flat_ok[top_row][None, :]  # only flat planes adopt (above)
-        & holes[:, None]
-    )
-    off_sel = jnp.where(okk, jnp.abs(offk), jnp.inf)
-    arg = jnp.argmin(off_sel, axis=1)
-    adopted = jnp.any(okk, axis=1)
-    # arg → root row without a [N] gather (one-hot over K lanes)
-    sel = (
-        lax.broadcasted_iota(jnp.int32, (n, K), 1) == arg[:, None]
-    ).astype(jnp.float32)
-    adopt_row = jnp.sum(
-        sel * top_row[None, :].astype(jnp.float32), axis=1
-    ).astype(jnp.int32)
+        if heal != True:  # noqa: E712  ("merge" mode: no adoption)
+            adopted = jnp.zeros((n,), bool)
+            adopt_row = jnp.zeros((n,), jnp.int32)
+        else:
+            # --- per-ROOT flatness (exact, f32-stable): only a plane that
+            # proved FLAT may adopt holes below.  A curved strip (own RMS ~
+            # 100-170 at th 300) passes the hole band test out to where the
+            # surface re-enters its tangent band — e.g. the matching phase of
+            # the next hump of rolling terrain — and the adopted ring then
+            # drags the recomputed model off its members (measured: in-band
+            # fraction 0.82 with adoption ungated).  Healing targets (Morton-
+            # partition holes in genuinely planar ground/roofs) have RMS ≈
+            # noise.  r2 of a merged root about its own plane decomposes over
+            # fragments by the parallel-axis rule — differences first, so no
+            # mm-scale cancellation:
+            #   r2_root · cnt = Σ_f [ nᵀM_f n + cnt_f ((c_f − c_root)·n)² ]
+            cnt_r = acc[:, 0]
+            sc_r = jnp.maximum(cnt_r, 1.0)[:, None]
+            mn_r = acc[:, 1:4] / sc_r
+            n_r = mn_r / jnp.sqrt(
+                jnp.maximum(jnp.sum(mn_r * mn_r, -1, keepdims=True), 1e-20)
+            )
+            c_r = acc[:, 4:7] / sc_r
+            nr_f = n_r[parent]  # [P, 3] small gathers
+            cr_f = c_r[parent]
+            r2n_f = (
+                acc_m[:, 0] * nr_f[:, 0] * nr_f[:, 0]
+                + acc_m[:, 1] * nr_f[:, 1] * nr_f[:, 1]
+                + acc_m[:, 2] * nr_f[:, 2] * nr_f[:, 2]
+                + 2.0 * acc_m[:, 3] * nr_f[:, 0] * nr_f[:, 1]
+                + 2.0 * acc_m[:, 4] * nr_f[:, 0] * nr_f[:, 2]
+                + 2.0 * acc_m[:, 5] * nr_f[:, 1] * nr_f[:, 2]
+            )
+            off_f = jnp.sum((c_t - cr_f) * nr_f, -1)
+            flat_num = jnp.dot(
+                onehot, r2n_f + cnt_o * off_f * off_f,
+                preferred_element_type=jnp.float32, precision=hi_p,
+            )
+            flat_ok = flat_num / jnp.maximum(cnt_r, 1.0) <= (
+                (0.25 * th_thickness) ** 2
+            )
 
-    # adoption sums fold into the merged table (roots only, so they
-    # land on the rows the renumber reads)
-    if on_tpu:
-        add_row = jnp.where(adopted, adopt_row, cap128)
-        acc_add = plane_sums(
-            add_row, payload, n_live, table_cap=max_planes,
-        )[:max_planes]
-    else:
-        add_row = jnp.where(adopted, adopt_row, max_planes)
-        acc_add = (
-            jnp.zeros((max_planes + 1, 8), jnp.float32)
-            .at[add_row]
-            .add(jnp.where(adopted[:, None], payload, 0.0))
-        )[:max_planes]
-    acc = acc + _psum(acc_add)
+            # --- hole fill: adjacency-free adoption against the top-K merged
+            # planes.  The window refine can never reach a hole whose sorted-
+            # order borders jump to distant space (whole Morton segments lost
+            # to compounding group-coherence attrition at deep levels) —
+            # measured on the block scene at levels=3: 90% of the unlabeled
+            # ground had NO labeled row within ±16 sorted rows, with perfect
+            # normals, and extra refine sweeps moved coverage by +1%.  So
+            # unlabeled points test directly against the merged plane table:
+            # plane-band |p·n−b| ≤ th, normal cos, and in-plane proximity to
+            # the plane's extent (2·rms + gate — the point form of the pair
+            # test's reach).  All [N,K]-matmul-shaped: trivial MXU work.
+            # ------------------------------------------------------------------
+            K = min(128, max_planes)
+            top_cnt, top_row = lax.top_k(acc[:, 0], K)
+            sck = jnp.maximum(top_cnt, 1.0)[:, None]
+            acc_k = acc[top_row]  # [K, 8] — small-table gather
+            mnk = acc_k[:, 1:4] / sck
+            nk = mnk / jnp.sqrt(
+                jnp.maximum(jnp.sum(mnk * mnk, -1, keepdims=True), 1e-20)
+            )
+            ck = acc_k[:, 4:7] / sck
+            ccdk = jnp.sum(ck * ck, -1)
+            rk = jnp.sqrt(jnp.maximum(acc_k[:, 7] / sck[:, 0] - ccdk, 0.0))
+            bk = jnp.sum(nk * ck, -1)
+            holes = mask & (pid == 0)
+            offk = jnp.dot(pos, nk.T, preferred_element_type=jnp.float32,
+                           precision=hi_p) - bk[None, :]
+            cosk = cmag(jnp.dot(cn, nk.T, preferred_element_type=jnp.float32,
+                                precision=hi_p))
+            d2k = sq + ccdk[None, :] - 2.0 * jnp.dot(
+                pos, ck.T, preferred_element_type=jnp.float32, precision=hi_p
+            )
+            inpl2 = jnp.maximum(d2k - offk * offk, 0.0)
+            reachk = 2.0 * rk + jnp.float32(edge_mm)
+            okk = (
+                (jnp.abs(offk) <= th_thickness)
+                & (cosk >= th_normal_cos)
+                & (inpl2 <= (reachk * reachk)[None, :])
+                & (top_cnt > 0)[None, :]
+                & flat_ok[top_row][None, :]  # only flat planes adopt (above)
+                & holes[:, None]
+            )
+            off_sel = jnp.where(okk, jnp.abs(offk), jnp.inf)
+            arg = jnp.argmin(off_sel, axis=1)
+            adopted = jnp.any(okk, axis=1)
+            # arg → root row without a [N] gather (one-hot over K lanes)
+            sel = (
+                lax.broadcasted_iota(jnp.int32, (n, K), 1) == arg[:, None]
+            ).astype(jnp.float32)
+            adopt_row = jnp.sum(
+                sel * top_row[None, :].astype(jnp.float32), axis=1
+            ).astype(jnp.int32)
+
+            # adoption sums fold into the merged table (roots only, so they
+            # land on the rows the renumber reads)
+            if on_tpu:
+                add_row = jnp.where(adopted, adopt_row, cap128)
+                acc_add = plane_sums(
+                    add_row, payload, n_live, table_cap=max_planes,
+                )[:max_planes]
+            else:
+                add_row = jnp.where(adopted, adopt_row, max_planes)
+                acc_add = (
+                    jnp.zeros((max_planes + 1, 8), jnp.float32)
+                    .at[add_row]
+                    .add(jnp.where(adopted[:, None], payload, 0.0))
+                )[:max_planes]
+            acc = acc + _psum(acc_add)
 
     counts_old = acc[:, 0].astype(jnp.int32)  # by merged root row
     keep = counts_old > th_point_count
@@ -751,13 +774,14 @@ def segment_planes_multigrid(
         new_id = table_lookup(
             jnp.where(member, pid, 0), lut, n_live + 1
         ).astype(jnp.int32)
-        new_id_a = table_lookup(
-            pid_adopt, lut2, n_live + 1
-        ).astype(jnp.int32)
+        if heal is True:
+            new_id = new_id + table_lookup(
+                pid_adopt, lut2, n_live + 1
+            ).astype(jnp.int32)  # disjoint supports
     else:
         new_id = lut[jnp.where(member, pid, 0)].astype(jnp.int32)
-        new_id_a = lut2[pid_adopt].astype(jnp.int32)
-    new_id = new_id + new_id_a  # disjoint supports
+        if heal is True:
+            new_id = new_id + lut2[pid_adopt].astype(jnp.int32)
     plane_idx = jnp.where(new_id > 0, new_id, -1).astype(jnp.int32)
 
     # dense table = kept merged-root rows permuted into rank order
