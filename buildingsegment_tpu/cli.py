@@ -74,15 +74,26 @@ def parse_args(argv):
         action="store_true",
         help="strict reference semantics (unstable on vertical walls)",
     )
+    def _dedup_bits(s):
+        v = int(s)
+        if v < 0:
+            raise argparse.ArgumentTypeError("--dedup-bits must be >= 0")
+        return v
+
     p.add_argument(
         "--dedup-bits",
-        type=int,
+        type=_dedup_bits,
         default=None,
         metavar="N",
         help="remove duplicate points whose quantized positions match "
         "after dropping N low bits (first occurrence survives; the "
         "reference's removeDuplicatePointInQuantizedPoint, "
-        "PCCPointSet.h:457-472); 0 = exact-duplicate removal",
+        "PCCPointSet.h:457-472); 0 = exact-duplicate removal.  "
+        "Divergences from the reference: duplicates are removed "
+        "globally by first occurrence (the reference's std::unique "
+        "only removes CONSECUTIVE duplicates in its sort order), and "
+        "survivors keep their ORIGINAL coordinates (the reference "
+        "keeps the masked/quantized ones)",
     )
     p.add_argument("--ascii", action="store_true", help="write ascii PLY")
     p.add_argument(

@@ -108,8 +108,12 @@ def estimate_spacing_mm(positions: np.ndarray, cell_mm: int = 512) -> float:
         return float(cell_mm)
     q = positions.astype(np.int64)
     q = (q - q.min(axis=0, keepdims=True)) // cell_mm
-    key = (q[:, 0] << 42) | (q[:, 1] << 21) | q[:, 2]
-    per = n / max(len(np.unique(key)), 1)
+    if int(q.max(initial=0)) < (1 << 21):
+        key = (q[:, 0] << 42) | (q[:, 1] << 21) | q[:, 2]
+        occupied = len(np.unique(key))
+    else:  # pragma: no cover — >~1000 km extent at cell=512
+        occupied = len(np.unique(q, axis=0))
+    per = n / max(occupied, 1)
     return float(cell_mm) / max(per, 1.0) ** 0.5
 
 

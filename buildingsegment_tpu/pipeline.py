@@ -427,8 +427,12 @@ def _maybe_dedup(cloud: HostPointCloud, config: PipelineConfig):
     upload — the host analog of the reference's container-level
     ``removeDuplicatePointInQuantizedPoint`` (tmc3/PCCPointSet.h:
     457-472; unused by the reference's main, exposed here as
-    ``--dedup-bits``).  Surviving points keep their original
-    coordinates; later duplicates are dropped entirely."""
+    ``--dedup-bits``).  Two deliberate divergences from the cited
+    reference: survivors keep their ORIGINAL coordinates (the
+    reference masks in place, keeping quantized coords), and
+    duplicates are removed GLOBALLY by first occurrence (the
+    reference's std::unique removes only consecutive duplicates in
+    its sort order)."""
     if config.dedup_bits is None:
         return cloud
     from buildingsegment_tpu.core.quantize import dedup_keep_mask

@@ -4,8 +4,11 @@ The r4 finalize grew three pieces: the centered-moments pass (3 table
 lookups + one 6-col segsum per level), the [P,P] pair RMS gate, and
 the fine-level [N,128] hole-fill.  The bench headline regressed 45.5
 -> 62.5 ms when they landed at every level; this lab quantifies each
-mode on the chip so the production default (outer adopt + inner merge)
-is a measured choice, not a guess.
+mode on the chip.  NOTE: the production default is full heal at EVERY
+level (seg/coarse.py pins the inner recursion to heal=True — the
+quality-measured choice, see the knob doc at coarse.py:106-115); the
+`heal` knob here varies only the OUTERMOST level, so the modes below
+bound the outer-level cost, not the inner-level cost.
 
 Run on the real chip:  python tools/tpu_run.py perf_heal_lab
 """
@@ -98,14 +101,16 @@ def main():
                 group=4, **a,
             )
 
-        # production default first (outer adopt + inner merge)
+        # production default first (full heal at every level)
         stage("mg_heal_default_ms", lambda: mgv())
         stage("mg_heal_none_ms", lambda: mgv(heal=False))
         stage("mg_heal_merge_only_ms", lambda: mgv(heal="merge"))
-        # the r4-regression shape (full heal at every level) cannot be
-        # expressed any more (inner levels are pinned to "merge");
-        # default-vs-merge_only isolates the fine-level flatness +
-        # [N,128] hole-fill, merge_only-vs-none the moments+pair cost
+        # inner levels are pinned to heal=True regardless of the knob
+        # (coarse.py:327), so these modes vary the OUTERMOST level
+        # only: default-vs-merge_only isolates the outer fine-level
+        # flatness + [N,128] hole-fill, merge_only-vs-none the outer
+        # moments+pair cost.  Inner-level modes are not measurable
+        # without threading a per-level override.
         try:
             res = mgv()
             out["mg_planes"] = int(res.num_planes)
