@@ -33,7 +33,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["plane_sums", "table_lookup"]
+__all__ = ["plane_sums", "table_lookup", "table_lookup_cols"]
 
 _CHUNK = 128  # id chunk = one lane row of the one-hot selector
 
@@ -78,7 +78,7 @@ def _segsum_kernel(nchunk_ref, ids_ref, payload_ref, out_ref, acc, *,
     jax.jit, static_argnames=("table_cap", "cols", "tile", "interpret")
 )
 def plane_sums(ids, payload, n_live, *, table_cap, cols=8, tile=8192,
-               interpret=False):
+               interpret=None):
     """Segment-sum ``payload`` rows by integer id into a small table.
 
     Args:
@@ -92,6 +92,8 @@ def plane_sums(ids, payload, n_live, *, table_cap, cols=8, tile=8192,
     Returns f32[cap128, cols] with ``cap128 = ceil(table_cap/128)·128``;
     row t = Σ over rows with ids == t of payload.
     """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
     n = ids.shape[0]
     n_chunk_cap = -(-table_cap // _CHUNK)
     cap128 = n_chunk_cap * _CHUNK
@@ -156,7 +158,7 @@ def _lookup_kernel(nchunk_ref, ids_ref, lut_ref, out_ref, *, tile):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def table_lookup(ids, lut, n_live, *, tile=8192, interpret=False):
+def table_lookup(ids, lut, n_live, *, tile=8192, interpret=None):
     """``lut[ids]`` through a one-hot matmul (sort- and gather-free).
 
     Args:
@@ -166,6 +168,8 @@ def table_lookup(ids, lut, n_live, *, tile=8192, interpret=False):
 
     Returns f32[n].
     """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
     n = ids.shape[0]
     cap = lut.shape[0]
     n_chunk_cap = -(-cap // _CHUNK)
@@ -207,3 +211,93 @@ def table_lookup(ids, lut, n_live, *, tile=8192, interpret=False):
     if n_pad != n:
         out = lax.slice(out, (0,), (n,))
     return out
+
+
+def _lookup_cols_kernel(nchunk_ref, ids_ref, lut_ref, out_ref, *,
+                        tile, cpad):
+    ids = ids_ref[...]  # f32[tile]
+
+    def chunk(c, acc):
+        base = (c * _CHUNK).astype(jnp.float32)
+        tgt = base + lax.broadcasted_iota(
+            jnp.int32, (_CHUNK, tile), 0
+        ).astype(jnp.float32)
+        eqT = jnp.where(tgt == ids[None, :], 1.0, 0.0)
+        # [cpad, 128] chunk of the column-major table; the dynamic
+        # sublane offset stays 8-aligned because cpad is padded to 8
+        vals = lut_ref[pl.ds(c * cpad, cpad), :]
+        contrib = lax.dot_general(
+            vals, eqT, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [cpad, tile]
+        return acc + contrib
+
+    out_ref[...] = lax.fori_loop(
+        0, nchunk_ref[0], chunk,
+        jnp.zeros((cpad, tile), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def table_lookup_cols(ids, lut, n_live, *, tile=8192, interpret=None):
+    """``lut[ids, :]`` for a small multi-column table, one fused pass.
+
+    The one-hot selector is built ONCE per id chunk and shared by all
+    columns (three separate :func:`table_lookup` calls pay the
+    [128, tile] compare three times — the selector build dominates).
+
+    Args:
+        ids: int32[n] in [0, cap); ids ≥ n_live return 0.0.
+        lut: f32[cap, cols] small table (cols ≤ 8).
+        n_live: scalar int32 live-id bound (may be traced).
+
+    Returns f32[cols, n] — COLUMN-major so consumers peel per-axis
+    rows without a transpose.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    n = ids.shape[0]
+    cap, cols = lut.shape
+    assert cols <= 8, cols
+    cpad = 8
+    n_chunk_cap = -(-cap // _CHUNK)
+    cap128 = n_chunk_cap * _CHUNK
+    # chunk-major [n_chunk_cap * cpad, 128]: chunk c's rows are
+    # [c·cpad, c·cpad + cols)
+    lutp = jnp.zeros((cap128, cpad), jnp.float32)
+    lutp = lutp.at[:cap, :cols].set(lut.astype(jnp.float32))
+    lut3 = (
+        lutp.reshape(n_chunk_cap, _CHUNK, cpad)
+        .transpose(0, 2, 1)
+        .reshape(n_chunk_cap * cpad, _CHUNK)
+    )
+    tile = min(tile, max(128, 1 << (n - 1).bit_length()))
+    n_pad = -(-n // tile) * tile
+    idsf = ids.astype(jnp.float32)
+    if n_pad != n:
+        idsf = jnp.concatenate(
+            [idsf, jnp.full((n_pad - n,), float(cap128), jnp.float32)]
+        )
+    n_chunks = jnp.minimum(
+        (n_live.astype(jnp.int32) + _CHUNK - 1) // _CHUNK, n_chunk_cap
+    ).reshape((1,))
+    out = pl.pallas_call(
+        functools.partial(_lookup_cols_kernel, tile=tile, cpad=cpad),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile,), lambda ti: (ti,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chunk_cap * cpad, _CHUNK),
+                         lambda ti: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cpad, tile), lambda ti: (0, ti),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cpad, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(n_chunks, idsf, lut3)
+    return out[:cols, :n]

@@ -421,7 +421,9 @@ def knn_normals_window_stats(
     """
     n = spos.shape[0]
     if use_kernel is None:
-        use_kernel = jax.devices()[0].platform != "cpu"
+        from buildingsegment_tpu.utils.platform import use_device_kernels
+
+        use_kernel = use_device_kernels()
     if not use_kernel:
         from buildingsegment_tpu.ops.fused import knn_normals_window_sorted
 

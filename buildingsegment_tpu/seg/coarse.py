@@ -223,7 +223,9 @@ def segment_planes_multigrid(
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
     nx_, ny_, nz_ = nrm[:, 0], nrm[:, 1], nrm[:, 2]
     tile = pick_tile(n, 32768)  # fewer grid steps (see window_seeds)
-    on_tpu = jax.devices()[0].platform != "cpu" and tile
+    from buildingsegment_tpu.utils.platform import use_device_kernels
+
+    on_tpu = use_device_kernels() and tile
     maskf = mask.astype(jnp.float32)
     spine = (
         make_spine((px, py, pz), (nx_, ny_, nz_), maskf, window, tile,
@@ -546,20 +548,27 @@ def segment_planes_multigrid(
         # first-pass center: raw Σppᵀ at mm scale cancels catastrophically
         # in f32 (CLAUDE.md), centered sums keep ~mm² absolute error.
         if on_tpu:
+            from buildingsegment_tpu.ops.segsum import table_lookup_cols
+
             pid_m = jnp.where(member, pid, 0)
-            pc_cols = []
-            for a in range(3):
-                lut_c = jnp.concatenate(
-                    [jnp.zeros((1,), jnp.float32), c_t[:, a]]
-                )
-                pc_cols.append(table_lookup(pid_m, lut_c, n_live + 1))
-            pc = jnp.stack(pc_cols, axis=1)
+            lut_c3 = jnp.concatenate(
+                [jnp.zeros((1, 3), jnp.float32), c_t], axis=0
+            )
+            # one fused 3-column lookup (the one-hot selector build
+            # dominates; three single-col calls paid it three times)
+            pcc = table_lookup_cols(pid_m, lut_c3, n_live + 1)  # [3,n]
+            dxc = jnp.where(
+                member[:, None],
+                jnp.stack([pos[:, 0] - pcc[0], pos[:, 1] - pcc[1],
+                           pos[:, 2] - pcc[2]], axis=1),
+                0.0,
+            )
         else:
             ct_pad = jnp.concatenate(
                 [c_t, jnp.zeros((1, 3), jnp.float32)], axis=0
             )
             pc = ct_pad[old_row]
-        dxc = jnp.where(member[:, None], pos - pc, 0.0)
+            dxc = jnp.where(member[:, None], pos - pc, 0.0)
         mom = jnp.stack(
             [dxc[:, 0] * dxc[:, 0], dxc[:, 1] * dxc[:, 1],
              dxc[:, 2] * dxc[:, 2], dxc[:, 0] * dxc[:, 1],
@@ -710,42 +719,69 @@ def segment_planes_multigrid(
             rk = jnp.sqrt(jnp.maximum(acc_k[:, 7] / sck[:, 0] - ccdk, 0.0))
             bk = jnp.sum(nk * ck, -1)
             holes = mask & (pid == 0)
-            offk = jnp.dot(pos, nk.T, preferred_element_type=jnp.float32,
-                           precision=hi_p) - bk[None, :]
-            cosk = cmag(jnp.dot(cn, nk.T, preferred_element_type=jnp.float32,
-                                precision=hi_p))
-            d2k = sq + ccdk[None, :] - 2.0 * jnp.dot(
-                pos, ck.T, preferred_element_type=jnp.float32, precision=hi_p
-            )
-            inpl2 = jnp.maximum(d2k - offk * offk, 0.0)
             reachk = 2.0 * rk + jnp.float32(edge_mm)
-            okk = (
-                (jnp.abs(offk) <= th_thickness)
-                & (cosk >= th_normal_cos)
-                & (inpl2 <= (reachk * reachk)[None, :])
-                & (top_cnt > 0)[None, :]
-                & flat_ok[top_row][None, :]  # only flat planes adopt (above)
-                & holes[:, None]
-            )
-            off_sel = jnp.where(okk, jnp.abs(offk), jnp.inf)
-            arg = jnp.argmin(off_sel, axis=1)
-            adopted = jnp.any(okk, axis=1)
-            # arg → root row without a [N] gather (one-hot over K lanes)
-            sel = (
-                lax.broadcasted_iota(jnp.int32, (n, K), 1) == arg[:, None]
-            ).astype(jnp.float32)
-            adopt_row = jnp.sum(
-                sel * top_row[None, :].astype(jnp.float32), axis=1
-            ).astype(jnp.int32)
-
-            # adoption sums fold into the merged table (roots only, so they
-            # land on the rows the renumber reads)
+            lane_ok = ((top_cnt > 0) & flat_ok[top_row]).astype(
+                jnp.float32)  # only flat planes adopt (above)
             if on_tpu:
-                add_row = jnp.where(adopted, adopt_row, cap128)
-                acc_add = plane_sums(
-                    add_row, payload, n_live, table_cap=max_planes,
-                )[:max_planes]
+                # fused single-pass kernel: decision + first-min lane +
+                # adoption payload sums in one read of [N,8] (the XLA
+                # form below materializes several [N,K] intermediates
+                # and pays a second plane_sums pass — ops/adopt.py)
+                from buildingsegment_tpu.ops.adopt import (
+                    pack_adopt_tables, plane_adopt,
+                )
+
+                Bm, tabm = pack_adopt_tables(
+                    nk, ck, bk, ccdk, reachk * reachk, lane_ok,
+                    top_row.astype(jnp.float32),
+                )
+                adopted, adopt_row, acc128 = plane_adopt(
+                    payload, holes, Bm, tabm,
+                    th_thickness=float(th_thickness),
+                    th_cos=float(th_normal_cos),
+                    signed=signed_normals,
+                )
+                # fold lane-ordered sums onto merged-root rows (one-hot
+                # matmul — 128 rows, trivial and deterministic)
+                onehot_pr = (
+                    top_row[None, :] == rows_p[:, None]
+                ).astype(jnp.float32)
+                acc_add = jnp.dot(
+                    onehot_pr, acc128,
+                    preferred_element_type=jnp.float32, precision=hi_p,
+                )
             else:
+                offk = jnp.dot(pos, nk.T,
+                               preferred_element_type=jnp.float32,
+                               precision=hi_p) - bk[None, :]
+                cosk = cmag(jnp.dot(cn, nk.T,
+                                    preferred_element_type=jnp.float32,
+                                    precision=hi_p))
+                d2k = sq + ccdk[None, :] - 2.0 * jnp.dot(
+                    pos, ck.T, preferred_element_type=jnp.float32,
+                    precision=hi_p
+                )
+                inpl2 = jnp.maximum(d2k - offk * offk, 0.0)
+                okk = (
+                    (jnp.abs(offk) <= th_thickness)
+                    & (cosk >= th_normal_cos)
+                    & (inpl2 <= (reachk * reachk)[None, :])
+                    & (lane_ok > 0)[None, :]
+                    & holes[:, None]
+                )
+                off_sel = jnp.where(okk, jnp.abs(offk), jnp.inf)
+                arg = jnp.argmin(off_sel, axis=1)
+                adopted = jnp.any(okk, axis=1)
+                # arg → root row without a [N] gather (one-hot over K)
+                sel = (
+                    lax.broadcasted_iota(jnp.int32, (n, K), 1)
+                    == arg[:, None]
+                ).astype(jnp.float32)
+                adopt_row = jnp.sum(
+                    sel * top_row[None, :].astype(jnp.float32), axis=1
+                ).astype(jnp.int32)
+                # adoption sums fold into the merged table (roots only,
+                # so they land on the rows the renumber reads)
                 add_row = jnp.where(adopted, adopt_row, max_planes)
                 acc_add = (
                     jnp.zeros((max_planes + 1, 8), jnp.float32)

@@ -53,6 +53,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from buildingsegment_tpu.ops.normals import canonicalize_normals
+from buildingsegment_tpu.utils.platform import (
+    use_device_kernels as _use_device_kernels,
+)
 from buildingsegment_tpu.ops.prefix import prefix_sum_i32
 
 __all__ = ["segment_planes", "window_seeds", "SegmentationResult"]
@@ -146,7 +149,7 @@ def window_seeds(
         # 4.04 ms vs 4.90 for the pair sweep at 1.08M points;
         # bit-identical output — tests/test_window_sweep.py)
         seed_mode = os.environ.get("BST_SEED_MODE", "sym")
-    if jax.devices()[0].platform != "cpu" and tile:
+    if _use_device_kernels() and tile:
         if spine is not None and spine_tile == tile:
             # shared spine (coarse.py builds it once per solve); only
             # the seed-ball row is assembled here
@@ -730,7 +733,7 @@ def segment_planes(
     )
 
     _sweep_tile = pick_tile(n)
-    _use_kernel = jax.devices()[0].platform != "cpu" and bool(_sweep_tile)
+    _use_kernel = _use_device_kernels() and bool(_sweep_tile)
     if _use_kernel:
         maskf_r = mask.astype(jnp.float32)
     else:

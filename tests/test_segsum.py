@@ -9,7 +9,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from buildingsegment_tpu.ops.segsum import plane_sums, table_lookup
+from buildingsegment_tpu.ops.segsum import (
+    plane_sums,
+    table_lookup,
+    table_lookup_cols,
+)
 
 
 @pytest.fixture(scope="module")
@@ -80,3 +84,46 @@ class TestTableLookup:
         )
         # ids at/above the live bound return 0 (their chunk is skipped)
         np.testing.assert_array_equal(got, [1.0, 1.0, 0.0, 0.0])
+
+
+class TestTableLookupCols:
+    def test_matches_gather(self, data):
+        ids, _ = data
+        rng = np.random.default_rng(9)
+        lut = rng.normal(size=(1025, 3)).astype(np.float32)
+        got = np.asarray(
+            table_lookup_cols(
+                jnp.asarray(ids), jnp.asarray(lut), jnp.int32(701),
+                interpret=True,
+            )
+        )
+        assert got.shape == (3, len(ids))
+        np.testing.assert_array_equal(got.T, lut[ids])
+
+    def test_dead_ids_zero_and_non_multiple(self):
+        ids = jnp.asarray(np.array([0, 5, 200, 900, 3], np.int32))
+        lut = jnp.asarray(np.ones((1024, 2), np.float32))
+        got = np.asarray(
+            table_lookup_cols(ids, lut, jnp.int32(128), tile=256,
+                              interpret=True)
+        )
+        np.testing.assert_array_equal(
+            got, [[1, 1, 0, 0, 1], [1, 1, 0, 0, 1]]
+        )
+
+    def test_matches_single_col_lookup(self, data):
+        ids, _ = data
+        rng = np.random.default_rng(11)
+        lut = rng.normal(size=(512, 3)).astype(np.float32)
+        multi = np.asarray(
+            table_lookup_cols(
+                jnp.asarray(ids % 512), jnp.asarray(lut),
+                jnp.int32(512), interpret=True)
+        )
+        for c in range(3):
+            single = np.asarray(
+                table_lookup(jnp.asarray(ids % 512),
+                             jnp.asarray(lut[:, c]), jnp.int32(512),
+                             interpret=True)
+            )
+            np.testing.assert_array_equal(multi[c], single)

@@ -206,3 +206,31 @@ def test_knn_pallas_hbm_path_lowers():
         jax.ShapeDtypeStruct((1 << 22,), jnp.bool_),
         k=16, interpret=False,
     )
+
+
+def test_plane_adopt_lowers():
+    """Fused hole-adoption kernel (ops/adopt.py) at production shape:
+    [T,8]x[8,384] dot + lane selection + grid-accumulated [128,8]."""
+    from buildingsegment_tpu.ops.adopt import plane_adopt
+
+    _lower_tpu(
+        plane_adopt,
+        _f32(_N1M, 8),                       # payload
+        jax.ShapeDtypeStruct((_N1M,), jnp.bool_),  # holes
+        _f32(8, 384),                        # B
+        _f32(8, 128),                        # tab
+        th_thickness=300.0, th_cos=0.88, signed=False,
+        interpret=False,
+    )
+
+
+def test_table_lookup_cols_lowers():
+    from buildingsegment_tpu.ops.segsum import table_lookup_cols
+
+    _lower_tpu(
+        table_lookup_cols,
+        _i32(_N1M),
+        _f32(1025, 3),
+        _i32(),
+        interpret=False,
+    )
