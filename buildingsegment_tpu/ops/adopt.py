@@ -88,56 +88,74 @@ def _adopt_kernel(payload_ref, holes_ref, B_ref, tab_ref,
                   adopted_ref, row_ref, acc_out_ref, acc, *,
                   tile, th_thickness, th_cos, signed):
     ti = pl.program_id(0)
-    # zero-init the persistent adoption-sum accumulator on step 0
-    # (select on a read, never a @pl.when write — segsum.py rule)
-    acc[...] = jnp.where(ti == 0, 0.0, acc[...])
-
-    A = payload_ref[...]  # [T, 8]: cnt=1, n̂, p, |p|²
+    # read the persistent accumulator BEFORE any conditional write
+    # this step (zero-init by select on step 0 — segsum.py rule)
+    acc_val = jnp.where(ti == 0, 0.0, acc[...])
     hole = holes_ref[...]  # f32[T], 1.0 = unlabeled candidate
-    M = lax.dot_general(
-        A, B_ref[...], (((1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # [T, 384]
-    off = M[:, 0:_K]
-    cosr = M[:, _K:2 * _K]
-    pc2 = M[:, 2 * _K:3 * _K]
-    sq = A[:, 7:8]  # [T, 1]
-    aoff = jnp.abs(off)
-    cos = cosr if signed else jnp.abs(cosr)
-    # inpl² = max(d² − off², 0) with d² = sq − 2·pc2; the clamp is
-    # dropped: reach² ≥ 0 so max(x,0) ≤ r² ⟺ x ≤ r²
-    inpl2 = (sq - 2.0 * pc2) - off * off
-    reach2 = tab_ref[0:1, :]  # [1, 128]
-    lane_ok = tab_ref[1:2, :]
-    rowlut = tab_ref[2:3, :]
-    ok = (
-        (aoff <= th_thickness)
-        & (cos >= th_cos)
-        & (inpl2 <= reach2)
-        & (lane_ok > 0.0)
-        & (hole[:, None] > 0.0)
-    )
-    offsel = jnp.where(ok, aoff, _BIG)
-    m = jnp.min(offsel, axis=1)  # [T]
-    adopted = (m < _BIG) & (hole > 0.0)
-    iota = lax.broadcasted_iota(jnp.int32, (tile, _K), 1)
-    eq = (offsel == m[:, None]) & ok
-    lane = jnp.min(jnp.where(eq, iota, _K), axis=1)  # first min lane
-    sel = (iota == lane[:, None]) & adopted[:, None]  # [T, 128]
-    row = jnp.sum(jnp.where(sel, rowlut, 0.0), axis=1)
-    adopted_ref[...] = adopted.astype(jnp.float32)
-    row_ref[...] = row
-    # adoption sums: acc128[l] += Σ_{i: sel[i,l]} A[i]  (one-hot MXU
-    # matmul; each accumulated term is an exact f32 product, so the
-    # result matches the XLA scatter-add up to addition order)
-    selT = jnp.where(sel, 1.0, 0.0).T  # [128, T]
-    acc[...] = acc[...] + lax.dot_general(
-        selT, A, (((1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    acc_out_ref[...] = acc[...]
+    # Morton-sorted labels leave holes CLUSTERED, so most tiles carry
+    # none — skip the whole [T,128] decision for them (measured: the
+    # unskipped kernel cost ~14 ms of the 57 ms multigrid stage at 1M
+    # points; the e2e hole fraction is a few % on dense scans)
+    has = jnp.max(hole) > 0.0
+
+    @pl.when(has)
+    def _compute():
+        A = payload_ref[...]  # [T, 8]: cnt=1, n̂, p, |p|²
+        M = lax.dot_general(
+            A, B_ref[...], (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [T, 384]
+        off = M[:, 0:_K]
+        cosr = M[:, _K:2 * _K]
+        pc2 = M[:, 2 * _K:3 * _K]
+        sq = A[:, 7:8]  # [T, 1]
+        aoff = jnp.abs(off)
+        cos = cosr if signed else jnp.abs(cosr)
+        # inpl² = max(d² − off², 0) with d² = sq − 2·pc2; the clamp is
+        # dropped: reach² ≥ 0 so max(x,0) ≤ r² ⟺ x ≤ r²
+        inpl2 = (sq - 2.0 * pc2) - off * off
+        reach2 = tab_ref[0:1, :]  # [1, 128]
+        lane_ok = tab_ref[1:2, :]
+        rowlut = tab_ref[2:3, :]
+        ok = (
+            (aoff <= th_thickness)
+            & (cos >= th_cos)
+            & (inpl2 <= reach2)
+            & (lane_ok > 0.0)
+            & (hole[:, None] > 0.0)
+        )
+        offsel = jnp.where(ok, aoff, _BIG)
+        m = jnp.min(offsel, axis=1)  # [T]
+        adopted = (m < _BIG) & (hole > 0.0)
+        iota = lax.broadcasted_iota(jnp.int32, (tile, _K), 1)
+        eq = (offsel == m[:, None]) & ok
+        lane = jnp.min(jnp.where(eq, iota, _K), axis=1)  # first min
+        sel = (iota == lane[:, None]) & adopted[:, None]  # [T, 128]
+        row = jnp.sum(jnp.where(sel, rowlut, 0.0), axis=1)
+        adopted_ref[...] = adopted.astype(jnp.float32)
+        row_ref[...] = row
+        # adoption sums: acc128[l] += Σ_{i: sel[i,l]} A[i]  (one-hot
+        # MXU matmul; each accumulated term is an exact f32 product,
+        # so the result matches the XLA scatter-add up to addition
+        # order)
+        selT = jnp.where(sel, 1.0, 0.0).T  # [128, T]
+        newacc = acc_val + lax.dot_general(
+            selT, A, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        acc[...] = newacc
+        acc_out_ref[...] = newacc
+
+    @pl.when(jnp.logical_not(has))
+    def _skip():
+        adopted_ref[...] = jnp.zeros((tile,), jnp.float32)
+        row_ref[...] = jnp.zeros((tile,), jnp.float32)
+        # the two branches are exhaustive: acc is written exactly once
+        # per step, and the only read (acc_val above) precedes both
+        acc[...] = acc_val
+        acc_out_ref[...] = acc_val
 
 
 @functools.partial(
@@ -146,7 +164,7 @@ def _adopt_kernel(payload_ref, holes_ref, B_ref, tab_ref,
                      "interpret"),
 )
 def plane_adopt(payload, holes, B, tab, *, th_thickness, th_cos,
-                signed=False, tile=1024, interpret=None):
+                signed=False, tile=2048, interpret=None):
     """Adopt unlabeled points into the top-K merged plane table.
 
     Args:

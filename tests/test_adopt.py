@@ -166,3 +166,27 @@ def test_adopt_padding_rows_never_adopt():
     assert ad.shape == (333,) and row.shape == (333,)
     # total adoption count in acc equals the adopted mask popcount
     assert int(np.asarray(acc)[:, 0].sum()) == int(np.asarray(ad).sum())
+
+
+def test_adopt_tile_skip_branch():
+    """Holes concentrated in one tile: the other tiles take the skip
+    branch and must still produce zeros + a correct accumulator."""
+    (pos, cn, holes, nk, ck, bk, ccdk, reach2, lane_ok,
+     rowlut) = _rand_problem(13, n=1024)
+    holes = jnp.asarray(
+        np.arange(1024) < 100)  # only tile 0 (tile=256) has holes
+    th, th_cos = 300.0, 0.88
+    ref_ad, ref_row = _xla_reference(
+        pos, cn, holes, nk, ck, bk, ccdk, reach2, lane_ok, rowlut,
+        th, th_cos, False)
+    B, tab = pack_adopt_tables(nk, ck, bk, ccdk, reach2, lane_ok,
+                               rowlut)
+    ad, row, acc = plane_adopt(
+        _payload(pos, cn), holes, B, tab, th_thickness=th,
+        th_cos=th_cos, tile=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ad), np.asarray(ref_ad))
+    np.testing.assert_array_equal(
+        np.asarray(row)[np.asarray(ad)],
+        np.asarray(ref_row)[np.asarray(ref_ad)])
+    assert not np.asarray(ad)[100:].any()
+    assert int(np.asarray(acc)[:, 0].sum()) == int(np.asarray(ad).sum())
