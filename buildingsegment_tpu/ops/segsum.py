@@ -301,3 +301,160 @@ def table_lookup_cols(ids, lut, n_live, *, tile=8192, interpret=None):
         interpret=interpret,
     )(n_chunks, idsf, lut3)
     return out[:cols, :n]
+
+
+def _paymom_kernel(nchunk_ref, ids_ref, payload_ref, qlut_ref,
+                   outA_ref, outM_ref, accA, accM, mrows, *,
+                   tile, n_chunk_cap):
+    ti = pl.program_id(0)
+    accA[...] = jnp.where(ti == 0, 0.0, accA[...])
+    accM[...] = jnp.where(ti == 0, 0.0, accM[...])
+    ids = ids_ref[...]  # f32[tile]
+    A = payload_ref[...]  # f32[tile, 8]: cnt, n̂, p, |p|²
+
+    def onehot(c):
+        base = (c * _CHUNK).astype(jnp.float32)
+        tgt = base + lax.broadcasted_iota(
+            jnp.int32, (_CHUNK, tile), 0
+        ).astype(jnp.float32)
+        return jnp.where(tgt == ids[None, :], 1.0, 0.0)
+
+    # pass A: per-row reference centers q[id] (lane-major rows) — each
+    # row matches exactly one chunk's one-hot, so accumulating over
+    # live chunks is the lookup
+    def chunk_q(c, pc):
+        vals = qlut_ref[pl.ds(c * 8, 8), :]  # [8, 128]
+        return pc + lax.dot_general(
+            vals, onehot(c), (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    pc = lax.fori_loop(
+        0, nchunk_ref[0], chunk_q, jnp.zeros((8, tile), jnp.float32)
+    )
+    # centered offsets, lane-major rows (explicit [T,1]→[1,T]
+    # transposes: 1-D values live on lanes — compact_sweep.py rules)
+    dx = jnp.transpose(A[:, 4:5]) - pc[0:1, :]
+    dy = jnp.transpose(A[:, 5:6]) - pc[1:2, :]
+    dz = jnp.transpose(A[:, 6:7]) - pc[2:3, :]
+    # moment rows staged through a scratch ref (full-row stores only)
+    mrows[0:1, :] = dx * dx
+    mrows[1:2, :] = dy * dy
+    mrows[2:3, :] = dz * dz
+    mrows[3:4, :] = dx * dy
+    mrows[4:5, :] = dx * dz
+    mrows[5:6, :] = dy * dz
+    mrows[6:7, :] = jnp.zeros((1, tile), jnp.float32)
+    mrows[7:8, :] = jnp.zeros((1, tile), jnp.float32)
+    mom = mrows[...]  # [8, tile]
+
+    def chunk_acc(c, _):
+        eqT = onehot(c)
+        contribA = lax.dot_general(
+            eqT, A, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [128, 8]
+        contribM = lax.dot_general(
+            eqT, mom, (((1,), (1,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [128, 8]
+        r0 = c * _CHUNK
+        accA[pl.ds(r0, _CHUNK), :] = accA[pl.ds(r0, _CHUNK), :] + contribA
+        accM[pl.ds(r0, _CHUNK), :] = accM[pl.ds(r0, _CHUNK), :] + contribM
+        return 0
+
+    lax.fori_loop(0, nchunk_ref[0], chunk_acc, 0)
+    outA_ref[...] = accA[...]
+    outM_ref[...] = accM[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("table_cap", "tile", "interpret")
+)
+def plane_payload_moment_sums(ids, payload, q, n_live, *, table_cap,
+                              tile=8192, interpret=None):
+    """Payload sums AND second moments about per-plane reference
+    centers, one fused pass.
+
+    The finalize's exact centered-moments pass needs each plane's OWN
+    first-pass center — two passes over N.  Centering about any FIXED
+    per-plane reference q (here: the coarse solve's plane centers) and
+    shifting by the parallel-axis rule at [P] scale is algebraically
+    identical:  M_c = M_q − cnt·(c−q)(c−q)ᵀ.  f32 error ~(p−q)²·2⁻²⁴
+    per term stays ≪ the RMS gates while |c−q| ≲ the plane extent —
+    true by construction (both are member means of the same plane).
+
+    Args:
+        ids: int32[n] ids in [0, table_cap); excluded rows ≥ n_live.
+        payload: f32[n, 8] rows [cnt, n̂, p, |p|²] (p in cols 4:7).
+        q: f32[cap, 3] per-id reference centers (coarse plane table).
+        n_live: traced live bound.
+
+    Returns (sums f32[cap128, 8], moments f32[cap128, 6]) where
+    moments cols are (xx, yy, zz, xy, xz, yz) about q[id].
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    n = ids.shape[0]
+    n_chunk_cap = -(-table_cap // _CHUNK)
+    cap128 = n_chunk_cap * _CHUNK
+    # chunk-major lane-major q table: chunk c rows [c·8, c·8+3)
+    qp = jnp.zeros((cap128, 8), jnp.float32)
+    qp = qp.at[: q.shape[0], :3].set(q.astype(jnp.float32))
+    qlut = (
+        qp.reshape(n_chunk_cap, _CHUNK, 8)
+        .transpose(0, 2, 1)
+        .reshape(n_chunk_cap * 8, _CHUNK)
+    )
+    tile = min(tile, max(128, 1 << (n - 1).bit_length()))
+    n_pad = -(-n // tile) * tile
+    idsf = ids.astype(jnp.float32)
+    payload = payload.astype(jnp.float32)
+    if n_pad != n:
+        idsf = jnp.concatenate(
+            [idsf, jnp.full((n_pad - n,), float(cap128), jnp.float32)]
+        )
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((n_pad - n, 8), jnp.float32)]
+        )
+    n_chunks = jnp.minimum(
+        (n_live.astype(jnp.int32) + _CHUNK - 1) // _CHUNK, n_chunk_cap
+    ).reshape((1,))
+    outA, outM = pl.pallas_call(
+        functools.partial(
+            _paymom_kernel, tile=tile, n_chunk_cap=n_chunk_cap
+        ),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile,), lambda ti: (ti,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_chunk_cap * 8, _CHUNK), lambda ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((cap128, 8), lambda ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap128, 8), lambda ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap128, 8), jnp.float32),
+            jax.ShapeDtypeStruct((cap128, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cap128, 8), jnp.float32),
+            pltpu.VMEM((cap128, 8), jnp.float32),
+            pltpu.VMEM((8, tile), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(n_chunks, idsf, payload, qlut)
+    return outA, outM[:, :6]

@@ -492,14 +492,31 @@ def segment_planes_multigrid(
         [jnp.ones((n, 1), jnp.float32), cn, pos, sq], axis=1
     )  # [n, 8]: cnt, Σn̂, Σp, Σ|p|²
     member = mask & (pid > 0)
+    acc_mq = None  # kernel-path moments about the coarse centers
     if on_tpu:
-        from buildingsegment_tpu.ops.segsum import plane_sums, table_lookup
+        from buildingsegment_tpu.ops.segsum import (
+            plane_payload_moment_sums,
+            plane_sums,
+            table_lookup,
+        )
 
         cap128 = -(-max_planes // 128) * 128
         old_row = jnp.where(member, pid - 1, cap128)
-        acc = plane_sums(
-            old_row, payload, n_live, table_cap=max_planes,
-        )[:max_planes]
+        if heal:
+            # one fused pass: payload sums + second moments about the
+            # COARSE plane centers q (parallel-axis shift to the
+            # first-pass centers below replaces the exact two-pass
+            # centered-moments computation — ops/segsum.py docstring)
+            accA, accMq = plane_payload_moment_sums(
+                old_row, payload, pc.astype(jnp.float32), n_live,
+                table_cap=max_planes,
+            )
+            acc = accA[:max_planes]
+            acc_mq = _psum(accMq[:max_planes])
+        else:
+            acc = plane_sums(
+                old_row, payload, n_live, table_cap=max_planes,
+            )[:max_planes]
     else:
         old_row = jnp.where(member, pid - 1, max_planes)
         acc = (
@@ -548,43 +565,37 @@ def segment_planes_multigrid(
         # first-pass center: raw Σppᵀ at mm scale cancels catastrophically
         # in f32 (CLAUDE.md), centered sums keep ~mm² absolute error.
         if on_tpu:
-            from buildingsegment_tpu.ops.segsum import table_lookup_cols
-
-            pid_m = jnp.where(member, pid, 0)
-            lut_c3 = jnp.concatenate(
-                [jnp.zeros((1, 3), jnp.float32), c_t], axis=0
-            )
-            # one fused 3-column lookup (the one-hot selector build
-            # dominates; three single-col calls paid it three times)
-            pcc = table_lookup_cols(pid_m, lut_c3, n_live + 1)  # [3,n]
-            dxc = jnp.where(
-                member[:, None],
-                jnp.stack([pos[:, 0] - pcc[0], pos[:, 1] - pcc[1],
-                           pos[:, 2] - pcc[2]], axis=1),
-                0.0,
-            )
+            # moments already accumulated about the COARSE centers q
+            # in the fused pass-1 kernel; parallel-axis shift to each
+            # plane's own first-pass center c_t:
+            #   M_c = M_q − cnt·(c−q)(c−q)ᵀ
+            # |c−q| ≲ the plane extent by construction (both are
+            # member means of the same plane), keeping f32 error far
+            # below the RMS gates (ops/segsum.py docstring).
+            dq = c_t - pc.astype(jnp.float32)
+            shift = jnp.stack(
+                [dq[:, 0] * dq[:, 0], dq[:, 1] * dq[:, 1],
+                 dq[:, 2] * dq[:, 2], dq[:, 0] * dq[:, 1],
+                 dq[:, 0] * dq[:, 2], dq[:, 1] * dq[:, 2]], axis=1
+            )  # [P, 6]
+            acc_m = acc_mq - cnt_o[:, None] * shift
         else:
             ct_pad = jnp.concatenate(
                 [c_t, jnp.zeros((1, 3), jnp.float32)], axis=0
             )
-            pc = ct_pad[old_row]
-            dxc = jnp.where(member[:, None], pos - pc, 0.0)
-        mom = jnp.stack(
-            [dxc[:, 0] * dxc[:, 0], dxc[:, 1] * dxc[:, 1],
-             dxc[:, 2] * dxc[:, 2], dxc[:, 0] * dxc[:, 1],
-             dxc[:, 0] * dxc[:, 2], dxc[:, 1] * dxc[:, 2]], axis=1
-        )  # [n, 6]: xx, yy, zz, xy, xz, yz about own plane center
-        if on_tpu:
-            acc_m = plane_sums(
-                old_row, mom, n_live, table_cap=max_planes, cols=6,
-            )[:max_planes]
-        else:
+            pcx = ct_pad[old_row]
+            dxc = jnp.where(member[:, None], pos - pcx, 0.0)
+            mom = jnp.stack(
+                [dxc[:, 0] * dxc[:, 0], dxc[:, 1] * dxc[:, 1],
+                 dxc[:, 2] * dxc[:, 2], dxc[:, 0] * dxc[:, 1],
+                 dxc[:, 0] * dxc[:, 2], dxc[:, 1] * dxc[:, 2]], axis=1
+            )  # [n, 6]: xx, yy, zz, xy, xz, yz about own plane center
             acc_m = (
                 jnp.zeros((max_planes + 1, 6), jnp.float32)
                 .at[old_row]
                 .add(jnp.where(member[:, None], mom, 0.0))
             )[:max_planes]
-        acc_m = _psum(acc_m)
+            acc_m = _psum(acc_m)
 
         nc = jnp.sum(n_t * c_t, -1)
         ncT = jnp.dot(n_t, c_t.T, preferred_element_type=jnp.float32,

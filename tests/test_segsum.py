@@ -127,3 +127,39 @@ class TestTableLookupCols:
                              interpret=True)
             )
             np.testing.assert_array_equal(multi[c], single)
+
+
+class TestPlanePayloadMomentSums:
+    def test_matches_two_pass_reference(self):
+        from buildingsegment_tpu.ops.segsum import (
+            plane_payload_moment_sums,
+        )
+
+        rng = np.random.default_rng(21)
+        n, P = 5000, 300
+        ids = rng.integers(0, P, n).astype(np.int32)
+        ids[::7] = 1024  # excluded rows (≥ live bound)
+        pos = rng.uniform(0, 3e4, (n, 3)).astype(np.float32)
+        cn = rng.normal(size=(n, 3)).astype(np.float32)
+        pay = np.concatenate(
+            [np.ones((n, 1)), cn, pos, (pos * pos).sum(1)[:, None]], 1
+        ).astype(np.float32)
+        q = rng.uniform(0, 3e4, (1024, 3)).astype(np.float32)
+        A, M = plane_payload_moment_sums(
+            jnp.asarray(ids), jnp.asarray(pay), jnp.asarray(q),
+            jnp.int32(P), table_cap=1024, tile=1024, interpret=True)
+        A, M = np.asarray(A), np.asarray(M)
+        refA = np.zeros((1024, 8))
+        refM = np.zeros((1024, 6))
+        d = (pos - q[np.minimum(ids, 1023)]).astype(np.float64)
+        for i in range(n):
+            if ids[i] >= P:
+                continue
+            refA[ids[i]] += pay[i]
+            refM[ids[i]] += [d[i, 0] * d[i, 0], d[i, 1] * d[i, 1],
+                             d[i, 2] * d[i, 2], d[i, 0] * d[i, 1],
+                             d[i, 0] * d[i, 2], d[i, 1] * d[i, 2]]
+        assert np.abs(A - refA).max() / np.abs(refA).max() < 1e-5
+        assert np.abs(M - refM).max() / np.abs(refM).max() < 1e-4
+        # excluded rows contributed nothing
+        assert A[:, 0].sum() == (ids < P).sum()

@@ -234,3 +234,17 @@ def test_table_lookup_cols_lowers():
         _i32(),
         interpret=False,
     )
+
+
+def test_plane_payload_moment_sums_lowers():
+    from buildingsegment_tpu.ops.segsum import plane_payload_moment_sums
+
+    _lower_tpu(
+        plane_payload_moment_sums,
+        _i32(_N1M),
+        _f32(_N1M, 8),
+        _f32(1024, 3),
+        _i32(),
+        table_cap=1024,
+        interpret=False,
+    )
