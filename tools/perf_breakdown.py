@@ -81,44 +81,53 @@ def main():
     pos_j, mask_j = jnp.asarray(pos), jnp.asarray(mask)
     out = {"points": n, "capacity": capacity}
 
+    def put(key, thunk):
+        # incremental emission (lab lesson, commit 8600347): a timeout
+        # kill keeps every completed stage
+        try:
+            out[key] = round(thunk() * 1e3, 2)
+        except Exception as e:  # pragma: no cover
+            out[key] = f"error:{type(e).__name__}"
+        print(f"[stage] {key}: {out[key]}", flush=True)
+
     sort = jax.jit(morton_argsort)
-    out["morton_argsort_ms"] = timed(lambda: sort(pos_j, mask_j)) * 1e3
+    put("morton_argsort_ms", lambda: timed(lambda: sort(pos_j, mask_j)))
     order = sort(pos_j, mask_j)
 
     gather = jax.jit(lambda o: (pos_j[o].astype(jnp.float32), mask_j[o]))
-    out["sort_gather_ms"] = timed(lambda: gather(order)) * 1e3
+    put("sort_gather_ms", lambda: timed(lambda: gather(order)))
     sposf, smask = gather(order)
     spos = pos_j[order]
 
-    out["fused_knn_normals_w64_ms"] = timed(
+    put("fused_knn_normals_w64_ms", lambda: timed(
         lambda: knn_normals_window_sorted(
             sposf, smask, k=16, window=64, radius=100.0
         )
-    ) * 1e3
+    ))
     nb_i, nb_d, normals, curv = knn_normals_window_sorted(
         sposf, smask, k=16, window=64, radius=100.0
     )
-    out["fused_knn_normals_w32_ms"] = timed(
+    put("fused_knn_normals_w32_ms", lambda: timed(
         lambda: knn_normals_window_sorted(
             sposf, smask, k=16, window=32, radius=100.0
         )
-    ) * 1e3
+    ))
 
-    out["window_seeds_w16_ms"] = timed(
+    put("window_seeds_w16_ms", lambda: timed(
         lambda: window_seeds(
             sposf, normals, smask, nb_d[:, 15], window=16
         )
-    ) * 1e3
+    ))
 
     from buildingsegment_tpu.ops.stats_sweep import (
         knn_normals_window_stats,
     )
 
-    out["stats_sweep_w64_ms"] = timed(
+    put("stats_sweep_w64_ms", lambda: timed(
         lambda: knn_normals_window_stats(
             sposf, smask, k=15, window=64, radius=100.0, max_nn=50
         )
-    ) * 1e3
+    ))
 
     # full multigrid (production: group=4, levels=2, refine=3)
     def mg(**kw):
@@ -130,17 +139,17 @@ def main():
         a.update(kw)
         return segment_planes_multigrid(spos, normals, nb_i[:, :15], smask, **a)
 
-    out["multigrid_g4_l2_r3_ms"] = timed(lambda: mg()) * 1e3
+    put("multigrid_g4_l2_r3_ms", lambda: timed(lambda: mg()))
     res = mg()
     out["mg_sweeps"] = int(res.num_sweeps)
     out["mg_planes"] = int(res.num_planes)
-    out["multigrid_r0_ms"] = timed(lambda: mg(refine_sweeps=0)) * 1e3
-    out["multigrid_r1_ms"] = timed(lambda: mg(refine_sweeps=1)) * 1e3
-    out["multigrid_l1_ms"] = timed(lambda: mg(levels=1)) * 1e3
-    out["multigrid_g16_l1_ms"] = timed(lambda: mg(group=16, levels=1)) * 1e3
-    out["multigrid_noanchor_ms"] = timed(
+    put("multigrid_r0_ms", lambda: timed(lambda: mg(refine_sweeps=0)))
+    put("multigrid_r1_ms", lambda: timed(lambda: mg(refine_sweeps=1)))
+    put("multigrid_l1_ms", lambda: timed(lambda: mg(levels=1)))
+    put("multigrid_g16_l1_ms", lambda: timed(lambda: mg(group=16, levels=1)))
+    put("multigrid_noanchor_ms", lambda: timed(
         lambda: mg(th_anchor_cos=0.0)
-    ) * 1e3
+    ))
 
     # the coarse solver alone at N/16 (what the recursion bottoms out in)
     g = 16
@@ -164,14 +173,14 @@ def main():
             propagation="window", window=16,
         )
 
-    out["coarse_solve_n16_ms"] = timed(coarse_solve) * 1e3
+    put("coarse_solve_n16_ms", lambda: timed(coarse_solve))
     out["coarse_solve_sweeps"] = int(coarse_solve().num_sweeps)
 
     # unsort (sorting-network inversion vs scatter)
     from buildingsegment_tpu.core.morton import unsort_by
 
     unsort = jax.jit(lambda lab: unsort_by(order, lab))
-    out["unsort_sortnet_ms"] = timed(lambda: unsort(res.plane_idx)) * 1e3
+    put("unsort_sortnet_ms", lambda: timed(lambda: unsort(res.plane_idx)))
 
     # end-to-end pipelines (the bench headline path + the non-sharded
     # single-device path) — composition check against the stage sums
@@ -180,7 +189,7 @@ def main():
 
     mesh = make_mesh(len(jax.devices()))
     sfn = sharded_pipeline(mesh, cfg, capacity_hint=capacity)
-    out["e2e_sharded_ms"] = timed(lambda: sfn(pos_j, mask_j)) * 1e3
+    put("e2e_sharded_ms", lambda: timed(lambda: sfn(pos_j, mask_j)))
 
     from buildingsegment_tpu.pipeline import run_device_pipeline
 
@@ -196,7 +205,7 @@ def main():
         seg_refine_sweeps=cfg.seg_refine_sweeps,
         convergence_tol=cfg.seg_convergence_tol,
     )
-    out["e2e_device_ms"] = timed(lambda: dfn(pos_j, mask_j)) * 1e3
+    put("e2e_device_ms", lambda: timed(lambda: dfn(pos_j, mask_j)))
 
     for k, v in out.items():
         if isinstance(v, float):
