@@ -227,6 +227,9 @@ def plane_adopt(payload, holes, B, tab, *, th_thickness, th_cos,
         scratch_shapes=[pltpu.VMEM((_K, 8), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # [T,384] dot + ~8 live [T,128] selection temps at
+            # tile 2048 exceed the default 16 MB scoped-vmem stack
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(payload.astype(jnp.float32), holesf, B, tab)

@@ -454,6 +454,10 @@ def plane_payload_moment_sums(ids, payload, q, n_live, *, table_cap,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the fused body (two chunk loops + moment rows) tops the
+            # default 16 MB scoped-vmem stack at tile 8192 (measured
+            # 24.8 MB via tools/aot_tpu.py); v5e has 128 MB physical
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(n_chunks, idsf, payload, qlut)

@@ -153,9 +153,45 @@ def compile_knn(n, qt=128, ct=1024, verbose=True):
     return t_comp
 
 
+def compile_finalize(n, verbose=True):
+    """AOT-compile the round-5 finalize kernels (plane_adopt +
+    plane_payload_moment_sums) at shape n.  REQUIRED pre-chip check
+    for any finalize-kernel change: the jax.export lowering test stops
+    before the backend, and the backend is where scoped-vmem stack
+    OOMs surface (caught here first: paymom 24.8 MB vs the 16 MB
+    default limit, 2026-08-21)."""
+    import jax
+    import jax.numpy as jnp
+
+    from buildingsegment_tpu.ops.adopt import plane_adopt
+    from buildingsegment_tpu.ops.segsum import plane_payload_moment_sums
+
+    s = tpu_sharding()
+
+    def sds(shape, dt=jnp.float32):
+        return jax.ShapeDtypeStruct(shape, dt, sharding=s)
+
+    t0 = time.time()
+    jax.jit(lambda pay, holes, B, tab: plane_adopt(
+        pay, holes, B, tab, th_thickness=300.0, th_cos=0.88,
+        interpret=False)).lower(
+        sds((n, 8)), sds((n,), jnp.bool_), sds((8, 384)),
+        sds((8, 128))).compile()
+    t1 = time.time()
+    jax.jit(lambda ids, pay, q: plane_payload_moment_sums(
+        ids, pay, q, jnp.int32(40), table_cap=1024,
+        interpret=False)).lower(
+        sds((n,), jnp.int32), sds((n, 8)), sds((1024, 3))).compile()
+    t2 = time.time()
+    if verbose:
+        print(f"finalize n={n}: adopt {t1 - t0:.1f}s "
+              f"paymom {t2 - t1:.1f}s", flush=True)
+    return t2 - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("what", choices=["compact", "stats", "mxu", "knn"])
+    ap.add_argument("what", choices=["compact", "stats", "mxu", "knn", "finalize"])
     ap.add_argument("--ng", type=int, nargs="+", default=[8192])
     ap.add_argument("--w", type=int, default=16)
     ap.add_argument("--lc", type=int, default=2048)
@@ -171,6 +207,10 @@ def main():
         qt = a.w if a.w != 16 else 128
         for ng in a.ng:
             compile_knn(ng, qt=qt, ct=a.tile if a.tile != 8192 else 1024)
+        return
+    if a.what == "finalize":
+        for ng in a.ng:
+            compile_finalize(ng)
         return
     if a.what == "stats":
         for ng in a.ng:

@@ -77,6 +77,7 @@ def main():
             out[key] = round(timed(fn) * 1e3, 2)
         except Exception as e:  # pragma: no cover
             out[key] = f"error:{type(e).__name__}"
+            print(f"[stage-err] {key}: {str(e)[:500]}", flush=True)
         print(f"[stage] {key}: {out[key]}", flush=True)
 
     try:
