@@ -343,9 +343,16 @@ def main():
     # speed-tuned default on a scene where it loses quality.
     # ------------------------------------------------------------------
     cand_reps = [] if quick else [
+        # one-shot ×16 coarsen: one coarsen/refine/finalize instead of
+        # three levels of them.  CPU quality (tools/quality_r5.py,
+        # 4 scene families): matches or beats g4/l3 everywhere
+        # (block 0.9703 vs 0.9679) — the chip gate arbitrates at 25 mm
+        {"seg_group": 16, "seg_levels": 1, "seg_refine_sweeps": 2,
+         "seg_seed_source": "coarse"},
         {"seg_seed_source": "coarse"},
         # the finalize hole-fill (r4) may cover what the second refine
         # sweep used to: ~4 ms/level back if the gate holds
+        # (quality_r5: sweeps 1 and 0 are quality-neutral on CPU)
         {"seg_refine_sweeps": 1, "seg_seed_source": "coarse"},
         # sweeps=0 keeps only the fused clean pass (adopt=False) and
         # leans on the finalize merge + hole-fill for all coverage
