@@ -130,6 +130,9 @@ def plane_sums(ids, payload, n_live, *, table_cap, cols=8, tile=8192,
         scratch_shapes=[pltpu.VMEM((cap128, cols), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the eqT selector is [128, tile] f32 — tiles past 8192
+            # top the 16 MB default scoped-vmem stack (v5e: 128 MB)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(n_chunks, idsf, payload.astype(jnp.float32))
@@ -205,6 +208,9 @@ def table_lookup(ids, lut, n_live, *, tile=8192, interpret=None):
         out_shape=jax.ShapeDtypeStruct((n_pad,), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the eqT selector is [128, tile] f32 — tiles past 8192
+            # top the 16 MB default scoped-vmem stack (v5e: 128 MB)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(n_chunks, idsf, lut2)
@@ -297,6 +303,9 @@ def table_lookup_cols(ids, lut, n_live, *, tile=8192, interpret=None):
         out_shape=jax.ShapeDtypeStruct((cpad, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # the eqT selector is [128, tile] f32 — tiles past 8192
+            # top the 16 MB default scoped-vmem stack (v5e: 128 MB)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(n_chunks, idsf, lut3)
@@ -462,3 +471,79 @@ def plane_payload_moment_sums(ids, payload, q, n_live, *, table_cap,
         interpret=interpret,
     )(n_chunks, idsf, payload, qlut)
     return outA, outM[:, :6]
+
+
+def _segsum_t_kernel(nchunk_ref, ids_ref, payT_ref, out_ref, acc, *,
+                     tile):
+    """Transposed-accumulator segsum experiment: contrib [8, 128] =
+    dot(payT [8,T], eqT [128,T]ᵀ) keeps the OUTPUT lane dim at 128
+    (the standard kernel's [128, 8] contrib has 8-lane outputs)."""
+    ti = pl.program_id(0)
+    acc[...] = jnp.where(ti == 0, 0.0, acc[...])
+    ids = ids_ref[...]  # f32[tile]
+    payT = payT_ref[...]  # f32[8, tile]
+
+    def chunk(c, _):
+        base = (c * _CHUNK).astype(jnp.float32)
+        tgt = base + lax.broadcasted_iota(
+            jnp.int32, (_CHUNK, tile), 0
+        ).astype(jnp.float32)
+        eqT = jnp.where(tgt == ids[None, :], 1.0, 0.0)
+        contrib = lax.dot_general(
+            payT, eqT, (((1,), (1,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [8, 128]
+        r0 = c * _CHUNK
+        acc[:, pl.ds(r0, _CHUNK)] = acc[:, pl.ds(r0, _CHUNK)] + contrib
+        return 0
+
+    lax.fori_loop(0, nchunk_ref[0], chunk, 0)
+    out_ref[...] = acc[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("table_cap", "tile", "interpret")
+)
+def plane_sums_t(ids, payT, n_live, *, table_cap, tile=8192,
+                 interpret=None):
+    """Transposed-layout segment sum: takes payload as [8, n] rows,
+    returns the table as [8, cap128] (transpose of plane_sums)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    n = ids.shape[0]
+    n_chunk_cap = -(-table_cap // _CHUNK)
+    cap128 = n_chunk_cap * _CHUNK
+    tile = min(tile, max(1024, 1 << (n - 1).bit_length()))
+    n_pad = -(-n // tile) * tile
+    idsf = ids.astype(jnp.float32)
+    if n_pad != n:
+        idsf = jnp.concatenate(
+            [idsf, jnp.full((n_pad - n,), float(cap128), jnp.float32)]
+        )
+        payT = jnp.concatenate(
+            [payT, jnp.zeros((8, n_pad - n), payT.dtype)], axis=1
+        )
+    n_chunks = jnp.minimum(
+        (n_live.astype(jnp.int32) + _CHUNK - 1) // _CHUNK, n_chunk_cap
+    ).reshape((1,))
+    return pl.pallas_call(
+        functools.partial(_segsum_t_kernel, tile=tile),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile,), lambda ti: (ti,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda ti: (0, ti),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, cap128), lambda ti: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, cap128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, cap128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(n_chunks, idsf, payT.astype(jnp.float32))
