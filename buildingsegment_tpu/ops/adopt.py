@@ -86,7 +86,7 @@ def pack_adopt_tables(nk, ck, bk, ccdk, reach2, lane_ok, rowlut):
 
 def _adopt_kernel(payload_ref, holes_ref, B_ref, tab_ref,
                   adopted_ref, row_ref, acc_out_ref, acc, *,
-                  tile, th_thickness, th_cos, signed):
+                  tile, th_thickness, th_cos, signed, skip=True):
     ti = pl.program_id(0)
     # read the persistent accumulator BEFORE any conditional write
     # this step (zero-init by select on step 0 — segsum.py rule)
@@ -98,7 +98,6 @@ def _adopt_kernel(payload_ref, holes_ref, B_ref, tab_ref,
     # points; the e2e hole fraction is a few % on dense scans)
     has = jnp.max(hole) > 0.0
 
-    @pl.when(has)
     def _compute():
         A = payload_ref[...]  # [T, 8]: cnt=1, n̂, p, |p|²
         M = lax.dot_general(
@@ -148,7 +147,6 @@ def _adopt_kernel(payload_ref, holes_ref, B_ref, tab_ref,
         acc[...] = newacc
         acc_out_ref[...] = newacc
 
-    @pl.when(jnp.logical_not(has))
     def _skip():
         adopted_ref[...] = jnp.zeros((tile,), jnp.float32)
         row_ref[...] = jnp.zeros((tile,), jnp.float32)
@@ -157,14 +155,20 @@ def _adopt_kernel(payload_ref, holes_ref, B_ref, tab_ref,
         acc[...] = acc_val
         acc_out_ref[...] = acc_val
 
+    if skip:
+        pl.when(has)(_compute)
+        pl.when(jnp.logical_not(has))(_skip)
+    else:  # straight-line variant (compile-memory / perf bisection)
+        _compute()
+
 
 @functools.partial(
     jax.jit,
     static_argnames=("th_thickness", "th_cos", "signed", "tile",
-                     "interpret"),
+                     "skip", "interpret"),
 )
 def plane_adopt(payload, holes, B, tab, *, th_thickness, th_cos,
-                signed=False, tile=2048, interpret=None):
+                signed=False, tile=None, skip=None, interpret=None):
     """Adopt unlabeled points into the top-K merged plane table.
 
     Args:
@@ -180,8 +184,14 @@ def plane_adopt(payload, holes, B, tab, *, th_thickness, th_cos,
     ``acc128`` holds the per-LANE adoption payload sums (lane order,
     NOT root-row order — fold with a [P,128] one-hot matmul).
     """
+    import os
+
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
+    if tile is None:
+        tile = int(os.environ.get("BST_ADOPT_TILE", "2048"))
+    if skip is None:
+        skip = os.environ.get("BST_ADOPT_SKIP", "1") == "1"
     n = payload.shape[0]
     tile = min(tile, max(128, 1 << (n - 1).bit_length()))
     n_pad = -(-n // tile) * tile
@@ -196,7 +206,7 @@ def plane_adopt(payload, holes, B, tab, *, th_thickness, th_cos,
     kernel = functools.partial(
         _adopt_kernel, tile=tile,
         th_thickness=float(th_thickness),
-        th_cos=float(th_cos), signed=signed,
+        th_cos=float(th_cos), signed=signed, skip=skip,
     )
     adopted, row, acc128 = pl.pallas_call(
         kernel,
