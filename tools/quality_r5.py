@@ -47,6 +47,8 @@ def main():
     }
     configs = [
         ("prod_g4l3r2", dict(group=4, levels=3, refine_sweeps=2)),
+        ("l2", dict(group=4, levels=2, refine_sweeps=2)),
+        ("l2r3", dict(group=4, levels=2, refine_sweeps=3)),
         ("r1", dict(group=4, levels=3, refine_sweeps=1)),
         ("r1_coarseseed", dict(group=4, levels=3, refine_sweeps=1,
                                seed_source="coarse")),
