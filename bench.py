@@ -343,22 +343,26 @@ def main():
     # speed-tuned default on a scene where it loses quality.
     # ------------------------------------------------------------------
     cand_reps = [] if quick else [
+        # the r5 chip-measured winner FIRST (35.1 ms vs base 57.0 at
+        # agreement 0.9911 vs 0.9905, 2026-08-21) — its program is in
+        # the persistent compile cache, so adoption is nearly free
+        {"seg_levels": 2},
+        # untried combo of the three individually-winning knobs
+        {"seg_levels": 2, "seg_refine_sweeps": 1,
+         "seg_seed_source": "coarse"},
         # one-shot ×16 coarsen: one coarsen/refine/finalize instead of
         # three levels of them.  CPU quality (tools/quality_r5.py,
         # 4 scene families): matches or beats g4/l3 everywhere
-        # (block 0.9703 vs 0.9679) — the chip gate arbitrates at 25 mm
+        # (block 0.9703 vs 0.9679); chip r5: 54.5 ms @ 0.9908
         {"seg_group": 16, "seg_levels": 1, "seg_refine_sweeps": 2,
          "seg_seed_source": "coarse"},
         {"seg_seed_source": "coarse"},
         # the finalize hole-fill (r4) may cover what the second refine
         # sweep used to: ~4 ms/level back if the gate holds
-        # (quality_r5: sweeps 1 and 0 are quality-neutral on CPU)
+        # (quality_r5: sweeps 1 and 0 are quality-neutral on CPU;
+        # chip r5: 51.9 ms @ 0.9908)
         {"seg_refine_sweeps": 1, "seg_seed_source": "coarse"},
-        # sweeps=0 keeps only the fused clean pass (adopt=False) and
-        # leans on the finalize merge + hole-fill for all coverage
-        {"seg_refine_sweeps": 0, "seg_seed_source": "coarse"},
         {"knn_window": 64},
-        {"seg_levels": 2},
         {"seg_refine_sweeps": 3},
     ]
     for reps_d in cand_reps:
