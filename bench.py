@@ -118,14 +118,23 @@ def _warm(fn, *args, attempts=12, **kw):
 def _timed(fn, *args, reps=8, attempts=12, **kw):
     """Pipelined steady-state timing: dispatch ``reps`` calls back to
     back, one host sync at the end (the ~30-100 ms tunnel-sync
-    overhead amortizes as 1/reps)."""
+    overhead amortizes as 1/reps).  Two batches, best kept: identical
+    cached programs were measured 35.1 vs 73.2 ms an hour apart
+    (2026-08-21) — multi-program dispatch scheduling is luck-dependent
+    through the tunnel, and one batch can serialize what the other
+    pipelines.  The min of two batch AVERAGES is still a steady-state
+    number, just with the scheduler's bad draws filtered."""
     out = _warm(fn, *args, attempts=attempts, **kw)
     _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args, **kw)
-    _sync(out)
-    return (time.perf_counter() - t0) / reps, out
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args, **kw)
+        _sync(out)
+        dt = (time.perf_counter() - t0) / reps
+        best = dt if best is None else min(best, dt)
+    return best, out
 
 
 def main():
