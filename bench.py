@@ -352,13 +352,10 @@ def main():
     # speed-tuned default on a scene where it loses quality.
     # ------------------------------------------------------------------
     cand_reps = [] if quick else [
-        # the r5 chip-measured winner FIRST (35.1 ms vs base 57.0 at
-        # agreement 0.9911 vs 0.9905, 2026-08-21) — its program is in
-        # the persistent compile cache, so adoption is nearly free
-        {"seg_levels": 2},
-        # untried combo of the three individually-winning knobs
-        {"seg_levels": 2, "seg_refine_sweeps": 1,
-         "seg_seed_source": "coarse"},
+        # the r5 chip winner (35.1 ms @ 0.9911) is now the DEFAULT
+        # (seg_levels=2); the deeper coarsening stays as the reverse
+        # candidate so a scene that needs it can win it back
+        {"seg_levels": 3},
         # one-shot ×16 coarsen: one coarsen/refine/finalize instead of
         # three levels of them.  CPU quality (tools/quality_r5.py,
         # 4 scene families): matches or beats g4/l3 everywhere

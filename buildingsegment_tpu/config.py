@@ -81,15 +81,18 @@ class PipelineConfig:
     # groups of this size become super-points; 1 = single level)
     seg_group: int = 4
     # recursive coarsening depth / per-point refinement sweeps.
-    # 3 levels + 2 refine sweeps adopted as the production default
-    # (perf_winner, 1.08M pts on one v5e chip: multigrid stage 33.65 ms
-    # vs ~45+ at levels=2, bench agreement gate ≥ 0.97 held; the bench
-    # autotuner still arbitrates per-scene and falls back to the safe
-    # config below the quality floor).  Density is handled by the
-    # spacing_hint_mm edge-gate scaling (r4): sparse scans keep
-    # coarse connectivity at levels=3 (tests/test_multigrid.py density
+    # 2 levels + 2 refine sweeps adopted as the r5 production default:
+    # with the full finalize heal at every level, levels=2 measured
+    # 35.1 ms e2e vs 57.0 at levels=3 on the chip (bench 2026-08-21,
+    # agreement 0.9911 vs 0.9905), and the multi-building brittleness
+    # that motivated levels=3 is gone (tools/quality_r5.py block scene:
+    # l2 0.9657 vs l3 0.9679 — r4 pre-heal it was 0.909 vs 0.959).
+    # The bench keeps a {"seg_levels": 3} reverse candidate and falls
+    # back to the safe config below the quality floor.  Density is
+    # handled by the spacing_hint_mm edge-gate scaling (r4): sparse
+    # scans keep coarse connectivity (tests/test_multigrid.py density
     # sweep pins 50/150/300 mm), dense scans keep tight gates.
-    seg_levels: int = 3
+    seg_levels: int = 2
     seg_refine_sweeps: int = 2      # per-point refinement sweeps
     # anchor-pure model estimation (region_grow.segment_planes
     # th_anchor_cos): members feed their region's mean model only when
