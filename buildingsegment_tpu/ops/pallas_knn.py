@@ -35,6 +35,7 @@ read-modify-write loop.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -58,7 +59,18 @@ _SQ = 8
 def _resident_shape(n: int, query_tile: int) -> bool:
     """Whether the VMEM-resident kernel applies: positions fit VMEM,
     the grid divides evenly, and the super-tile is 1024-aligned (its
-    dynamic 1-D position reads require 1024-aligned offsets)."""
+    dynamic 1-D position reads require 1024-aligned offsets).
+
+    OPT-IN (BST_KNN_RESIDENT=1): measured r5 on the chip, the resident
+    kernel is ~3.7x SLOWER than the per-query double-buffered kernel at
+    the 1M production shapes (0.315 vs 1.16 Mpts/s) — the shared
+    super-tile visit list visits the union of 8 sub-tiles' candidate
+    sets, and that extra visit volume swamps the saved per-body
+    overhead (perf_knn_lab: visits-clamp=1 reaches 1.8).  Env read at
+    trace time; same-shape recompiles are keyed by the jit cache, so
+    set it before the first call in a process."""
+    if os.environ.get("BST_KNN_RESIDENT", "0") != "1":
+        return False
     st = query_tile * _SQ
     return n * 16 <= _RESIDENT_BYTES and n % st == 0 and st % 1024 == 0
 # sentinel coordinate for invalid rows (far outside any real scan)

@@ -30,11 +30,15 @@ class TestPallasKnn:
         np.testing.assert_allclose(d[:n], od**2, rtol=1e-6, atol=0.01)
 
     @pytest.mark.parametrize("seed_window", [32, 64])
-    def test_resident_subblocks_match_kdtree(self, rng, seed_window):
+    def test_resident_subblocks_match_kdtree(
+        self, rng, seed_window, monkeypatch
+    ):
         """The VMEM-resident kernel WITH sub-block gating active
         (n % (qt*8) == 0, ct/cb = 4 blocks) stays oracle-exact, at
         either seed window.  Morton-sorted input makes the window
-        seeds realistic (high-recall, like production)."""
+        seeds realistic (high-recall, like production).  The resident
+        path is opt-in since r5 (slower than v2 at production shapes)."""
+        monkeypatch.setenv("BST_KNN_RESIDENT", "1")
         from buildingsegment_tpu.core.morton import morton_argsort
 
         pts = rng.integers(0, 20_000, size=(8000, 3)).astype(np.int32)
