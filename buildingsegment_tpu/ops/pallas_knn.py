@@ -512,7 +512,7 @@ def _prepare(positions, mask, k, query_tile, cand_tile, seed_window=32):
     # candidate tile whose box-to-box lower bound exceeds the max such
     # bound over a query tile can never contribute — so the kernel only
     # needs the banded prefix up to the last tile under the bound.
-    from buildingsegment_tpu.ops.knn import knn_window_sorted
+    from buildingsegment_tpu.ops.knn import _DUAL_SHIFT, knn_window_sorted
 
     w_excl = max(seed_window, k)
     wk_i, wk_d = knn_window_sorted(pos, mask, k, window=w_excl)
@@ -520,6 +520,26 @@ def _prepare(positions, mask, k, query_tile, cand_tile, seed_window=32):
     # rows with fewer than k-1 real candidates pad with self → the
     # window bound is invalid there; fall back to +inf (visit all)
     kth_ub = jnp.where(wk_i[:, k - 1] == self_idx[:, 0], jnp.inf, wk_d[:, k - 1])
+    # --- dual-order bound tightening (τ̂ only, NOT the seeds) ---------
+    # A second window pass over a TRANSLATED Morton order (the
+    # knn_window dual trick: recall 0.84 → 0.99) yields a much tighter
+    # k-th-distance upper bound — its candidates are genuine, so
+    # min(single, dual) k-th distances still bounds the true k-th from
+    # above and exactness is unaffected.  Seeds stay single-order: the
+    # kernel's rank-window exclusion (|c − q| ≤ w_excl) only covers the
+    # primary order, so dual candidates must remain insertable.  Cost
+    # ~3% of the kernel runtime at 1M; the visit list it prunes was the
+    # measured whale (r5 perf_knn_lab: visits-clamp=1 ran 5.7× faster).
+    from buildingsegment_tpu.core.morton import morton_argsort
+
+    shift = jnp.asarray(_DUAL_SHIFT, positions.dtype)
+    order2 = morton_argsort(positions + shift, mask)
+    i2, d2 = knn_window_sorted(pos[order2], mask[order2], k, window=w_excl)
+    kth2_s = jnp.where(i2[:, k - 1] == self_idx[:, 0], jnp.inf, d2[:, k - 1])
+    # permutation-inverse via 2-operand sort (a .at[order2].set scatter
+    # at [N] costs ~10× this on TPU)
+    _, kth2 = lax.sort((order2, kth2_s), num_keys=1, is_stable=False)
+    kth_ub = jnp.minimum(kth_ub, kth2)
     kth_ub = jnp.where(mask, kth_ub, 0.0)  # invalid rows never bind
     # kernel seeds: window slots 1..k-1; self-padded slots (window ran
     # dry) become +inf so the kernel rebuilds those rows from scratch
@@ -590,6 +610,13 @@ def _prepare(positions, mask, k, query_tile, cand_tile, seed_window=32):
         ],
         axis=-1,
     )  # [num_mq, num_c, 8]
+    # PERF PROBE (INEXACT when any count exceeds the cap): truncate the
+    # visit table to BST_KNN_VCAP rows — isolates the per-grid-step
+    # meta block DMA cost (num_c strided 32 B rows/step)
+    vcap = int(os.environ.get("BST_KNN_VCAP", "0"))
+    if vcap and not resident and vcap < num_c:
+        meta = meta[:, :vcap, :]
+        counts = jnp.minimum(counts, vcap)
 
     # sub-block box distances for the resident kernel's in-visit
     # gating: all ct/cb bounds of one candidate tile ride as LANES of
@@ -713,7 +740,7 @@ def _dispatch(posT, seed_d, seed_i, meta, counts, subbox, mask, *, n,
         grid=(num_q,),
         in_specs=[
             pl.BlockSpec(
-                (1, num_c, 8), lambda qi, *_: (qi, 0, 0),
+                (1, meta.shape[1], 8), lambda qi, *_: (qi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),  # this query tile's sorted visit metadata
             pl.BlockSpec(
@@ -756,6 +783,9 @@ def _dispatch(posT, seed_d, seed_i, meta, counts, subbox, mask, *, n,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # default scoped-vmem stack limit is 16 MB/kernel even on
+            # v5e's 128 MB physical; qt=512 needs ~21 MB (AOT-measured)
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
         interpret=interpret,
     )(counts, meta, posT, seed_d, seed_i, posT)

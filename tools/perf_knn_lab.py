@@ -84,7 +84,7 @@ def main():
         out["prologue_error"] = type(e).__name__
     # marginal visit cost: clamp the visit loop (result inexact, time
     # only) — fixed costs = mv1; slope = (full - mv1) / (mean_visits-1)
-    for mv in (1, 4):
+    for mv in ((1, 4) if "--mv" in sys.argv else (1,)):
         try:
             dt = timed(lambda mv=mv: knn_pallas(
                 spos, smask, k=16, query_tile=128, cand_tile=1024,
@@ -98,7 +98,8 @@ def main():
 
     # seed-window sweep: larger windows cost more in the prologue but
     # cut kernel insertions (the measured whale) and tighten τ̂
-    for sw in ([] if quick else [64, 96]):
+    # (r5: dual-τ made this a wash at 25 mm — skip by default)
+    for sw in ([] if quick or "--seedw" not in sys.argv else [64, 96]):
         try:
             dt = timed(lambda sw=sw: knn_pallas(
                 spos, smask, k=16, query_tile=128, cand_tile=1024,
@@ -110,7 +111,11 @@ def main():
         print(f"[stage] seedw{sw}: {out.get(f'seedw{sw}_mpts')}",
               flush=True)
 
-    shapes = [(128, 1024), (256, 1024), (128, 2048)]
+    # r5 session 2: n = 2048·529 (529 odd) caps ct at 2048; CPU visit-
+    # body counts 74.3k/36.0k/22.5k for these three — the grid-step +
+    # visit-body overheads are the measured whale, so fewer/bigger
+    # tiles should win until the per-body compute crosses over
+    shapes = [(128, 1024), (256, 2048), (512, 2048)]
     if quick:
         shapes = [(128, 1024), (256, 512)]
     for qt, ct in shapes:
@@ -126,7 +131,9 @@ def main():
         print(f"[stage] qt{qt}_ct{ct}: {out.get(f'qt{qt}_ct{ct}_mpts')}",
               flush=True)
     # static merge-round trip count (Mosaic unroll/pipeline probe)
-    for qt, ct in ([(128, 1024)] if quick else [(128, 1024), (256, 1024)]):
+    for qt, ct in ([(128, 1024)] if quick
+                   else ([] if "--static" not in sys.argv
+                         else [(128, 1024), (256, 1024)])):
         try:
             dt = timed(
                 lambda qt=qt, ct=ct: knn_pallas(
