@@ -217,9 +217,13 @@ def knn_window(
             [jnp.zeros((n, 1), bool), s_i[:, 1:] == s_i[:, :-1]], axis=1
         )
         s_d = jnp.where(dup, _INF, s_d)
-        neg_top, arg = lax.top_k(-s_d, k - 1)
-        nb_d = -neg_top
-        nb_i = jnp.take_along_axis(s_i, arg, axis=1)
+        # 2-operand sort, NOT top_k + take_along_axis: the gather form
+        # measured 211.6 ms vs 17.1 at [1M, 15] on chip
+        # (tools/knn_finish_probe.py)
+        r_d, r_i = lax.sort((s_d, s_i), dimension=1, num_keys=1,
+                            is_stable=False)
+        nb_d = r_d[:, : k - 1]
+        nb_i = r_i[:, : k - 1]
         invalid = jnp.isinf(nb_d)
         nb_i = jnp.where(invalid, self_idx[:, None], nb_i)
         nb_d = jnp.where(invalid, 0.0, nb_d)

@@ -793,10 +793,11 @@ def _dispatch(posT, seed_d, seed_i, meta, counts, subbox, mask, *, n,
 
 
 def _finish(best_d, best_i, mask, n, kk):
-    # sort ascending, fix empty slots, prepend self
-    neg, arg = lax.top_k(-best_d, kk)
-    nb_d = -neg
-    nb_i = jnp.take_along_axis(best_i, arg, axis=1)
+    # sort ascending, fix empty slots, prepend self.  2-operand
+    # lax.sort, NOT top_k + take_along_axis: the take_along_axis
+    # gather ran 211.6 ms at 1M on chip vs 17.1 for the sort
+    # (tools/knn_finish_probe.py) — the standard XLA-gather trap.
+    nb_d, nb_i = lax.sort((best_d, best_i), dimension=1, num_keys=1)
     self_idx = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     empty = (nb_d >= _SENTINEL_D) | jnp.isinf(nb_d)
     nb_i = jnp.where(empty, self_idx, nb_i)
