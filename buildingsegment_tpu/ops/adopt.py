@@ -162,13 +162,85 @@ def _adopt_kernel(payload_ref, holes_ref, B_ref, tab_ref,
         _compute()
 
 
+def _adopt_kernel_t(payT_ref, holes_ref, BT_ref, tabT_ref,
+                    adopted_ref, row_ref, acc_out_ref, acc, *,
+                    tile, th_thickness, th_cos, signed, skip=True):
+    """Transposed-layout twin of _adopt_kernel: payload rides as
+    [8, T] (lanes along points — no 8→128 lane padding of the point
+    blocks), the decision matrix as M_T = BT @ payT → [384, T], and
+    every [T, 128] selection becomes [128, T] with reductions over
+    SUBLANES instead of lanes.  Semantics identical (same first-min
+    tie rule, HIGHEST dots); arbitration is perf-only
+    (BST_ADOPT_T=1, chip-measured before adoption)."""
+    ti = pl.program_id(0)
+    acc_val = jnp.where(ti == 0, 0.0, acc[...])
+    hole = holes_ref[...]  # f32[T]
+    has = jnp.max(hole) > 0.0
+
+    def _compute():
+        A_T = payT_ref[...]  # [8, T]
+        M_T = lax.dot_general(
+            BT_ref[...], A_T, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [384, T]
+        off = M_T[0:_K, :]
+        cosr = M_T[_K:2 * _K, :]
+        pc2 = M_T[2 * _K:3 * _K, :]
+        sq = A_T[7:8, :]  # [1, T]
+        aoff = jnp.abs(off)
+        cos = cosr if signed else jnp.abs(cosr)
+        inpl2 = (sq - 2.0 * pc2) - off * off
+        reach2 = tabT_ref[:, 0:1]  # [128, 1]
+        lane_ok = tabT_ref[:, 1:2]
+        rowlut = tabT_ref[:, 2:3]
+        ok = (
+            (aoff <= th_thickness)
+            & (cos >= th_cos)
+            & (inpl2 <= reach2)
+            & (lane_ok > 0.0)
+            & (hole[None, :] > 0.0)
+        )
+        offsel = jnp.where(ok, aoff, _BIG)
+        m = jnp.min(offsel, axis=0)  # [T]
+        adopted = (m < _BIG) & (hole > 0.0)
+        iota = lax.broadcasted_iota(jnp.int32, (_K, tile), 0)
+        eq = (offsel == m[None, :]) & ok
+        lane = jnp.min(jnp.where(eq, iota, _K), axis=0)  # first min
+        sel = (iota == lane[None, :]) & adopted[None, :]  # [128, T]
+        row = jnp.sum(jnp.where(sel, rowlut, 0.0), axis=0)
+        adopted_ref[...] = adopted.astype(jnp.float32)
+        row_ref[...] = row
+        selF = jnp.where(sel, 1.0, 0.0)  # [128, T]
+        newacc = acc_val + lax.dot_general(
+            selF, A_T, (((1,), (1,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [128, 8]
+        acc[...] = newacc
+        acc_out_ref[...] = newacc
+
+    def _skip():
+        adopted_ref[...] = jnp.zeros((tile,), jnp.float32)
+        row_ref[...] = jnp.zeros((tile,), jnp.float32)
+        acc[...] = acc_val
+        acc_out_ref[...] = acc_val
+
+    if skip:
+        pl.when(has)(_compute)
+        pl.when(jnp.logical_not(has))(_skip)
+    else:
+        _compute()
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("th_thickness", "th_cos", "signed", "tile",
-                     "skip", "interpret"),
+                     "skip", "interpret", "transposed"),
 )
 def plane_adopt(payload, holes, B, tab, *, th_thickness, th_cos,
-                signed=False, tile=None, skip=None, interpret=None):
+                signed=False, tile=None, skip=None, interpret=None,
+                transposed=None):
     """Adopt unlabeled points into the top-K merged plane table.
 
     Args:
@@ -203,15 +275,33 @@ def plane_adopt(payload, holes, B, tab, *, th_thickness, th_cos,
         holesf = jnp.concatenate(
             [holesf, jnp.zeros((n_pad - n,), jnp.float32)]
         )
-    kernel = functools.partial(
-        _adopt_kernel, tile=tile,
-        th_thickness=float(th_thickness),
-        th_cos=float(th_cos), signed=signed, skip=skip,
-    )
-    adopted, row, acc128 = pl.pallas_call(
-        kernel,
-        grid=(n_pad // tile,),
-        in_specs=[
+    if transposed is None:
+        transposed = os.environ.get("BST_ADOPT_T", "0") == "1"
+    if transposed:
+        kernel = functools.partial(
+            _adopt_kernel_t, tile=tile,
+            th_thickness=float(th_thickness),
+            th_cos=float(th_cos), signed=signed, skip=skip,
+        )
+        in_specs = [
+            pl.BlockSpec((8, tile), lambda ti: (0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda ti: (ti,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * _K, 8), lambda ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_K, 8), lambda ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        ops = (payload.astype(jnp.float32).T, holesf,
+               B.T, tab.T)
+    else:
+        kernel = functools.partial(
+            _adopt_kernel, tile=tile,
+            th_thickness=float(th_thickness),
+            th_cos=float(th_cos), signed=signed, skip=skip,
+        )
+        in_specs = [
             pl.BlockSpec((tile, 8), lambda ti: (ti, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile,), lambda ti: (ti,),
@@ -220,7 +310,12 @@ def plane_adopt(payload, holes, B, tab, *, th_thickness, th_cos,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, _K), lambda ti: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        ops = (payload.astype(jnp.float32), holesf, B, tab)
+    adopted, row, acc128 = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile,), lambda ti: (ti,),
                          memory_space=pltpu.VMEM),
@@ -242,7 +337,7 @@ def plane_adopt(payload, holes, B, tab, *, th_thickness, th_cos,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(payload.astype(jnp.float32), holesf, B, tab)
+    )(*ops)
     if n_pad != n:
         adopted = lax.slice(adopted, (0,), (n,))
         row = lax.slice(row, (0,), (n,))

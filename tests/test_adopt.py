@@ -79,7 +79,8 @@ def _rand_problem(seed, n=700, k=96, coincide=False):
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("signed", [False, True])
-def test_adopt_matches_xla_reference(seed, signed):
+@pytest.mark.parametrize("transposed", [False, True])
+def test_adopt_matches_xla_reference(seed, signed, transposed):
     (pos, cn, holes, nk, ck, bk, ccdk, reach2, lane_ok,
      rowlut) = _rand_problem(seed)
     th, th_cos = 300.0, 0.88
@@ -90,7 +91,8 @@ def test_adopt_matches_xla_reference(seed, signed):
                                rowlut)
     ad, row, acc = plane_adopt(
         _payload(pos, cn), holes, B, tab, th_thickness=th,
-        th_cos=th_cos, signed=signed, tile=256, interpret=True)
+        th_cos=th_cos, signed=signed, tile=256, interpret=True,
+        transposed=transposed)
     np.testing.assert_array_equal(np.asarray(ad), np.asarray(ref_ad))
     np.testing.assert_array_equal(
         np.asarray(row)[np.asarray(ad)],
@@ -98,7 +100,8 @@ def test_adopt_matches_xla_reference(seed, signed):
     assert int(np.asarray(ad).sum()) > 20  # the scene exercises adoption
 
 
-def test_adopt_tie_breaks_first_lane():
+@pytest.mark.parametrize("transposed", [False, True])
+def test_adopt_tie_breaks_first_lane(transposed):
     (pos, cn, holes, nk, ck, bk, ccdk, reach2, lane_ok,
      rowlut) = _rand_problem(7, coincide=True)
     lane_ok = jnp.ones_like(lane_ok)  # ties must survive the gates
@@ -110,14 +113,16 @@ def test_adopt_tie_breaks_first_lane():
                                rowlut)
     ad, row, _ = plane_adopt(
         _payload(pos, cn), holes, B, tab, th_thickness=th,
-        th_cos=th_cos, tile=256, interpret=True)
+        th_cos=th_cos, tile=256, interpret=True,
+        transposed=transposed)
     np.testing.assert_array_equal(np.asarray(ad), np.asarray(ref_ad))
     np.testing.assert_array_equal(
         np.asarray(row)[np.asarray(ad)],
         np.asarray(ref_row)[np.asarray(ref_ad)])
 
 
-def test_adopt_accumulates_payload_sums():
+@pytest.mark.parametrize("transposed", [False, True])
+def test_adopt_accumulates_payload_sums(transposed):
     (pos, cn, holes, nk, ck, bk, ccdk, reach2, lane_ok,
      rowlut) = _rand_problem(3, n=1000)
     th, th_cos = 300.0, 0.88
@@ -126,7 +131,7 @@ def test_adopt_accumulates_payload_sums():
     pay = _payload(pos, cn)
     ad, row, acc = plane_adopt(
         pay, holes, B, tab, th_thickness=th, th_cos=th_cos,
-        tile=256, interpret=True)
+        tile=256, interpret=True, transposed=transposed)
     # reference: scatter payload by chosen LANE (acc is lane-ordered)
     ref_ad, _ = _xla_reference(
         pos, cn, holes, nk, ck, bk, ccdk, reach2, lane_ok, rowlut,

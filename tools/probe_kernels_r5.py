@@ -76,6 +76,14 @@ def main():
     dense = jnp.asarray(rng.uniform(size=n) < 0.9)
     stage("plane_adopt_90pct_ms", lambda: plane_adopt(
         pay, dense, B, tab, th_thickness=300.0, th_cos=0.88))
+    # transposed-layout variant (r5 session 2): payload as [8, N],
+    # decisions as [128, T] — kills the [T, 8] -> [T, 128] lane pad
+    stage("plane_adopt_T_5pct_ms", lambda: plane_adopt(
+        pay, holes, B, tab, th_thickness=300.0, th_cos=0.88,
+        transposed=True))
+    stage("plane_adopt_T_90pct_ms", lambda: plane_adopt(
+        pay, dense, B, tab, th_thickness=300.0, th_cos=0.88,
+        transposed=True))
     stage("paymom_ms", lambda: plane_payload_moment_sums(
         ids, pay, q, jnp.int32(40), table_cap=1024))
     stage("plane_sums_ms", lambda: plane_sums(
